@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2 C1/C2).
+
+All formulations are shuffle-aware and JVM-side (no Python in the hot
+path); nothing collects to the driver.
+
+- exact:      content-hash groupBy — one shuffle on a 64-hex key.
+- minhash:    shingle → 64 minhashes → band-bucket join (LSH). The
+              candidate join keys on (band, signature), so only
+              colliding docs meet — never a cartesian.
+- simhash:    64-bit sign fingerprint of token hashes; near-dups have
+              small Hamming distance.
+- n-gram Jaccard: exact pairwise similarity via shingle equi-join —
+              the verify stage for LSH candidates, and an oracle-
+              checkable operator on its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 64
+DEFAULT_BANDS = 16
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content hash (C1).
+
+    groupBy on sha2 gets map-side partial aggregation; at 100 TB the
+    shuffle carries one row per distinct hash, not per row.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("__h")
+    keep = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of a whitespace-tokenized text column.
+
+    Documents shorter than k tokens yield one shingle (the whole text).
+    """
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[j] = min over shingles of a
+    seeded 64-bit hash. One explode + one groupBy; the agg is
+    num_hashes parallel min()s, all map-side combinable."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__shingle"))
+    mins = sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(j), F.col("__shingle"))).alias(f"__m{j}") for j in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH (C2).
+
+    rows (id_a, id_b, est_jaccard): docs sharing >=1 of `bands` band
+    signatures, with est_jaccard = fraction of agreeing minhashes.
+    At 100 TB: the only joins are equi-joins on (band, band_sig) and on
+    id — LSH guarantees the bucket join touches candidate pairs only.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+            / F.lit(num_hashes)
+        ).alias("est_jaccard"),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via shingle equi-join.
+
+    Exact but quadratic in the worst case (all docs sharing shingles);
+    at scale it runs AFTER an LSH prefilter. The join is on the shingle
+    value, so disjoint docs never meet.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Each distinct token votes ±1 per bit of its xxhash64; the sign of
+    each bit-sum becomes the fingerprint bit. One explode + groupBy
+    (64 map-side-combinable sums), then bit packing — all JVM exprs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

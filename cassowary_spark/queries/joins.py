@@ -1,0 +1,248 @@
+"""Join surface (SURVEY.md §2 B5–B13).
+
+Catalyst picks the physical join (broadcast-hash / shuffle-hash /
+sort-merge); we hint `F.broadcast` on dims that stay small at ANY
+scale (region=5, nation=25, per-type range tables) so a 100 TB fact
+side never shuffles for them. AQE handles skew splitting and converts
+to broadcast at runtime when a filtered side turns out small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.operators.asof import asof_join
+from cassowary_spark.exprs import srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                                                   AS n_lineitems,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0      AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact→orders→customer (B5, B10).
+
+    lineitem⋈orders is a co-keyed shuffle join (both sides huge at
+    scale); customer is the smaller side — AQE broadcast-converts it
+    after the o_custkey filter stage when it fits.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            srnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey)                        AS n_orders,
+           floor((coalesce(sum(o.o_totalprice), 0)) * 100.0 + 0.5) / 100.0 AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (B6)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            srnd(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join = EXISTS (B7); probe side never duplicates rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join = NOT EXISTS (B8)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b,
+           a.n_name AS name_a, b.n_name AS name_b
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: same-region nation pairs via inequality (B9).
+
+    Equi component (regionkey) keys the join; the inequality is a
+    post-condition — so this stays a hash join, not a nested loop.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        & (F.col("a.n_regionkey") == F.col("b.n_regionkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("nk_a"),
+        F.col("b.n_nationkey").alias("nk_b"),
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    WITH ranges AS (
+        SELECT event_type AS range_type,
+               min(ts)                     AS lo,
+               min(ts) + INTERVAL 7 DAY    AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT r.range_type, count(*) AS n_in_range,
+           floor((sum(e.value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM events e JOIN ranges r ON e.ts >= r.lo AND e.ts < r.hi
+    GROUP BY r.range_type
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: event ts ∈ [lo, hi) buckets (B11).
+
+    The ranges side is tiny (one row per event type) and broadcast, so
+    the non-equi condition evaluates map-side — no shuffle of the fact
+    stream, which is the only formulation that survives 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ranges = ev.groupBy(F.col("event_type").alias("range_type")).agg(
+        F.min("ts").alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL 7 DAY")).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(ranges), (ev.ts >= ranges.lo) & (ev.ts < ranges.hi))
+        .groupBy("range_type")
+        .agg(
+            F.count("*").alias("n_in_range"),
+            srnd(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT max(s.ts) FROM events s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND s.ts <= e.ts) AS asof_ts
+    FROM events e
+    WHERE e.event_type <> 'signup'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest signup at-or-before each event (B12).
+
+    Uses the union-merge formulation (operators/asof.py): ONE shuffle
+    on user_id vs the quadratic naive range join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") != "signup")
+    signups = ev.filter(F.col("event_type") == "signup")
+    joined = asof_join(
+        facts,
+        signups.select("user_id", "ts"),
+        on=["user_id"],
+        fact_ts="ts",
+        dim_ts="ts",
+        dim_value_cols=["ts"],
+    )
+    return joined.select("event_id", "user_id", F.col("asof_ts").alias("asof_ts"))
+
+
+@query(
+    "q_star_join",
+    oracle="""
+    SELECT r.r_name, p.p_brand,
+           count(*)                                              AS n_items,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN part p     ON l.l_partkey   = p.p_partkey
+    WHERE o.o_orderstatus = 'F' AND p.p_size < 20
+    GROUP BY r.r_name, p.p_brand
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join over the full dimension graph (B13).
+
+    region/nation are broadcast unconditionally (fixed cardinality at
+    any SF); customer/part broadcast via AQE once filters reduce them.
+    The only unavoidable big shuffle is lineitem⋈orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 20)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            srnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )

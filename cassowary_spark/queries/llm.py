@@ -1,0 +1,430 @@
+"""LLM-data-pipeline queries (SURVEY.md §2 group C + extensions).
+
+The fixture corpus has no real duplicates (every documents.text is
+unique) and unclustered embeddings (max pairwise cosine ≈ 0.48,
+measured), so the dedup queries synthesize deterministic twins —
+union-with-self for exact dedup, a suffix-mutated copy for near-dup,
+a scaled copy for embedding near-dup — exactly as SURVEY.md §7 M4
+prescribes. All twin construction happens identically in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.multimodal.decode import attach_binary, image_meta
+from cassowary_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cassowary_spark.operators.similarity import (
+    ann_lsh_topk,
+    as_double,
+    cosine,
+    cosine_topk,
+)
+from cassowary_spark.operators.text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    token_count,
+)
+from cassowary_spark.exprs import srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+# ---------------------------------------------------------------- helpers
+
+MUTATION_SUFFIX = " extra token tail"
+TWIN_OFFSET = 100_000
+
+
+def _docs_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ suffix-mutated copy (ids shifted by TWIN_OFFSET)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = d.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(MUTATION_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(twin)
+
+_DOCS_TWINS_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {TWIN_OFFSET} AS doc_id, text || '{MUTATION_SUFFIX}' AS text
+        FROM documents
+"""
+
+# DuckDB expression mirroring operators.dedup.shingles (k=3).
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform("
+    " range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
+    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+)
+
+
+def _duck_marker_score(lang: str) -> str:
+    terms = " + ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{m}'))" for m in LANG_MARKERS[lang]
+    )
+    return f"({terms})"
+
+
+def _duck_lang_id() -> str:
+    """CASE chain mirroring operators.text.lang_id (same tiebreak order)."""
+    clauses = []
+    for lang in LANG_ORDER:
+        conds = [f"{_duck_marker_score(lang)} > 0"]
+        for other in LANG_ORDER:
+            if other != lang:
+                conds.append(f"{_duck_marker_score(lang)} >= {_duck_marker_score(other)}")
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------- C1 exact dedup
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH all_docs AS (
+        {_DOCS_TWINS_SQL}
+        UNION ALL
+        SELECT doc_id + {2 * TWIN_OFFSET} AS doc_id, text FROM documents
+    )
+    SELECT sha256(text) AS doc_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM all_docs GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (C1).
+
+    Corpus = documents ∪ mutated twins ∪ verbatim copy, so every
+    original text occurs twice (dupe) and each twin once. Output is the
+    per-hash keeper + multiplicity; the shuffle key is the 64-hex hash.
+    """
+    base = _docs_with_twins(spark, sf_dir)
+    copy = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 2 * TWIN_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(copy)
+    return corpus.groupBy(F.sha2("text", 256).alias("doc_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query("q_dedup_near")  # rows-only: MinHash-LSH is not ANSI-SQL expressible
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (C2): 64 minhashes, 16 bands.
+
+    Each doc pairs with its suffix-mutated twin (true Jaccard ≈ 0.7+).
+    Deterministic (hash-seeded), verified by the twin-recall pytest.
+    """
+    corpus = _docs_with_twins(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.4
+    )
+    return pairs.select("id_a", "id_b", srnd("est_jaccard", 4).alias("est_jaccard"))
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH docs AS ({_DOCS_TWINS_SQL}),
+    sh AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (C2 verify stage)."""
+    corpus = _docs_with_twins(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", srnd("jaccard", 4).alias("jaccard"))
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB counterpart
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (C2): deterministic 64-bit signatures;
+    twin-pair Hamming distance asserted small in tests."""
+    corpus = _docs_with_twins(spark, sf_dir)
+    return simhash(corpus, "doc_id", "text")
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, label, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000, label, list_transform(v, x -> x * 1.01) FROM base
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0
+               AS cos_sim
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (C2): each vector vs its scaled
+    twin (cosine exactly 1). Blocked by label so the pair join is an
+    equi-join, not a cartesian — the blocking pattern that survives
+    scale (swap label for an LSH bucket on unlabeled data)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", as_double("embedding").alias("v"))
+    twin = base.select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 1.01).alias("v"),
+    )
+    corpus = base.unionByName(twin)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("__cos"),
+        )
+        .filter(F.col("__cos") >= 0.99)
+        .select("id_a", "id_b", srnd("__cos", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------- C3 similarity search
+
+
+@query(
+    "q_sim_search",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim FROM (
+        SELECT e.vec_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector (C3).
+
+    TakeOrdered top-k (per-partition heaps); the query row is
+    broadcast, never collected to the driver.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    topk = cosine_topk(
+        e.filter(F.col("vec_id") != 0), qdf, "vec_id", "embedding", "qv", k=10
+    )
+    return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
+
+
+@query("q_ann_lsh")  # rows-only: approximate by construction
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (C3 scale path): random-hyperplane
+    signatures prune the corpus to the query's bucket before exact
+    scoring. Recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    topk = ann_lsh_topk(
+        e.filter(F.col("vec_id") != 0), qdf, "vec_id", "embedding", "qv", k=10, n_planes=6
+    )
+    return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------- C4 text analysis
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                            AS n_docs,
+           count(DISTINCT source)                              AS n_sources,
+           floor((avg(len(string_split(text, ' ')))) * 10000.0 + 0.5) / 10000.0         AS avg_tokens,
+           floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0                              AS avg_chars,
+           CAST(sum(n_chars) AS BIGINT)                        AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by language (C4)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        srnd(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        srnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_duck_lang_id()} AS lang_pred
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID heuristic (C4) — deterministic argmax
+    over per-language stopword counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                                         AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))    AS subword_tokens,
+           floor((CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0     AS chars_per_token
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (C4): whitespace + BPE-ish regex pre-tokenizer."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("subword_tokens"),
+        srnd(
+            F.col("n_chars").cast("double") / token_count(F.col("text")), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           floor((0.4 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80 THEN 1.0
+                         WHEN len(string_split(text, ' ')) >= 10 THEN 0.5
+                         ELSE 0.0 END)
+           + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                          / greatest(CAST(n_chars AS DOUBLE), 1.0))
+           + 0.3 * (CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                            + len(list_filter(string_split(text, ' '), t -> t = 'and'))
+                            + len(list_filter(string_split(text, ' '), t -> t = 'of'))
+                            + len(list_filter(string_split(text, ' '), t -> t = 'a')) > 0
+                    THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (C4): length band + punctuation ratio +
+    stopword presence."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("quality")
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    )
+    SELECT doc_id,
+           min(md5(shingle)) AS fp_min,
+           max(md5(shingle)) AS fp_max,
+           count(*)          AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (C4): winnowing-style min/max shingle
+    hash — a stable content signature robust to reordering-free edits."""
+    from cassowary_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fp_min"),
+        F.max(F.md5("shingle")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------- C5 multimodal
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           len(e.embedding) AS dim,
+           floor((sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))) * 10000.0 + 0.5) / 10000.0 AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal co-residency (C5): text metadata ⋈ vector column."""
+    from cassowary_spark.operators.similarity import l2_norm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("embedding").alias("dim"),
+        srnd(l2_norm(as_double("embedding")), 4).alias("emb_norm"),
+    )
+
+
+@query(
+    "q_mm_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INT)               AS n_bytes,
+           CAST(strlen(text) % 64 + 1 AS INT)      AS width,
+           CAST((strlen(text) * 7) % 64 + 1 AS INT) AS height,
+           3                                        AS channels
+    FROM documents
+    """,
+)
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (C5): binary payload → mapInPandas
+    decode stub → typed metadata. The oracle replays the deterministic
+    fake-decode arithmetic on the UTF-8 byte length."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = attach_binary(d, "doc_id", "text")
+    return image_meta(binary, "doc_id", "content")

@@ -1,0 +1,106 @@
+"""Projection / filter / conditional / distinct (SURVEY.md §2 B1–B4).
+
+The reference delegated this whole surface to Hive's operator tree
+([P], reference empty); here each is a direct Catalyst-planned
+DataFrame expression — filters and projections collapse into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+
+@query(
+    "q_project",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                 AS name_upper,
+           floor((c_acctbal * 1.1) * 10000.0 + 0.5) / 10000.0     AS acctbal_bumped,
+           c_nationkey + 100             AS shifted_nation,
+           'cust'                        AS tag
+    FROM customer
+    """,
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with expressions, aliases, and literals (B1)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        srnd(F.col("c_acctbal") * 1.1, 4).alias("acctbal_bumped"),
+        (F.col("c_nationkey") + 100).alias("shifted_nation"),
+        F.lit("cust").alias("tag"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderstatus IN ('F', 'O')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND regexp_matches(o_orderpriority, '^[0-9]-')
+      AND o_custkey IS NOT NULL
+      AND (o_orderkey % 2 = 0 OR o_totalprice > 50000)
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: BETWEEN/IN/LIKE/RLIKE/IS NULL/boolean (B2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_orderpriority").rlike("^[0-9]-")
+        & F.col("o_custkey").isNotNull()
+        & ((F.col("o_orderkey") % 2 == 0) | (F.col("o_totalprice") > 50000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal >= 750 THEN 'high'
+                WHEN s_acctbal >= 250 THEN 'mid'
+                ELSE 'low' END                       AS bal_band,
+           coalesce(nullif(s_name, ''), 'unknown')   AS name_safe,
+           greatest(s_acctbal, 100.0)                AS bal_floor,
+           least(s_acctbal, 900.0)                   AS bal_cap,
+           CASE WHEN s_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nation_parity
+    FROM supplier
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals: CASE WHEN / COALESCE / NULLIF / GREATEST / LEAST (B3)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") >= 750, "high")
+        .when(F.col("s_acctbal") >= 250, "mid")
+        .otherwise("low")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias("name_safe"),
+        F.greatest(F.col("s_acctbal"), F.lit(100.0)).alias("bal_floor"),
+        F.least(F.col("s_acctbal"), F.lit(900.0)).alias("bal_cap"),
+        F.when(F.col("s_nationkey") % 2 == 0, "even").otherwise("odd").alias("nation_parity"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (B4) — partial-agg dedup before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()

@@ -1,0 +1,146 @@
+"""Cassowary-native scan-path queries (SURVEY.md §2 group A).
+
+The reference's storage layer scans SSTable snapshots, merges
+multi-version rows, and suppresses tombstones before handing rows to
+Hive (reconstruction [P]; reference checkout empty — SURVEY.md §0).
+Here the scan path is Spark's parquet source (SSTable DataSource in
+``sources/`` takes over the cassowary-native format), and the merge /
+tombstone semantics are engine operators applied over it.
+
+Scale notes: q_scan is pure scan+filter+project — Catalyst pushes both
+into the parquet reader (PushedFilters + ReadSchema pruning), so at
+100 TB it reads only matching row groups of 4 columns. q_flagship is
+scan → map-side partial agg → 6-group final agg: the shuffle carries
+one row per (partition × group), i.e. KBs regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.operators.versions import latest_version, suppress_tombstones
+from cassowary_spark.exprs import srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+
+@query(
+    "q_flagship",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                           AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                                      AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0                   AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0     AS sum_charge,
+           floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                           AS avg_qty,
+           floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                                      AS avg_price,
+           floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0                                           AS avg_disc,
+           count(*)                                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan→filter→agg→sort end-to-end.
+
+    The filter pushes to the parquet scan; the aggregation is a
+    partial+final hash agg on 6 groups (shuffle payload ~bytes).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            srnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            srnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            srnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            srnd(F.sum(charge), 2).alias("sum_charge"),
+            srnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            srnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            srnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 40
+    """,
+)
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw scan with filter+projection pushdown (A1).
+
+    Maps to the reference's SSTable InputFormat scan; .explain() shows
+    PushedFilters [EqualTo(l_returnflag,R), GTE/LTE(l_quantity)] and a
+    4-column ReadSchema — at 100 TB only matching row groups are read.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R") & F.col("l_quantity").between(30, 40)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q_latest_version",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-version reconcile (A2): last-write-wins per key.
+
+    Models the SSTable merge: many versions of a key across files
+    resolve to the newest cell. One hash-shuffle on the key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return latest_version(ev, ["user_id"], "ts", tiebreakers=["event_id"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "q_tombstone_filter",
+    oracle="""
+    WITH tomb AS (
+        SELECT user_id, max(ts) AS tomb_ts
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT e.user_id, count(*) AS n_surviving, floor((sum(e.value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id
+    WHERE e.event_type <> 'error' AND (t.tomb_ts IS NULL OR e.ts > t.tomb_ts)
+    GROUP BY e.user_id
+    """,
+)
+def q_tombstone_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone suppression (A3): 'error' events act as row tombstones.
+
+    A tombstone with timestamp T deletes every non-error event of that
+    user at ts <= T (Cassandra delete semantics). The tombstone set is
+    pre-aggregated to max-ts-per-key and broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    live = ev.filter(F.col("event_type") != "error")
+    tombs = ev.filter(F.col("event_type") == "error")
+    survived = suppress_tombstones(live, tombs, ["user_id"], "ts")
+    return survived.groupBy("user_id").agg(
+        F.count("*").alias("n_surviving"),
+        srnd(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -1,0 +1,69 @@
+"""Set operations (SURVEY.md §2 B30–B32)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+
+def _cust_nations(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+
+
+def _supp_nations(spark, sf_dir):
+    return load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT DISTINCT nationkey, side FROM (
+        SELECT c_nationkey AS nationkey, 'cust' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supp' AS side FROM supplier
+    )
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + dedup (= UNION) with a provenance tag (B30)."""
+    c = _cust_nations(spark, sf_dir).withColumn("side", F.lit("cust"))
+    s = _supp_nations(spark, sf_dir).withColumn("side", F.lit("supp"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (B31): nations having both customers and suppliers."""
+    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (B32): nations with customers but no suppliers.
+
+    `subtract` is EXCEPT DISTINCT (any match on the right removes the
+    value entirely) — not `exceptAll().distinct()`, which would keep a
+    value that merely occurs more often on the left.
+    """
+    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))

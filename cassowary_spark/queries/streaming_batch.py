@@ -1,0 +1,157 @@
+"""Windowed event aggregation — batch-equivalent forms (SURVEY.md §2 S1–S3).
+
+Structured Streaming runs the SAME logical plan over readStream
+(cassowary_spark/streaming/jobs.py — verified batch-vs-stream
+equivalent in tests); these batch registrations give the driver an
+oracle-checkable form. Tumbling/sliding windows are epoch-aligned in
+both Spark and DuckDB's time_bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)                AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0    AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window agg (S1) — keyed state at scale is
+    (#windows × #types), shuffled once."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), srnd(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT unnest([
+                   time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+               ]) AS window_start,
+               value
+        FROM events
+    )
+    SELECT window_start,
+           count(*)             AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 1h/30m (S2): each event lands in 2 windows; the
+    oracle replicates Spark's assignment by unnesting the two bucket
+    starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), srnd(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), grouped AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*)                        AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0            AS sum_value
+    FROM grouped
+    GROUP BY user_id, grp
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30m gap (S3). Spark sessions are half-open
+    [start, last+gap): an event exactly gap-after the previous one
+    starts a NEW session — hence `>=` in the oracle's break condition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), srnd(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup by event_id (S5, batch form): the streaming twin
+    is dropDuplicates within a watermark (tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           floor((sum(e.value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (S6, batch form): events stream ⋈
+    broadcast customer dim."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), srnd(F.sum("value"), 4).alias("sum_value"))
+    )

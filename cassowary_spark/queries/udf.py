@@ -1,0 +1,109 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 U1–U3).
+
+The reference exposed Hive Java UDF/UDAF/UDTF + TRANSFORM scripts
+([P]); ours is the vectorized PySpark surface — every entry is
+Arrow-batched (pandas_udf / applyInPandas / mapInPandas), never
+row-at-a-time Python. These are the "slow path" escape hatch; the
+oracle checks they compute exactly what the SQL says.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cassowary_spark.exprs import srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000.0 + 0.5) / 10000.0 AS charge
+    FROM lineitem
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (U1): identical float semantics to the SQL."""
+
+    @pandas_udf("double")
+    def _charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        # Vectorized over Arrow batches: numpy arithmetic, no Python loop.
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        srnd(_charge("l_extendedprice", "l_discount", "l_tax"), 4).alias("charge"),
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS wavg_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg UDAF via applyInPandas (U2): quantity-weighted price.
+
+    Scale note: applyInPandas materializes each group in one worker —
+    fine for bounded group counts; unbounded/skewed keys should use a
+    two-level (salted partial, then final) scheme instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"].sum()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "wavg_price": [math.floor((pdf["l_extendedprice"] * pdf["l_quantity"]).sum() / w * 10000.0 + 0.5) / 10000.0],
+                "n_rows": [len(pdf)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        wavg, "l_returnflag string, wavg_price double, n_rows bigint"
+    )
+
+
+@query(
+    "q_udtf_flatmap",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           lang
+    FROM documents
+    WHERE lang = 'de'
+    """,
+)
+def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function UDTF via mapInPandas (U3): 1 doc → N token rows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+
+    def tokenize(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            n = toks.str.len()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(n).values,
+                    "token": [t for row in toks for t in row],
+                    "lang": pdf["lang"].repeat(n).values,
+                }
+            )
+
+    return d.mapInPandas(tokenize, "doc_id bigint, token string, lang string")
