@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at the bench scale
+factor and prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Env:
+  SPARK_GRAFT_SF_DIR  fixture dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local cores   (default all)
+  BENCH_QUERIES       comma list    (default: all registered)
+
+Each query is forced to full materialization through the noop sink
+(count() could satisfy some plans without executing projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassowary_spark import registry
+from cassowary_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    names = sorted(registry.QUERIES)
+    if os.environ.get("BENCH_QUERIES"):
+        names = [n for n in os.environ["BENCH_QUERIES"].split(",") if n in registry.QUERIES]
+
+    spark = get_spark("cassowary_spark_bench")
+    # Warm the JVM + parquet footers once so timings measure the
+    # queries, not session bootstrap.
+    registry.QUERIES["q_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,9 +39,16 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
 
     Documents shorter than k tokens yield one shingle (the whole text).
     """
+    return shingles_of_tokens(f"split({text_col}, ' ')", k)
+
+
+def shingles_of_tokens(tokens_expr: str, k: int = 3) -> F.Column:
+    """Shingles from an already-tokenized array expression — pass a
+    materialized tokens column to avoid re-splitting the text for
+    every shingle sub-expression (3× the split cost otherwise)."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
-        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')))"
+        f"array_distinct(transform(sequence(1, greatest(size({tokens_expr}) - {k - 1}, 1)),"
+        f" i -> array_join(slice({tokens_expr}, i, {k}), ' ')))"
     )
 
 
@@ -55,9 +62,13 @@ def minhash_signatures(
     """(id, sig: array<bigint>) — sig[j] = min over shingles of a
     seeded 64-bit hash. One explode + one groupBy; the agg is
     num_hashes parallel min()s, all map-side combinable."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__shingle"))
-    mins = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(j), F.col("__shingle"))).alias(f"__m{j}") for j in range(num_hashes)]
+    sh = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
+        F.col(id_col), F.explode(shingles_of_tokens("__toks", shingle_k)).alias("__shingle")
+    )
+    mins = sh.withColumn("__sh_h", F.xxhash64("__shingle")).groupBy(id_col).agg(
+        # hash the shingle string once, then cheap (seed, int64) mixes
+        # instead of num_hashes full string hashes per shingle.
+        *[F.min(F.xxhash64(F.lit(j), F.col("__sh_h"))).alias(f"__m{j}") for j in range(num_hashes)]
     )
     return mins.select(
         F.col(id_col),
@@ -135,15 +146,26 @@ def ngram_jaccard_pairs(
     Exact but quadratic in the worst case (all docs sharing shingles);
     at scale it runs AFTER an LSH prefilter. The join is on the shingle
     value, so disjoint docs never meet.
+
+    Perf: shingles are computed once per doc (tokens materialized
+    first), persisted so the self-join's two sides and the size table
+    reuse them, and the join keys on a 64-bit shingle hash instead of
+    the string (half the shuffle bytes; a 64-bit collision altering a
+    count is ~1e-12 at any realistic shingle cardinality).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle"))
+    sh = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(shingles_of_tokens("__toks", shingle_k)).alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
+        .persist()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

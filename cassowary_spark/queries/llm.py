@@ -60,12 +60,13 @@ _DOCS_TWINS_SQL = f"""
         FROM documents
 """
 
-# DuckDB expression mirroring operators.dedup.shingles (k=3).
-_DUCK_SHINGLES = (
-    "list_distinct(list_transform("
-    " range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
-    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
-)
+def _duck_shingles(k: int) -> str:
+    """DuckDB expression mirroring operators.dedup.shingles."""
+    return (
+        "list_distinct(list_transform("
+        f" range(1, greatest(len(string_split(text, ' ')) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')))"
+    )
 
 
 def _duck_marker_score(lang: str) -> str:
@@ -139,7 +140,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH docs AS ({_DOCS_TWINS_SQL}),
     sh AS (
-        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM docs
+        SELECT doc_id, unnest({_duck_shingles(5)}) AS shingle FROM docs
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -156,9 +157,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (C2 verify stage)."""
+    """Exact 5-gram Jaccard near-dup pairs (C2 verify stage).
+
+    k=5: the fixture vocabulary is tiny, so 3-gram shingles recur in
+    thousands of docs and the shingle join explodes 18M-wide (measured);
+    5-grams are selective (max freq 15, ~320k pairs) — the same knob a
+    real corpus dedup turns.
+    """
     corpus = _docs_with_twins(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=5, threshold=0.5)
     return pairs.select("id_a", "id_b", srnd("jaccard", 4).alias("jaccard"))
 
 
@@ -196,6 +203,8 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (cosine exactly 1). Blocked by label so the pair join is an
     equi-join, not a cartesian — the blocking pattern that survives
     scale (swap label for an LSH bucket on unlabeled data)."""
+    from cassowary_spark.operators.similarity import cosine_pairs_blocked
+
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "label", as_double("embedding").alias("v"))
     twin = base.select(
@@ -204,19 +213,8 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("v", lambda x: x * 1.01).alias("v"),
     )
     corpus = base.unionByName(twin)
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("__cos"),
-        )
-        .filter(F.col("__cos") >= 0.99)
-        .select("id_a", "id_b", srnd("__cos", 4).alias("cos_sim"))
-    )
+    pairs = cosine_pairs_blocked(corpus, "vec_id", "v", "label", threshold=0.99)
+    return pairs.select("id_a", "id_b", srnd("cos_sim", 4).alias("cos_sim"))
 
 
 # ---------------------------------------------------------------- C3 similarity search
@@ -359,7 +357,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     oracle=f"""
     WITH sh AS (
-        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+        SELECT doc_id, unnest({_duck_shingles(3)}) AS shingle FROM documents
     )
     SELECT doc_id,
            min(md5(shingle)) AS fp_min,
@@ -371,10 +369,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (C4): winnowing-style min/max shingle
     hash — a stable content signature robust to reordering-free edits."""
-    from cassowary_spark.operators.dedup import shingles
+    from cassowary_spark.operators.dedup import shingles_of_tokens
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    sh = d.withColumn("__toks", F.split("text", " ")).select(
+        "doc_id", F.explode(shingles_of_tokens("__toks", 3)).alias("shingle")
+    )
     return sh.groupBy("doc_id").agg(
         F.min(F.md5("shingle")).alias("fp_min"),
         F.max(F.md5("shingle")).alias("fp_max"),
