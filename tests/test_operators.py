@@ -1,0 +1,175 @@
+"""Operator-level unit tests: semantics the oracle harness can't cover
+(approximate ops, Spark-only functions, recall properties, invariants).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cassowary_spark import registry
+from cassowary_spark.operators.asof import asof_join
+from cassowary_spark.operators.dedup import dedup_exact, hamming64, minhash_lsh_pairs, simhash
+from cassowary_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from cassowary_spark.operators.versions import suppress_tombstones
+from cassowary_spark.tables import load_table
+
+registry.load_all()
+
+
+def test_asof_join_matches_naive(spark):
+    TS = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    facts = spark.createDataFrame(
+        [(1, TS(10)), (1, TS(30)), (1, TS(5)), (2, TS(20))], "k int, ts timestamp"
+    )
+    dims = spark.createDataFrame(
+        [(1, TS(10), "a"), (1, TS(25), "b"), (2, TS(30), "c")], "k int, ts timestamp, v string"
+    )
+    got = {
+        (r.k, r.ts): r.asof_v
+        for r in asof_join(facts, dims, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    # inclusive <=: fact at 10 matches dim at 10; fact at 5 has none;
+    # fact at 30 takes the latest (25); user 2's dim is in the future.
+    assert got == {(1, TS(10)): "a", (1, TS(30)): "b", (1, TS(5)): None, (2, TS(20)): None}
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
+    once = dedup_exact(doubled, "text", "doc_id")
+    assert once.count() == d.count()
+    twice = dedup_exact(once, "text", "doc_id")
+    assert sorted(r.doc_id for r in twice.select("doc_id").collect()) == sorted(
+        r.doc_id for r in once.select("doc_id").collect()
+    )
+
+
+def test_minhash_lsh_finds_all_twins(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = d.select((F.col("doc_id") + 100_000).alias("doc_id"),
+                    F.concat("text", F.lit(" extra token tail")).alias("text"))
+    pairs = minhash_lsh_pairs(d.unionByName(twin), "doc_id", "text", threshold=0.0)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 100_000) for r in d.select("doc_id").collect()}
+    missing = expected - found
+    # twins have true Jaccard ≈ 0.7+; 16 bands × 4 rows catches ≥99%
+    assert len(missing) <= len(expected) * 0.02, f"missed {len(missing)} twin pairs"
+
+
+def test_simhash_deterministic_and_twin_close(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = d.select((F.col("doc_id") + 100_000).alias("doc_id"),
+                    F.concat("text", F.lit(" extra token tail")).alias("text"))
+    fp = simhash(d.unionByName(twin), "doc_id", "text")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    dists = (
+        a.join(b, F.col("a.doc_id") + 100_000 == F.col("b.doc_id"))
+        .select(hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"))
+        .agg(F.avg("d").alias("avg_d"), F.max("d").alias("max_d"))
+        .collect()[0]
+    )
+    assert dists.avg_d < 16, f"avg hamming {dists.avg_d}"
+    # identical input -> identical fingerprint
+    again = simhash(d, "doc_id", "text")
+    assert fp.join(again, "doc_id").filter(fp.simhash != again.simhash).count() == 0
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = {r.vec_id for r in cosine_topk(corpus, qdf, "vec_id", "embedding", "qv", 10).collect()}
+    approx = {
+        r.vec_id
+        for r in ann_lsh_topk(corpus, qdf, "vec_id", "embedding", "qv", 10, n_planes=4).collect()
+    }
+    # 4 planes -> ~1/16 of the corpus scanned; random-hyperplane LSH on
+    # near-orthogonal vectors is weak, so just require nonzero overlap
+    # and that all approx hits are real rows.
+    assert approx and approx <= {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert len(exact) == 10
+
+
+def test_approx_count_distinct_error(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_percentile_approx_vs_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 1.0
+
+
+def test_tombstone_suppression_edges(spark):
+    TS = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    live = spark.createDataFrame(
+        [(1, TS(10), "old"), (1, TS(30), "new"), (2, TS(10), "solo")],
+        "k int, ts timestamp, v string",
+    )
+    tombs = spark.createDataFrame([(1, TS(20)), (3, TS(50))], "k int, ts timestamp")
+    got = {(r.k, r.v) for r in suppress_tombstones(live, tombs, ["k"], "ts").collect()}
+    # at-or-below tombstone ts deleted; newer survives; untombstoned key untouched
+    assert got == {(1, "new"), (2, "solo")}
+
+
+def test_topk_is_prefix_of_orderby(spark, sf_dir):
+    """Property: per-group top-k rows all appear in the global ordering
+    of their group (sanity invariant between the two operators)."""
+    q = registry.QUERIES
+    topk = q["q_topk"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    for prio in {r.o_orderpriority for r in topk}:
+        grp = sorted(
+            [r for r in topk if r.o_orderpriority == prio],
+            key=lambda r: (-r.o_totalprice, r.o_orderkey),
+        )
+        expected = (
+            o.filter(F.col("o_orderpriority") == prio)
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(3)
+            .collect()
+        )
+        assert [r.o_orderkey for r in grp] == [r.o_orderkey for r in expected]
+
+
+def test_spark_only_functions(spark):
+    """Engine-specific functions excluded from oracle pairs: murmur3
+    hash / xxhash64 determinism, bround banker's rounding, initcap."""
+    df = spark.range(1).select(
+        F.hash(F.lit("cassowary")).alias("h"),
+        F.xxhash64(F.lit("cassowary")).alias("x"),
+        F.bround(F.lit(2.5), 0).alias("b1"),
+        F.bround(F.lit(3.5), 0).alias("b2"),
+        F.initcap(F.lit("hello world")).alias("ic"),
+        F.crc32(F.lit("cassowary")).alias("crc"),
+    )
+    r = df.collect()[0]
+    r2 = df.collect()[0]
+    assert (r.h, r.x, r.crc) == (r2.h, r2.x, r2.crc)  # deterministic
+    assert r.b1 == 2.0 and r.b2 == 4.0  # HALF_EVEN
+    assert r.ic == "Hello World"
+
+
+def test_multimodal_decode_stub_plumbing(spark, sf_dir):
+    from cassowary_spark.multimodal.decode import attach_binary, decode_image_real, image_meta
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = attach_binary(d, "doc_id", "text")
+    assert dict(binary.dtypes)["content"] == "binary"
+    meta = image_meta(binary).collect()
+    assert all(1 <= r.width <= 64 and 1 <= r.height <= 64 for r in meta)
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")

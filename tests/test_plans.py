@@ -1,0 +1,91 @@
+"""Physical-plan audits (SURVEY.md §4, §7 M6): the 100 TB design
+assertions — pushdown reached the scan, small dims broadcast, top-k
+never global-sorts, no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from cassowary_spark import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return {name: fn(spark, SF) for name, fn in registry.QUERIES.items()}
+
+
+def test_scan_pushdown(q):
+    p = plan_of(q["q_scan"])
+    assert "PushedFilters: [" in p and "IsNotNull(l_returnflag)" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    # column pruning: only the 4 projected columns reach the reader
+    read = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "l_extendedprice" in read and "l_shipdate" not in read and "l_tax" not in read
+
+
+def test_flagship_partial_agg_and_codegen(q):
+    p = plan_of(q["q_flagship"])
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # under AQE codegen stages only appear in the FINAL adaptive plan,
+    # i.e. after execution: run the query, then re-explain
+    q["q_flagship"].collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q["q_flagship"].explain()
+    final = buf.getvalue()
+    assert "isFinalPlan=true" in final
+    assert "*(" in final  # whole-stage-codegen'd operators
+
+
+def test_star_join_broadcasts_dims(q):
+    p = plan_of(q["q_star_join"])
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_orderby_take_ordered(q):
+    assert "TakeOrderedAndProject" in plan_of(q["q_orderby"])
+
+
+def test_topk_window_group_limit(q):
+    # Spark 3.5+ pushes the rank limit below the shuffle
+    assert "WindowGroupLimit" in plan_of(q["q_topk"])
+
+
+def test_range_join_broadcasts_ranges(q):
+    p = plan_of(q["q_join_range"])
+    assert "BroadcastNestedLoopJoin" in p  # non-equi vs broadcast side
+    assert "CartesianProduct" not in p
+
+
+def test_no_cartesian_products_anywhere(spark):
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        p = plan_of(fn(spark, SF))
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_asof_join_single_shuffle(q):
+    """The as-of join must shuffle once (union-merge), not build a
+    range join: no nested-loop or cartesian operator in its plan."""
+    p = plan_of(q["q_join_asof"])
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert p.count("Exchange") <= 3  # key shuffle + AQE artifacts, not a join explosion

@@ -1,0 +1,146 @@
+"""Structured Streaming tests (SURVEY.md §2 S1–S6): replay the events
+parquet as a multi-file stream and assert batch/stream equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cassowary_spark.streaming import jobs
+from cassowary_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into 4 parquet files so maxFilesPerTrigger=1 yields
+    a genuine multi-batch stream (state must merge across batches)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(spark, df, name, output_mode="append"):
+    q = jobs.run_to_memory(df, name, output_mode)
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    # complete mode + huge watermark: the random 4-way split makes
+    # "late" arrivals normal, and append would hold back open windows.
+    got = _drain(spark, jobs.tumbling_counts(stream, watermark="100 days"), "t_tumbling", "complete").collect()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .collect()
+    )
+    key = lambda r: (r.window_start, r.event_type)
+    got_map = {key(r): (r.n_events, round(r.sum_value, 6)) for r in got}
+    batch_map = {key(r): (r.n_events, round(r.sum_value, 6)) for r in batch}
+    assert got_map == batch_map
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _drain(spark, jobs.sliding_counts(stream, watermark="100 days"), "t_sliding", "complete").collect()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .collect()
+    )
+    assert {(r.window_start, r.n_events) for r in got} == {
+        (r.window_start, r.n_events) for r in batch
+    }
+
+
+def test_stream_session_equals_batch(spark, sf_dir, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _drain(spark, jobs.session_counts(stream, watermark="100 days"), "t_session", "complete").collect()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    k = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)
+    assert {k(r) for r in got} == {k(r) for r in batch}
+
+
+def test_stream_dedup(spark, sf_dir, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    # wide watermark: the random split reorders time, and rows behind
+    # the watermark are (correctly) treated as late and dropped.
+    got = _drain(spark, jobs.dedup_events(stream, watermark="100 days"), "t_dedup")
+    n_unique = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_static_join(spark, sf_dir, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    got = _drain(spark, jobs.enrich_with_customers(stream, cust), "t_join")
+    ev = load_table(spark, sf_dir, "events")
+    expected = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert got.count() == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """S4: with watermark W, a row older than max(ts)-W arriving in a
+    LATER batch is dropped from the aggregation."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    batch1 = [(1, base + dt.timedelta(hours=3), 1, "click", 1.0, "{}")]
+    # 3h late vs the max ts seen, watermark is 1h -> must be dropped
+    batch2 = [(2, base, 1, "click", 1.0, "{}")]
+    d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    for rows, d in ((batch1, d1), (batch2, d2)):
+        spark.createDataFrame(rows, jobs.EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+    # Two-phase arrival via checkpoint restart: run the query to
+    # completion on file 1 (watermark advances to max(ts)-1h and is
+    # persisted), then drop file 2 in and resume from the checkpoint —
+    # the late row is now behind the recovered watermark.
+    import shutil, glob, os
+
+    stream_dir = str(tmp_path / "stream")
+    cp = str(tmp_path / "cp")
+    os.makedirs(stream_dir)
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    def run_once():
+        stream = jobs.read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = (
+            jobs.tumbling_counts(stream, watermark="1 hour")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copy(glob.glob(f"{d1}/part-*.parquet")[0], f"{stream_dir}/0001.parquet")
+    run_once()
+    shutil.copy(glob.glob(f"{d2}/part-*.parquet")[0], f"{stream_dir}/0002.parquet")
+    run_once()
+    # the on-time event produced one update; the late event none
+    assert sum(r.n_events for r in collected) == 1, collected
