@@ -16,13 +16,15 @@ one row per (partition × group), i.e. KBs regardless of input size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassowary_spark.operators.versions import latest_version, suppress_tombstones
 from cassowary_spark.exprs import srnd
 from cassowary_spark.registry import query
-from cassowary_spark.tables import load_table
+from cassowary_spark.tables import load_table, table_path
 
 
 @query(
@@ -144,3 +146,75 @@ def q_tombstone_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_surviving"),
         srnd(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def build_sstable_snapshot(sf_dir: str) -> str:
+    """Materialize `supplier` as a cassowary-style SSTable snapshot.
+
+    The snapshot is built once per sf_dir (idempotent, cached under
+    the repo) and deliberately exercises the hard parts of the scan
+    path: 3 overlapping generations (multi-version rows needing
+    last-write-wins reconcile), 5 phantom rows present only in the
+    data generations, and a 4th generation of row tombstones deleting
+    exactly those phantoms — so a correct merged read equals the
+    parquet table bit-for-bit and the DuckDB oracle can gate it.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassowary_spark.sources.convert import (
+        infer_schema,
+        write_snapshot,
+        write_tombstone_generation,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    snap = os.path.join(
+        repo_root, ".sstable_cache", os.path.basename(sf_dir.rstrip("/")), "supplier"
+    )
+    if os.path.exists(os.path.join(snap, "ks-supplier-jb-4-TOC.txt")):
+        return snap
+
+    t = pq.read_table(table_path(sf_dir, "supplier"))
+    phantom_keys = [10_000_001 + i for i in range(5)]
+    phantom = pa.table(
+        {
+            "s_suppkey": pa.array(phantom_keys, pa.int64()),
+            "s_name": pa.array([f"Phantom#{k}" for k in phantom_keys]),
+            "s_nationkey": pa.array([0] * 5, pa.int32()),
+            "s_acctbal": pa.array([0.0] * 5, pa.float64()),
+        }
+    )
+    write_snapshot(
+        pa.concat_tables([t, phantom]), snap, "s_suppkey",
+        keyspace="ks", name="supplier", generations=3,
+    )
+    write_tombstone_generation(
+        snap, infer_schema(t, "s_suppkey"), phantom_keys,
+        generation=4, keyspace="ks", name="supplier",
+    )
+    return snap
+
+
+@query(
+    "q_sstable_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    WHERE s_nationkey < 20
+    """,
+)
+def q_sstable_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSTable DataSource scan (A1-A4): `format("sstable")` end-to-end.
+
+    Reads the supplier snapshot written in the cassowary on-disk format
+    (3 overlapping deflate-compressed generations + a tombstone
+    generation), merging last-write-wins and suppressing tombstones at
+    scan time; hash-gated against DuckDB over the original parquet.
+    The s_nationkey filter stays Spark-side (non-key column); key-range
+    and point predicates push into the source (see tests/test_sstable).
+    """
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_sstable_snapshot(sf_dir)
+    return read_sstable(spark, snap).filter(F.col("s_nationkey") < 20)

@@ -36,6 +36,8 @@ def get_spark(app_name: str = "cassowary_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every Python<->JVM exchange (pandas_udf, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let Python DataSources (sources/sstable) receive pushed filters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,169 @@
+"""Fixture tooling: materialize a pyarrow table as SSTable snapshots.
+
+The reference ingested data as Cassandra snapshot directories
+(``nodetool snapshot`` → SSTable files on a shared path — SURVEY.md
+§3.1 entry point 3 [P?]). No SSTable fixtures ship with the driver's
+testdata, so this module converts the parquet fixtures into snapshot
+dirs — including multi-generation overlap and tombstones — to exercise
+the scan/merge/reconcile path end-to-end (SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from decimal import Decimal
+
+import pyarrow as pa
+
+from cassowary_spark.sources.sstable_format import (
+    LIVE_LDT,
+    Cell,
+    Partition,
+    SSTableWriter,
+)
+from cassowary_spark.sources.validators import get_validator
+
+_ARROW_VALIDATORS = {
+    pa.types.is_string: "UTF8Type",
+    pa.types.is_large_string: "UTF8Type",
+    pa.types.is_int64: "LongType",
+    pa.types.is_int32: "Int32Type",
+    pa.types.is_boolean: "BooleanType",
+    pa.types.is_float32: "FloatType",
+    pa.types.is_float64: "DoubleType",
+    pa.types.is_timestamp: "TimestampType",
+    pa.types.is_binary: "BytesType",
+    pa.types.is_decimal: "DecimalType",
+}
+
+
+def validator_for_arrow(dt: pa.DataType) -> str:
+    for pred, name in _ARROW_VALIDATORS.items():
+        if pred(dt):
+            return name
+    raise ValueError(f"no validator mapping for arrow type {dt}")
+
+
+def infer_schema(table: pa.Table, key_col: str) -> dict:
+    cols = [
+        [f.name, validator_for_arrow(f.type)]
+        for f in table.schema
+        if f.name != key_col
+    ]
+    key_validator = validator_for_arrow(table.schema.field(key_col).type)
+    return {"key": [key_col, key_validator], "columns": cols}
+
+
+def _to_python(v):
+    if isinstance(v, (datetime, Decimal, bytes, str, int, float, bool)) or v is None:
+        return v
+    return v.as_py() if hasattr(v, "as_py") else v
+
+
+def rows_to_partitions(
+    table: pa.Table, key_col: str, schema: dict, timestamp: int
+) -> list[Partition]:
+    """Arrow rows → Partitions sorted by encoded key (writer invariant)."""
+    key_enc = get_validator(schema["key"][1]).encode
+    col_enc = {name: get_validator(vname).encode for name, vname in schema["columns"]}
+    data = table.to_pydict()
+    names = [n for n, _ in schema["columns"]]
+    parts: list[Partition] = []
+    for i in range(table.num_rows):
+        key = key_enc(_to_python(data[key_col][i]))
+        cells = []
+        for name in names:
+            v = _to_python(data[name][i])
+            if v is None:
+                continue
+            cells.append(Cell(name.encode(), col_enc[name](v), timestamp))
+        parts.append(Partition(key, cells=cells))
+    parts.sort(key=lambda p: p.key)
+    return parts
+
+
+def write_snapshot(
+    table: pa.Table,
+    out_dir: str,
+    key_col: str,
+    keyspace: str = "ks",
+    name: str = "cf",
+    generations: int = 1,
+    base_timestamp: int = 1_000,
+    compression: str | None = "deflate",
+) -> str:
+    """Write ``table`` as ``generations`` overlapping sstables.
+
+    With N>1 generations the rows are dealt into N overlapping slices
+    (each row appears in ≥1, consecutive slices share ~1/3 of rows with
+    identical values at increasing write timestamps), so a merged read
+    must reconcile multi-version rows to reproduce the input exactly.
+    """
+    schema = infer_schema(table, key_col)
+    parts = rows_to_partitions(table, key_col, schema, base_timestamp)
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(parts)
+    slices: list[tuple[int, list[Partition]]] = []
+    if generations <= 1 or n < generations * 2:
+        slices.append((1, parts))
+    else:
+        width = n // generations
+        overlap = max(1, width // 3)
+        for g in range(generations):
+            lo = max(0, g * width - overlap)
+            hi = n if g == generations - 1 else (g + 1) * width
+            ts = base_timestamp + g
+            sl = [
+                Partition(
+                    p.key,
+                    cells=[
+                        Cell(c.name, c.value, ts, c.flags, c.ttl, c.local_expiration)
+                        for c in p.cells
+                    ],
+                )
+                for p in parts[lo:hi]
+            ]
+            slices.append((g + 1, sl))
+
+    for gen, sl in slices:
+        w = SSTableWriter(
+            out_dir, keyspace, name, gen, schema, compression=compression,
+            expected_keys=len(sl),
+        )
+        for p in sl:
+            w.append(p)
+        w.close()
+    return out_dir
+
+
+def write_tombstone_generation(
+    out_dir: str,
+    schema: dict,
+    keys: list,
+    generation: int,
+    keyspace: str = "ks",
+    name: str = "cf",
+    marked_for_delete_at: int = 10_000,
+    compression: str | None = "deflate",
+) -> None:
+    """Append a generation containing only row tombstones for ``keys``."""
+    key_enc = get_validator(schema["key"][1]).encode
+    parts = sorted(
+        (
+            Partition(
+                key_enc(k),
+                local_deletion_time=LIVE_LDT - 1,
+                marked_for_delete_at=marked_for_delete_at,
+            )
+            for k in keys
+        ),
+        key=lambda p: p.key,
+    )
+    w = SSTableWriter(
+        out_dir, keyspace, name, generation, schema, compression=compression,
+        expected_keys=len(parts),
+    )
+    for p in parts:
+        w.append(p)
+    w.close()

@@ -1,0 +1,405 @@
+"""``spark.read.format("sstable")`` — PySpark DataSource over SSTable snapshots.
+
+The reference exposed Cassandra snapshots to Hive/Shark via a Hadoop
+InputFormat + RecordReader + SerDe (SURVEY.md §2 A1-A5, reconstruction
+[P]); the idiomatic Spark equivalent is this Python DataSource
+(PySpark 4.x ``pyspark.sql.datasource``):
+
+- **Splits** (A1): ``partitions()`` carves the table into partition-key
+  ranges using Index.db boundaries of the largest sstable — each
+  ``InputPartition`` scans only the chunk-aligned byte ranges covering
+  its key range in every overlapping sstable (CompressionInfo-granular
+  I/O, so 1000 executors each touch ~1/1000th of a 100 TB snapshot).
+- **Merge + reconcile** (A2): within a partition, a k-way heap merge
+  over the per-sstable sorted scans groups rows by key; cells reconcile
+  last-write-wins (timestamp, then tombstone-beats-live, then value
+  bytes, then generation — Cassandra's reconcile order). The reference
+  actually surfaced each sstable's rows unmerged and left
+  reconciliation to the query layer; ``merge=false`` reproduces that,
+  ``merge=true`` (default) does it at scan time.
+- **Tombstones / TTL** (A3): row tombstones suppress cells with
+  ``timestamp <= marked_for_delete_at``; cell tombstones and
+  TTL-expired cells (``local_expiration <= read_ts``) are dropped.
+  Rows with no live cells disappear.
+- **SerDe decode** (A4): validators from Statistics.db map cell bytes
+  to Spark-typed values (sources/validators.py).
+- **Pushdown** (§4): ``pushFilters`` consumes partition-key predicates.
+  EqualTo/In prune sstables via min/max key + bloom filter and scan
+  only the matching index slots; range predicates narrow the scanned
+  key range when the key validator is byte-order-preserving. Consumed
+  filters are re-applied exactly on decoded keys, so pruning is never
+  a correctness risk. Column pruning: pass ``columns=a,b,c`` (the
+  Python DataSource API has no pruneColumns hook yet).
+
+Options: ``path`` (snapshot dir), ``merge`` (default true),
+``read_ts`` (epoch seconds for TTL evaluation; default: far future so
+results are deterministic), ``splits`` (target input partitions,
+default 16), ``columns`` (projection).
+"""
+
+from __future__ import annotations
+
+import heapq
+import sys
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from cassowary_spark.sources.sstable_format import (
+    Cell,
+    Partition,
+    SSTableReader,
+    discover_sstables,
+)
+from cassowary_spark.sources.validators import Validator, get_validator
+
+FAR_FUTURE_TS = 0x7FFFFFF0  # default read_ts: nothing is expired
+
+
+def _successor(key: bytes) -> bytes:
+    """Smallest byte string strictly greater than ``key``."""
+    return key + b"\x00"
+
+
+# -------------------------------------------------------------- schema
+
+
+class TableSchema:
+    """Key + ordered column validators, as stored in Statistics.db."""
+
+    def __init__(self, key_name: str, key_validator: str, columns: list[tuple[str, str]]):
+        self.key_name = key_name
+        self.key_validator: Validator = get_validator(key_validator)
+        self.columns = [(n, get_validator(v)) for n, v in columns]
+
+    @classmethod
+    def from_stats(cls, stats_schema: dict) -> "TableSchema":
+        key_name, key_validator = stats_schema["key"]
+        return cls(key_name, key_validator, [tuple(c) for c in stats_schema["columns"]])
+
+    def project(self, names: list[str]) -> "TableSchema":
+        keep = set(names)
+        cols = [(n, v.name) for n, v in self.columns if n in keep]
+        ts = TableSchema(self.key_name, self.key_validator.name, cols)
+        ts.key_in_output = self.key_name in keep
+        return ts
+
+    key_in_output: bool = True
+
+    def field_names(self) -> list[str]:
+        names = [self.key_name] if self.key_in_output else []
+        return names + [n for n, _ in self.columns]
+
+    def ddl(self) -> str:
+        parts = []
+        if self.key_in_output:
+            parts.append(f"{self.key_name} {self.key_validator.spark_type}")
+        parts += [f"{n} {v.spark_type}" for n, v in self.columns]
+        return ", ".join(parts)
+
+
+# -------------------------------------------------------------- merge
+
+
+def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes, Cell] | None:
+    """Merge one key's partitions from N sstables → live cells by name.
+
+    Cassandra's reconcile: highest timestamp wins; on a timestamp tie a
+    tombstone beats a live cell, then greater value bytes, then newer
+    generation. Row tombstones suppress cells written at or before
+    ``marked_for_delete_at``. Returns None when nothing survives.
+    """
+    mfda = max(p.marked_for_delete_at for _, p in versions)
+    best: dict[bytes, tuple[tuple, Cell]] = {}
+    for gen, part in versions:
+        for cell in part.cells:
+            rank = (cell.timestamp, cell.is_tombstone, cell.value, gen)
+            cur = best.get(cell.name)
+            if cur is None or rank > cur[0]:
+                best[cell.name] = (rank, cell)
+    live = {
+        name: cell
+        for name, (_, cell) in best.items()
+        if cell.timestamp > mfda and cell.live_at(read_ts)
+    }
+    return live or None
+
+
+# ----------------------------------------------------------- partitions
+
+
+@dataclass
+class SSTablePartition(InputPartition):
+    """One key-range (or exact-key-set) slice of the snapshot."""
+
+    prefixes: tuple[str, ...]
+    start_key: bytes | None = None
+    end_key: bytes | None = None
+    exact_keys: tuple[bytes, ...] | None = None
+
+
+class SSTableDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict, user_schema: StructType | None) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sstable source requires a path (snapshot directory)")
+        self.merge = str(options.get("merge", "true")).lower() != "false"
+        self.read_ts = int(options.get("read_ts", FAR_FUTURE_TS))
+        self.n_splits = int(options.get("splits", 16))
+        readers = discover_sstables(self.path)
+        if not readers:
+            raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
+        self.schema = TableSchema.from_stats(readers[0].schema)
+        if options.get("columns"):
+            cols = [c.strip() for c in str(options["columns"]).split(",") if c.strip()]
+            self.schema = self.schema.project(cols)
+        # Driver-side planning state: only prefixes + small metadata are
+        # shipped to executors; Index.db is re-read per partition there.
+        self._prefixes = [r.prefix for r in readers]
+        # Pushed key predicates, as (op, encoded/decoded value) pairs.
+        self._eq_keys: set[bytes] | None = None
+        self._lo: tuple[bytes, bool] | None = None  # (bound, inclusive)
+        self._hi: tuple[bytes, bool] | None = None
+        self._key_preds: list[tuple[str, Any]] = []  # exact re-check on decoded key
+
+    # -- pushdown ------------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        kname = self.schema.key_name
+        kv = self.schema.key_validator
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col != kname:
+                yield f
+                continue
+            try:
+                if isinstance(f, EqualTo):
+                    enc = {kv.encode(f.value)}
+                    self._eq_keys = enc if self._eq_keys is None else (self._eq_keys & enc)
+                    self._key_preds.append(("eq", f.value))
+                elif isinstance(f, In):
+                    enc = {kv.encode(v) for v in f.value}
+                    self._eq_keys = enc if self._eq_keys is None else (self._eq_keys & enc)
+                    self._key_preds.append(("in", set(f.value)))
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and kv.order_preserving:
+                    incl = isinstance(f, GreaterThanOrEqual)
+                    b = (kv.encode(f.value), incl)
+                    if self._lo is None or b[0] > self._lo[0] or (b[0] == self._lo[0] and not incl):
+                        self._lo = b
+                    self._key_preds.append(("ge" if incl else "gt", f.value))
+                elif isinstance(f, (LessThan, LessThanOrEqual)) and kv.order_preserving:
+                    incl = isinstance(f, LessThanOrEqual)
+                    b = (kv.encode(f.value), incl)
+                    if self._hi is None or b[0] < self._hi[0] or (b[0] == self._hi[0] and not incl):
+                        self._hi = b
+                    self._key_preds.append(("le" if incl else "lt", f.value))
+                elif isinstance(f, IsNotNull):
+                    pass  # partition keys are never null — trivially true
+                else:
+                    yield f
+            except Exception:
+                yield f  # un-encodable value → let Spark evaluate it
+
+    # -- planning ------------------------------------------------------
+
+    def partitions(self) -> list[InputPartition]:
+        readers = {p: SSTableReader(p) for p in self._prefixes}
+
+        if self._eq_keys is not None:  # point lookups: bloom-pruned
+            keys = sorted(self._eq_keys)
+            live: list[str] = []
+            hit_keys: list[bytes] = []
+            for k in keys:
+                hits = [p for p, r in readers.items() if r.might_contain(k)]
+                if hits:
+                    hit_keys.append(k)
+                    live.extend(h for h in hits if h not in live)
+            if not hit_keys:
+                return [SSTablePartition(prefixes=(), exact_keys=())]
+            return [
+                SSTablePartition(prefixes=tuple(sorted(live)), exact_keys=tuple(hit_keys))
+            ]
+
+        lo = self._lo[0] if self._lo else None
+        if self._lo and not self._lo[1]:
+            lo = _successor(lo)
+        hi = None
+        if self._hi:
+            hi = _successor(self._hi[0]) if self._hi[1] else self._hi[0]
+
+        # Split boundaries: sample the largest sstable's index (the
+        # Summary-style sampling Cassandra uses; Index.db itself never
+        # ships to executors in full).
+        largest = max(readers.values(), key=lambda r: r.stats["rows"])
+        keys = [k for k, _ in largest.index()]
+        if lo is not None:
+            keys = [k for k in keys if k >= lo]
+        if hi is not None:
+            keys = [k for k in keys if k < hi]
+        n = max(1, min(self.n_splits, len(keys) or 1))
+        step = max(1, len(keys) // n)
+        bounds = [keys[i] for i in range(step, len(keys), step)][: n - 1]
+        edges = [lo] + bounds + [hi]
+
+        parts: list[InputPartition] = []
+        for s, e in zip(edges, edges[1:]):
+            overlapping = tuple(
+                sorted(
+                    p
+                    for p, r in readers.items()
+                    if r.min_key is not None
+                    and (e is None or r.min_key < e)
+                    and (s is None or r.max_key >= s)
+                )
+            )
+            parts.append(SSTablePartition(prefixes=overlapping, start_key=s, end_key=e))
+        return parts or [SSTablePartition(prefixes=(), exact_keys=())]
+
+    # -- execution -----------------------------------------------------
+
+    def _key_ok(self, key_val: Any) -> bool:
+        for op, v in self._key_preds:
+            if op == "eq" and key_val != v:
+                return False
+            if op == "in" and key_val not in v:
+                return False
+            if op == "gt" and not key_val > v:
+                return False
+            if op == "ge" and not key_val >= v:
+                return False
+            if op == "lt" and not key_val < v:
+                return False
+            if op == "le" and not key_val <= v:
+                return False
+        return True
+
+    def _decode(self, key: bytes, cells: dict[bytes, Cell]) -> tuple | None:
+        key_val = self.schema.key_validator.decode(key)
+        if not self._key_ok(key_val):
+            return None
+        out: list[Any] = [key_val] if self.schema.key_in_output else []
+        for name, validator in self.schema.columns:
+            cell = cells.get(name.encode("utf-8"))
+            if cell is None or not cell.value:
+                out.append(None)
+            else:
+                out.append(validator.decode(cell.value))
+        return tuple(out)
+
+    def _scan_ranges(
+        self, readers: list[SSTableReader], start: bytes | None, end: bytes | None
+    ) -> Iterator[tuple]:
+        if self.merge:
+            streams = [
+                ((p.key, r.generation, p) for p in r.scan(start, end)) for r in readers
+            ]
+            merged = heapq.merge(*streams, key=lambda t: (t[0], t[1]))
+            group_key: bytes | None = None
+            group: list[tuple[int, Partition]] = []
+            for key, gen, part in merged:
+                if key != group_key and group:
+                    cells = reconcile(group, self.read_ts)
+                    if cells:
+                        row = self._decode(group_key, cells)
+                        if row is not None:
+                            yield row
+                    group = []
+                group_key = key
+                group.append((gen, part))
+            if group:
+                cells = reconcile(group, self.read_ts)
+                if cells:
+                    row = self._decode(group_key, cells)
+                    if row is not None:
+                        yield row
+        else:
+            # Reference parity: one row per sstable version, unmerged
+            # (cassowary's InputFormat emitted per-sstable rows and left
+            # reconciliation to the query layer — cf. q_latest_version).
+            for r in readers:
+                for part in r.scan(start, end):
+                    live = {
+                        c.name: c for c in part.cells if c.live_at(self.read_ts)
+                    }
+                    if live:
+                        row = self._decode(part.key, live)
+                        if row is not None:
+                            yield row
+
+    def read(self, partition: SSTablePartition) -> Iterator[tuple]:
+        readers = [SSTableReader(p) for p in partition.prefixes]
+        if not readers:
+            return
+        if partition.exact_keys is not None:
+            for k in partition.exact_keys:
+                hit = [r for r in readers if r.might_contain(k)]
+                yield from self._scan_ranges(hit, k, _successor(k))
+        else:
+            yield from self._scan_ranges(readers, partition.start_key, partition.end_key)
+
+
+class SSTableDataSource(DataSource):
+    """``spark.read.format("sstable").load(snapshot_dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sstable"
+
+    def schema(self) -> str:
+        reader = SSTableDataSourceReader(dict(self.options), None)
+        return reader.schema.ddl()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SSTableDataSourceReader(dict(self.options), schema)
+
+
+def register_sstable_source(spark) -> None:
+    """Idempotently register the sstable format on a SparkSession.
+
+    Works on a *vanilla* session (the driver builds its own): the
+    source's modules are registered for cloudpickle by-value transport
+    so executors never need ``cassowary_spark`` on their PYTHONPATH,
+    and the Python-datasource pushdown conf (off by default, checked at
+    plan time because this reader implements ``pushFilters``) is
+    enabled at runtime.
+    """
+    from pyspark import cloudpickle
+
+    from cassowary_spark.sources import sstable_format, validators
+
+    for mod in (sys.modules[__name__], sstable_format, validators):
+        cloudpickle.register_pickle_by_value(mod)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SSTableDataSource)
+
+
+def read_sstable(spark, path: str, **options: Any):
+    register_sstable_source(spark)
+    reader = spark.read.format("sstable").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+__all__ = [
+    "SSTableDataSource",
+    "SSTableDataSourceReader",
+    "register_sstable_source",
+    "read_sstable",
+    "reconcile",
+]

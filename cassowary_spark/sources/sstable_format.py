@@ -1,0 +1,450 @@
+"""Cassandra 2.0-era SSTable on-disk format: pure-Python writer/reader.
+
+Public-knowledge reconstruction of the Apache Cassandra "jb" storage
+format the reference scanned (SURVEY.md §2 A1-A4; reference checkout
+empty — SURVEY.md §0). One SSTable = component files sharing the
+prefix ``{keyspace}-{table}-jb-{generation}-``:
+
+``Data.db``   — partitions sorted by raw key bytes. Per partition::
+
+    u16 key_len | key bytes
+    u32 local_deletion_time | i64 marked_for_delete_at   (row tombstone;
+        live rows carry 0x7FFFFFFF / i64 MIN like Cassandra)
+    cells until a 0-length name:
+        u16 name_len | name bytes
+        u8  flags            (0x01 = tombstone, 0x02 = expiring)
+        [u32 ttl | u32 local_expiration]   when expiring
+        i64 timestamp        (writer-supplied, µs convention)
+        i32 value_len | value bytes        (tombstones: empty value)
+    u16 0x0000  — end-of-partition marker
+
+``Index.db``  — ``u16 key_len | key | u64 position`` per partition,
+position = offset in the *uncompressed* data stream (Cassandra's
+Index.db, minus the promoted-index blob).
+
+``CompressionInfo.db`` — present iff compressed: ``u16 len | algo
+name``, ``u32 chunk_len``, ``u64 uncompressed_total``, ``u32 n_chunks``,
+then ``u64`` file offset per chunk. Each chunk in Data.db is
+``deflate(chunk)`` followed by a ``u32`` adler32 of the compressed
+bytes (stand-in for Cassandra's per-chunk checksum). Deflate mirrors
+Cassandra's ``DeflateCompressor`` — the one stdlib-available option.
+
+``Filter.db`` — bloom filter over partition keys: ``u32 n_hashes |
+u64 n_bits | bit bytes`` (double hashing over two md5 halves, the
+standard Kirsch-Mitzenmacher construction Cassandra also uses).
+
+``Statistics.db`` — JSON metadata (simplified vs Cassandra's binary
+stats): row count, min/max key (hex), min/max cell timestamp, and the
+schema (key alias + validator, ordered column validators) so readers
+are self-describing the way a CF definition made cassowary tables.
+
+``TOC.txt`` — component list, as in Cassandra.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import math
+import os
+import struct
+import zlib
+from bisect import bisect_left, bisect_right
+from dataclasses import dataclass, field
+
+FORMAT_VERSION = "jb"
+LIVE_LDT = 0x7FFFFFFF  # local_deletion_time of a live row
+LIVE_MFDA = -(2**63)  # marked_for_delete_at of a live row
+NO_EXPIRY = 0x7FFFFFFF
+
+FLAG_TOMBSTONE = 0x01
+FLAG_EXPIRING = 0x02
+
+DEFAULT_CHUNK_LEN = 65536
+
+
+# ---------------------------------------------------------------- model
+
+
+@dataclass
+class Cell:
+    """One (name, value, timestamp) column, Cassandra's cell triple."""
+
+    name: bytes
+    value: bytes = b""
+    timestamp: int = 0
+    flags: int = 0
+    ttl: int = 0
+    local_expiration: int = NO_EXPIRY
+
+    @property
+    def is_tombstone(self) -> bool:
+        return bool(self.flags & FLAG_TOMBSTONE)
+
+    def live_at(self, read_ts: int) -> bool:
+        if self.is_tombstone:
+            return False
+        if self.flags & FLAG_EXPIRING and self.local_expiration <= read_ts:
+            return False
+        return True
+
+
+@dataclass
+class Partition:
+    """One partition: key, row-level tombstone, cells sorted by name."""
+
+    key: bytes
+    local_deletion_time: int = LIVE_LDT
+    marked_for_delete_at: int = LIVE_MFDA
+    cells: list[Cell] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------- bloom
+
+
+class BloomFilter:
+    """Double-hashing bloom over raw partition-key bytes."""
+
+    def __init__(self, n_hashes: int, n_bits: int, bits: bytearray) -> None:
+        self.n_hashes = n_hashes
+        self.n_bits = n_bits
+        self.bits = bits
+
+    @classmethod
+    def sized(cls, n_keys: int, fp_rate: float = 0.01) -> "BloomFilter":
+        n_keys = max(n_keys, 1)
+        n_bits = max(64, int(-n_keys * math.log(fp_rate) / (math.log(2) ** 2)))
+        n_hashes = max(1, round(n_bits / n_keys * math.log(2)))
+        return cls(n_hashes, n_bits, bytearray((n_bits + 7) // 8))
+
+    def _indexes(self, key: bytes):
+        digest = hashlib.md5(key).digest()
+        h1 = int.from_bytes(digest[:8], "big")
+        h2 = int.from_bytes(digest[8:], "big")
+        for i in range(self.n_hashes):
+            yield (h1 + i * h2) % self.n_bits
+
+    def add(self, key: bytes) -> None:
+        for idx in self._indexes(key):
+            self.bits[idx >> 3] |= 1 << (idx & 7)
+
+    def might_contain(self, key: bytes) -> bool:
+        return all(self.bits[i >> 3] & (1 << (i & 7)) for i in self._indexes(key))
+
+    def dump(self) -> bytes:
+        return struct.pack(">IQ", self.n_hashes, self.n_bits) + bytes(self.bits)
+
+    @classmethod
+    def load(cls, raw: bytes) -> "BloomFilter":
+        n_hashes, n_bits = struct.unpack(">IQ", raw[:12])
+        return cls(n_hashes, n_bits, bytearray(raw[12:]))
+
+
+# ---------------------------------------------------------------- writer
+
+
+class SSTableWriter:
+    """Append-sorted writer producing one SSTable's component files.
+
+    Cassandra writes SSTables from flushed memtables already sorted by
+    token; we require callers to append in raw-key-byte order (assert)
+    — the same invariant every reader-side merge relies on.
+    """
+
+    COMPONENTS = (
+        "Data.db",
+        "Index.db",
+        "Filter.db",
+        "Statistics.db",
+        "TOC.txt",
+    )
+
+    def __init__(
+        self,
+        directory: str,
+        keyspace: str,
+        table: str,
+        generation: int,
+        schema: dict,
+        compression: str | None = "deflate",
+        chunk_len: int = DEFAULT_CHUNK_LEN,
+        bloom_fp: float = 0.01,
+        expected_keys: int = 1024,
+    ) -> None:
+        if compression not in (None, "deflate"):
+            raise ValueError(f"unsupported compression {compression!r}")
+        self.directory = directory
+        self.prefix = f"{keyspace}-{table}-{FORMAT_VERSION}-{generation}-"
+        self.schema = schema
+        self.compression = compression
+        self.chunk_len = chunk_len
+        self._data = io.BytesIO()
+        self._index: list[tuple[bytes, int]] = []
+        self._bloom = BloomFilter.sized(expected_keys, bloom_fp)
+        self._last_key: bytes | None = None
+        self._min_ts: int | None = None
+        self._max_ts: int | None = None
+        os.makedirs(directory, exist_ok=True)
+
+    def append(self, part: Partition) -> None:
+        if self._last_key is not None and part.key <= self._last_key:
+            raise ValueError("partitions must be appended in ascending key order")
+        self._last_key = part.key
+        self._index.append((part.key, self._data.tell()))
+        self._bloom.add(part.key)
+
+        w = self._data.write
+        w(struct.pack(">H", len(part.key)))
+        w(part.key)
+        w(struct.pack(">Iq", part.local_deletion_time, part.marked_for_delete_at))
+        for cell in sorted(part.cells, key=lambda c: c.name):
+            if not cell.name:
+                raise ValueError("cell names must be non-empty")
+            w(struct.pack(">H", len(cell.name)))
+            w(cell.name)
+            w(struct.pack(">B", cell.flags))
+            if cell.flags & FLAG_EXPIRING:
+                w(struct.pack(">II", cell.ttl, cell.local_expiration))
+            w(struct.pack(">q", cell.timestamp))
+            w(struct.pack(">i", len(cell.value)))
+            w(cell.value)
+            if self._min_ts is None or cell.timestamp < self._min_ts:
+                self._min_ts = cell.timestamp
+            if self._max_ts is None or cell.timestamp > self._max_ts:
+                self._max_ts = cell.timestamp
+        if part.marked_for_delete_at != LIVE_MFDA:
+            ts = part.marked_for_delete_at
+            self._min_ts = ts if self._min_ts is None else min(self._min_ts, ts)
+            self._max_ts = ts if self._max_ts is None else max(self._max_ts, ts)
+        w(b"\x00\x00")  # end-of-partition
+
+    def _component(self, name: str) -> str:
+        return os.path.join(self.directory, self.prefix + name)
+
+    def close(self) -> str:
+        """Flush all components; returns the sstable prefix path."""
+        raw = self._data.getvalue()
+        components = list(self.COMPONENTS)
+        if self.compression:
+            offsets: list[int] = []
+            with open(self._component("Data.db"), "wb") as f:
+                for off in range(0, len(raw), self.chunk_len):
+                    offsets.append(f.tell())
+                    chunk = zlib.compress(raw[off : off + self.chunk_len], 6)
+                    f.write(chunk)
+                    f.write(struct.pack(">I", zlib.adler32(chunk) & 0xFFFFFFFF))
+                if not offsets:  # zero-row sstable still gets one chunk
+                    offsets.append(0)
+                    chunk = zlib.compress(b"", 6)
+                    f.write(chunk)
+                    f.write(struct.pack(">I", zlib.adler32(chunk) & 0xFFFFFFFF))
+            with open(self._component("CompressionInfo.db"), "wb") as f:
+                algo = b"DeflateCompressor"
+                f.write(struct.pack(">H", len(algo)) + algo)
+                f.write(struct.pack(">IQI", self.chunk_len, len(raw), len(offsets)))
+                for off in offsets:
+                    f.write(struct.pack(">Q", off))
+            components.insert(1, "CompressionInfo.db")
+        else:
+            with open(self._component("Data.db"), "wb") as f:
+                f.write(raw)
+
+        with open(self._component("Index.db"), "wb") as f:
+            for key, pos in self._index:
+                f.write(struct.pack(">H", len(key)) + key + struct.pack(">Q", pos))
+
+        with open(self._component("Filter.db"), "wb") as f:
+            f.write(self._bloom.dump())
+
+        stats = {
+            "format": FORMAT_VERSION,
+            "rows": len(self._index),
+            "min_key": self._index[0][0].hex() if self._index else None,
+            "max_key": self._index[-1][0].hex() if self._index else None,
+            "min_timestamp": self._min_ts,
+            "max_timestamp": self._max_ts,
+            "compression": self.compression,
+            "schema": self.schema,
+        }
+        with open(self._component("Statistics.db"), "w") as f:
+            json.dump(stats, f, indent=1)
+
+        with open(self._component("TOC.txt"), "w") as f:
+            f.write("\n".join(components) + "\n")
+        return os.path.join(self.directory, self.prefix[:-1])
+
+
+# ---------------------------------------------------------------- reader
+
+
+class _ChunkedData:
+    """Random access over (possibly deflate-chunked) Data.db bytes.
+
+    Decompresses only the chunks covering the requested range — the
+    same chunk-granular access CompressionInfo.db gives Cassandra, so
+    a key-range scan of a 100 GB sstable touches only its chunks.
+    """
+
+    def __init__(self, data_path: str, info_path: str | None) -> None:
+        self.data_path = data_path
+        if info_path and os.path.exists(info_path):
+            with open(info_path, "rb") as f:
+                (algo_len,) = struct.unpack(">H", f.read(2))
+                self.algo = f.read(algo_len).decode()
+                self.chunk_len, self.total, n_chunks = struct.unpack(">IQI", f.read(16))
+                self.offsets = list(
+                    struct.unpack(f">{n_chunks}Q", f.read(8 * n_chunks))
+                )
+        else:
+            self.algo = None
+            self.total = os.path.getsize(data_path)
+            self.chunk_len = self.total
+            self.offsets = []
+
+    def read_range(self, start: int, end: int) -> bytes:
+        """Uncompressed bytes [start, end) of the logical data stream."""
+        end = min(end, self.total)
+        if start >= end:
+            return b""
+        with open(self.data_path, "rb") as f:
+            if self.algo is None:
+                f.seek(start)
+                return f.read(end - start)
+            first = start // self.chunk_len
+            last = (end - 1) // self.chunk_len
+            out = bytearray()
+            file_size = os.path.getsize(self.data_path)
+            for ci in range(first, last + 1):
+                f.seek(self.offsets[ci])
+                next_off = (
+                    self.offsets[ci + 1] if ci + 1 < len(self.offsets) else file_size
+                )
+                blob = f.read(next_off - self.offsets[ci])
+                payload, crc = blob[:-4], struct.unpack(">I", blob[-4:])[0]
+                if zlib.adler32(payload) & 0xFFFFFFFF != crc:
+                    raise IOError(f"corrupt chunk {ci} in {self.data_path}")
+                out += zlib.decompress(payload)
+            base = first * self.chunk_len
+            return bytes(out[start - base : end - base])
+
+
+class SSTableReader:
+    """Reader for one SSTable (a ``…-jb-N-`` component prefix)."""
+
+    def __init__(self, prefix: str) -> None:
+        self.prefix = prefix
+        self.generation = int(prefix.rsplit("-", 1)[-1])
+        with open(prefix + "-Statistics.db") as f:
+            self.stats = json.load(f)
+        self.schema = self.stats["schema"]
+        self._data = _ChunkedData(
+            prefix + "-Data.db", prefix + "-CompressionInfo.db"
+        )
+        self._index: list[tuple[bytes, int]] | None = None
+        self._bloom: BloomFilter | None = None
+
+    # -- metadata ------------------------------------------------------
+
+    @property
+    def min_key(self) -> bytes | None:
+        return bytes.fromhex(self.stats["min_key"]) if self.stats["min_key"] else None
+
+    @property
+    def max_key(self) -> bytes | None:
+        return bytes.fromhex(self.stats["max_key"]) if self.stats["max_key"] else None
+
+    def index(self) -> list[tuple[bytes, int]]:
+        if self._index is None:
+            entries = []
+            with open(self.prefix + "-Index.db", "rb") as f:
+                raw = f.read()
+            pos = 0
+            while pos < len(raw):
+                (klen,) = struct.unpack_from(">H", raw, pos)
+                key = raw[pos + 2 : pos + 2 + klen]
+                (off,) = struct.unpack_from(">Q", raw, pos + 2 + klen)
+                entries.append((key, off))
+                pos += 2 + klen + 8
+            self._index = entries
+        return self._index
+
+    def bloom(self) -> BloomFilter:
+        if self._bloom is None:
+            with open(self.prefix + "-Filter.db", "rb") as f:
+                self._bloom = BloomFilter.load(f.read())
+        return self._bloom
+
+    def might_contain(self, key: bytes) -> bool:
+        mn, mx = self.min_key, self.max_key
+        if mn is None or key < mn or key > mx:
+            return False
+        return self.bloom().might_contain(key)
+
+    # -- scanning ------------------------------------------------------
+
+    def data_range_for_keys(
+        self, start_key: bytes | None, end_key: bytes | None
+    ) -> tuple[int, int]:
+        """Uncompressed [start, end) covering keys in [start_key, end_key)."""
+        idx = self.index()
+        keys = [k for k, _ in idx]
+        lo = 0 if start_key is None else bisect_left(keys, start_key)
+        hi = len(idx) if end_key is None else bisect_left(keys, end_key)
+        start = idx[lo][1] if lo < len(idx) else self._data.total
+        end = idx[hi][1] if hi < len(idx) else self._data.total
+        return start, end
+
+    def scan(
+        self, start_key: bytes | None = None, end_key: bytes | None = None
+    ):
+        """Yield Partitions with keys in [start_key, end_key)."""
+        start, end = self.data_range_for_keys(start_key, end_key)
+        buf = self._data.read_range(start, end)
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            (klen,) = struct.unpack_from(">H", buf, pos)
+            pos += 2
+            key = buf[pos : pos + klen]
+            pos += klen
+            ldt, mfda = struct.unpack_from(">Iq", buf, pos)
+            pos += 12
+            cells: list[Cell] = []
+            while True:
+                (nlen,) = struct.unpack_from(">H", buf, pos)
+                pos += 2
+                if nlen == 0:
+                    break
+                name = buf[pos : pos + nlen]
+                pos += nlen
+                (flags,) = struct.unpack_from(">B", buf, pos)
+                pos += 1
+                ttl, lexp = 0, NO_EXPIRY
+                if flags & FLAG_EXPIRING:
+                    ttl, lexp = struct.unpack_from(">II", buf, pos)
+                    pos += 8
+                (ts,) = struct.unpack_from(">q", buf, pos)
+                pos += 8
+                (vlen,) = struct.unpack_from(">i", buf, pos)
+                pos += 4
+                value = buf[pos : pos + vlen]
+                pos += vlen
+                cells.append(Cell(bytes(name), bytes(value), ts, flags, ttl, lexp))
+            yield Partition(bytes(key), ldt, mfda, cells)
+
+
+def discover_sstables(directory: str) -> list[SSTableReader]:
+    """All sstables in a snapshot dir, oldest generation first."""
+    prefixes = sorted(
+        os.path.join(directory, f[: -len("-Data.db")])
+        for f in os.listdir(directory)
+        if f.endswith("-Data.db")
+    )
+    readers = [SSTableReader(p) for p in prefixes]
+    readers.sort(key=lambda r: r.generation)
+    return readers
+
+
+def bisect_right_keys(keys: list[bytes], key: bytes) -> int:
+    return bisect_right(keys, key)

@@ -1,0 +1,313 @@
+"""SSTable format + DataSource tests (SURVEY.md §2 A1-A5, §7 M5).
+
+Covers the cassowary-native scan path: validator codecs, writer/reader
+round-trip (compressed and plain), multi-generation last-write-wins
+merge, cell/row tombstones, TTL expiry, bloom + key-range pruning, and
+the Spark integration including pushed-filter plans.
+"""
+
+from __future__ import annotations
+
+import decimal
+import uuid
+from datetime import datetime
+
+import pyarrow as pa
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+from cassowary_spark.sources.convert import (
+    infer_schema,
+    write_snapshot,
+    write_tombstone_generation,
+)
+from cassowary_spark.sources.sstable_datasource import (
+    SSTableDataSourceReader,
+    read_sstable,
+    reconcile,
+)
+from cassowary_spark.sources.sstable_format import (
+    FLAG_EXPIRING,
+    FLAG_TOMBSTONE,
+    BloomFilter,
+    Cell,
+    Partition,
+    SSTableReader,
+    SSTableWriter,
+    discover_sstables,
+)
+from cassowary_spark.sources.validators import VALIDATORS, get_validator
+
+SCHEMA = {
+    "key": ["id", "LongType"],
+    "columns": [["name", "UTF8Type"], ["score", "DoubleType"]],
+}
+
+
+def _collect(reader: SSTableDataSourceReader) -> list[tuple]:
+    return sorted(row for p in reader.partitions() for row in reader.read(p))
+
+
+def _write(directory, gen, parts, compression="deflate"):
+    w = SSTableWriter(directory, "ks", "cf", gen, SCHEMA, compression=compression)
+    for p in parts:
+        w.append(p)
+    w.close()
+
+
+def _part(key_int, name=None, score=None, ts=1, **kw):
+    enc = get_validator("LongType").encode
+    cells = []
+    if name is not None:
+        cells.append(Cell(b"name", name.encode(), ts))
+    if score is not None:
+        cells.append(Cell(b"score", get_validator("DoubleType").encode(score), ts))
+    return Partition(enc(key_int), cells=cells, **kw)
+
+
+# ------------------------------------------------------------ validators
+
+
+@pytest.mark.parametrize(
+    "vname,value",
+    [
+        ("UTF8Type", "héllo"),
+        ("AsciiType", "ascii"),
+        ("BytesType", b"\x00\xff"),
+        ("LongType", -(2**40)),
+        ("Int32Type", -42),
+        ("BooleanType", True),
+        ("FloatType", 1.5),
+        ("DoubleType", 3.25),
+        ("DecimalType", decimal.Decimal("123.450000000000000000")),
+        ("IntegerType", decimal.Decimal(10**30)),
+        ("TimestampType", datetime(2020, 5, 4, 12, 30, 15)),
+        ("UUIDType", str(uuid.UUID(int=7))),
+        ("InetAddressType", "10.1.2.3"),
+    ],
+)
+def test_validator_roundtrip(vname, value):
+    v = VALIDATORS[vname]
+    assert v.decode(v.encode(value)) == value
+
+
+def test_bloom_filter():
+    bf = BloomFilter.sized(100, 0.01)
+    keys = [f"k{i}".encode() for i in range(100)]
+    for k in keys:
+        bf.add(k)
+    assert all(bf.might_contain(k) for k in keys)
+    misses = sum(bf.might_contain(f"x{i}".encode()) for i in range(1000))
+    assert misses < 50  # ~1% fp target
+    bf2 = BloomFilter.load(bf.dump())
+    assert all(bf2.might_contain(k) for k in keys)
+
+
+# ------------------------------------------------------- format roundtrip
+
+
+@pytest.mark.parametrize("compression", ["deflate", None])
+def test_write_read_roundtrip(tmp_path, compression):
+    parts = [_part(i, f"row{i}", float(i)) for i in range(50)]
+    _write(str(tmp_path), 1, parts, compression)
+    r = discover_sstables(str(tmp_path))[0]
+    got = list(r.scan())
+    assert len(got) == 50
+    assert got[0].cells[0].name == b"name"
+    assert got[0].cells[0].value == b"row0"
+    # key-range slicing via the index
+    enc = get_validator("LongType").encode
+    sliced = list(r.scan(enc(10), enc(20)))
+    assert [get_validator("LongType").decode(p.key) for p in sliced] == list(range(10, 20))
+
+
+def test_writer_rejects_unsorted(tmp_path):
+    w = SSTableWriter(str(tmp_path), "ks", "cf", 1, SCHEMA)
+    w.append(_part(5, "a"))
+    with pytest.raises(ValueError, match="ascending"):
+        w.append(_part(4, "b"))
+
+
+def test_compression_is_chunked(tmp_path):
+    # >1 chunk forces the chunk-offset map + checksum path
+    parts = [_part(i, "x" * 100, float(i)) for i in range(500)]
+    w = SSTableWriter(str(tmp_path), "ks", "cf", 1, SCHEMA, chunk_len=4096)
+    for p in parts:
+        w.append(p)
+    w.close()
+    r = discover_sstables(str(tmp_path))[0]
+    assert r._data.algo == "DeflateCompressor"
+    assert len(r._data.offsets) > 10
+    assert len(list(r.scan())) == 500
+    # mid-stream range read crosses chunk boundaries correctly
+    enc = get_validator("LongType").encode
+    assert len(list(r.scan(enc(250), enc(260)))) == 10
+
+
+# ------------------------------------------------------------- reconcile
+
+
+def test_reconcile_last_write_wins():
+    old = _part(1, "old", 1.0, ts=10)
+    new = _part(1, "new", None, ts=20)
+    cells = reconcile([(1, old), (2, new)], read_ts=10**9)
+    assert cells[b"name"].value == b"new"  # newer ts wins
+    assert b"score" in cells  # untouched cell survives from gen 1
+
+
+def test_reconcile_tie_breaks():
+    # equal ts: tombstone beats live; live/live tie → greater value bytes
+    a = Partition(b"k", cells=[Cell(b"c", b"aaa", 5)])
+    b = Partition(b"k", cells=[Cell(b"c", b"bbb", 5)])
+    assert reconcile([(1, a), (2, b)], 0)[b"c"].value == b"bbb"
+    t = Partition(b"k", cells=[Cell(b"c", b"", 5, FLAG_TOMBSTONE)])
+    assert reconcile([(1, a), (2, t)], 0) is None
+
+
+def test_row_tombstone_suppresses_older_cells():
+    data = _part(1, "alive", 2.0, ts=100)
+    tomb = Partition(data.key, marked_for_delete_at=150)
+    assert reconcile([(1, data), (2, tomb)], 0) is None
+    # a cell written AFTER the row delete survives
+    newer = _part(1, "revived", ts=200)
+    cells = reconcile([(1, data), (2, tomb), (3, newer)], 0)
+    assert list(cells) == [b"name"]
+    assert cells[b"name"].value == b"revived"
+
+
+def test_ttl_expiry():
+    c = Cell(b"c", b"v", 100, FLAG_EXPIRING, ttl=60, local_expiration=1_000)
+    p = Partition(b"k", cells=[c])
+    assert reconcile([(1, p)], read_ts=999) is not None
+    assert reconcile([(1, p)], read_ts=1_000) is None  # expired at its LET
+
+
+# ------------------------------------------------- reader planning/pruning
+
+
+def _snapshot_dir(tmp_path) -> str:
+    t = pa.table(
+        {
+            "id": pa.array(range(100), pa.int64()),
+            "name": pa.array([f"row{i}" for i in range(100)]),
+            "score": pa.array([float(i) for i in range(100)]),
+        }
+    )
+    write_snapshot(t, str(tmp_path), "id", generations=3)
+    write_tombstone_generation(
+        str(tmp_path), infer_schema(t, "id"), [7, 8], generation=4
+    )
+    return str(tmp_path)
+
+
+def test_merged_read_with_tombstones(tmp_path):
+    d = _snapshot_dir(tmp_path)
+    r = SSTableDataSourceReader({"path": d}, None)
+    rows = _collect(r)
+    assert len(rows) == 98
+    assert [x[0] for x in rows] == [i for i in range(100) if i not in (7, 8)]
+    assert rows[0] == (0, "row0", 0.0)
+
+
+def test_unmerged_read_reference_parity(tmp_path):
+    d = _snapshot_dir(tmp_path)
+    r = SSTableDataSourceReader({"path": d, "merge": "false"}, None)
+    rows = _collect(r)
+    # overlapping generations → duplicates surface, tombstones don't delete
+    assert len(rows) > 100
+    assert len({x[0] for x in rows}) == 100
+
+
+def test_point_lookup_pruning(tmp_path):
+    d = _snapshot_dir(tmp_path)
+    r = SSTableDataSourceReader({"path": d}, None)
+    residual = list(r.pushFilters([EqualTo(("id",), 5)]))
+    assert residual == []  # fully consumed
+    parts = r.partitions()
+    assert len(parts) == 1
+    # bloom pruning: key 5 lives only in generation 1 of 4 sstables
+    assert len(parts[0].prefixes) < 4
+    assert _collect(r) == [(5, "row5", 5.0)]
+    # tombstoned key → empty
+    r2 = SSTableDataSourceReader({"path": d}, None)
+    list(r2.pushFilters([EqualTo(("id",), 7)]))
+    assert _collect(r2) == []
+    # In-list
+    r3 = SSTableDataSourceReader({"path": d}, None)
+    list(r3.pushFilters([In(("id",), (3, 98))]))
+    assert [x[0] for x in _collect(r3)] == [3, 98]
+
+
+def test_range_pruning_order_preserving_key(tmp_path):
+    # UTF8 keys → byte order == logical order → range pruning applies
+    t = pa.table(
+        {
+            "k": pa.array([f"key{i:03d}" for i in range(100)]),
+            "v": pa.array(range(100), pa.int64()),
+        }
+    )
+    write_snapshot(t, str(tmp_path), "k", generations=2)
+    r = SSTableDataSourceReader({"path": str(tmp_path)}, None)
+    residual = list(
+        r.pushFilters([GreaterThanOrEqual(("k",), "key090"), LessThan(("k",), "key095")])
+    )
+    assert residual == []
+    rows = _collect(r)
+    assert [x[0] for x in rows] == [f"key{i:03d}" for i in range(90, 95)]
+    # the scan touches only the pruned byte range, not the whole table
+    scanned = sum(
+        rd.data_range_for_keys(p.start_key, p.end_key)[1]
+        - rd.data_range_for_keys(p.start_key, p.end_key)[0]
+        for p in r.partitions()
+        for rd in (SSTableReader(px) for px in p.prefixes)
+    )
+    full = sum(rd._data.total for rd in discover_sstables(str(tmp_path)))
+    assert scanned < full / 4
+
+
+def test_signed_long_key_range_not_byte_pruned(tmp_path):
+    # LongType keys are not order-preserving across sign: range filters
+    # must NOT be consumed for byte pruning (they stay with Spark).
+    parts = [_part(i, f"r{i}") for i in range(10)]
+    _write(str(tmp_path), 1, parts)
+    r = SSTableDataSourceReader({"path": str(tmp_path)}, None)
+    residual = list(r.pushFilters([GreaterThanOrEqual(("id",), 5)]))
+    assert len(residual) == 1  # returned to Spark untouched
+
+
+def test_column_projection_option(tmp_path):
+    d = _snapshot_dir(tmp_path)
+    r = SSTableDataSourceReader({"path": d, "columns": "id,score"}, None)
+    assert r.schema.ddl() == "id long, score double"
+    rows = _collect(r)
+    assert rows[0] == (0, 0.0)
+
+
+# -------------------------------------------------------- Spark integration
+
+
+def test_spark_end_to_end(spark, tmp_path):
+    d = _snapshot_dir(tmp_path)
+    df = read_sstable(spark, d)
+    assert df.count() == 98
+    assert df.schema.simpleString() == "struct<id:bigint,name:string,score:double>"
+    got = df.filter("id = 42").collect()
+    assert [(row.id, row.name, row.score) for row in got] == [(42, "row42", 42.0)]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.filter("id = 42").explain("formatted")
+    assert "EqualTo(id,42)" in buf.getvalue()  # pushdown reached the BatchScan
+
+
+def test_q_sstable_scan_matches_parquet(spark, sf_dir):
+    from cassowary_spark.registry import QUERIES, load_all
+    from cassowary_spark.tables import load_table
+
+    load_all()
+    got = QUERIES["q_sstable_scan"](spark, sf_dir)
+    exp = load_table(spark, sf_dir, "supplier").filter("s_nationkey < 20")
+    assert got.schema == exp.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
