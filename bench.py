@@ -32,9 +32,10 @@ def main() -> None:
         names = [n for n in os.environ["BENCH_QUERIES"].split(",") if n in registry.QUERIES]
 
     spark = get_spark("cassowary_spark_bench")
-    # Warm the JVM + parquet footers once so timings measure the
-    # queries, not session bootstrap.
+    # Warm the JVM + parquet footers + Python-datasource worker pool
+    # once so timings measure the queries, not session bootstrap.
     registry.QUERIES["q_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    registry.QUERIES["q_sstable_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -153,16 +153,27 @@ class SSTablePartition(InputPartition):
 
 
 class SSTableDataSourceReader(DataSourceReader):
+    MIN_ROWS_PER_SPLIT = 5_000
+    ARROW_BATCH_ROWS = 4_096
+
     def __init__(self, options: dict, user_schema: StructType | None) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sstable source requires a path (snapshot directory)")
         self.merge = str(options.get("merge", "true")).lower() != "false"
         self.read_ts = int(options.get("read_ts", FAR_FUTURE_TS))
-        self.n_splits = int(options.get("splits", 16))
         readers = discover_sstables(self.path)
         if not readers:
             raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
+        # Split count adapts to snapshot size unless pinned: one split
+        # per ~MIN_ROWS_PER_SPLIT rows keeps tiny tables to a single
+        # Python worker round-trip while a 100 TB snapshot still fans
+        # out wide (operators cap via the ``splits`` option).
+        total_rows = sum(r.stats["rows"] for r in readers)
+        if "splits" in options:
+            self.n_splits = int(options["splits"])
+        else:
+            self.n_splits = max(1, min(64, total_rows // self.MIN_ROWS_PER_SPLIT))
         self.schema = TableSchema.from_stats(readers[0].schema)
         if options.get("columns"):
             cols = [c.strip() for c in str(options["columns"]).split(",") if c.strip()]
@@ -341,7 +352,7 @@ class SSTableDataSourceReader(DataSourceReader):
                         if row is not None:
                             yield row
 
-    def read(self, partition: SSTablePartition) -> Iterator[tuple]:
+    def _rows(self, partition: SSTablePartition) -> Iterator[tuple]:
         readers = [SSTableReader(p) for p in partition.prefixes]
         if not readers:
             return
@@ -351,6 +362,47 @@ class SSTableDataSourceReader(DataSourceReader):
                 yield from self._scan_ranges(hit, k, _successor(k))
         else:
             yield from self._scan_ranges(readers, partition.start_key, partition.end_key)
+
+    def _arrow_fields(self):
+        fields = []
+        if self.schema.key_in_output:
+            fields.append((self.schema.key_name, self.schema.key_validator))
+        fields += self.schema.columns
+        return fields
+
+    def read(self, partition: SSTablePartition) -> Iterator:
+        """Emit pyarrow RecordBatches (vectorized Python→JVM transfer).
+
+        Row-tuple fallback when the schema holds timestamps: Arrow
+        tz-naive timestamps are interpreted in the session time zone,
+        so tuple conversion (which goes through Spark's own
+        datetime handling) is the semantics-safe path there.
+        """
+        import pyarrow as pa
+
+        fields = self._arrow_fields()
+        if any(v.name in ("TimestampType",) for _, v in fields):
+            yield from self._rows(partition)
+            return
+        arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
+        buf: list[tuple] = []
+
+        def flush():
+            cols = list(zip(*buf)) if buf else [[] for _ in fields]
+            return pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+                schema=arrow_schema,
+            )
+
+        any_out = False
+        for row in self._rows(partition):
+            buf.append(row)
+            if len(buf) >= self.ARROW_BATCH_ROWS:
+                any_out = True
+                yield flush()
+                buf.clear()
+        if buf or not any_out:
+            yield flush()
 
 
 class SSTableDataSource(DataSource):

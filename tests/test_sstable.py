@@ -45,7 +45,14 @@ SCHEMA = {
 
 
 def _collect(reader: SSTableDataSourceReader) -> list[tuple]:
-    return sorted(row for p in reader.partitions() for row in reader.read(p))
+    out: list[tuple] = []
+    for p in reader.partitions():
+        for item in reader.read(p):
+            if isinstance(item, pa.RecordBatch):
+                out.extend(tuple(d.values()) for d in item.to_pylist())
+            else:
+                out.append(tuple(item))
+    return sorted(out)
 
 
 def _write(directory, gen, parts, compression="deflate"):
