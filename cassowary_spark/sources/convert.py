@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from cassowary_spark.sources.sstable_format import (
     LIVE_LDT,
+    ROW_MARKER,
     Cell,
     Partition,
     SSTableWriter,
@@ -72,7 +73,7 @@ def rows_to_partitions(
     parts: list[Partition] = []
     for i in range(table.num_rows):
         key = key_enc(_to_python(data[key_col][i]))
-        cells = []
+        cells = [Cell(ROW_MARKER, b"", timestamp)]
         for name in names:
             v = _to_python(data[name][i])
             if v is None:

@@ -40,6 +40,7 @@ default 16), ``columns`` (projection).
 from __future__ import annotations
 
 import heapq
+import os
 import sys
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -47,6 +48,7 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -56,10 +58,12 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from cassowary_spark.sources.sstable_format import (
+    FORMAT_VERSION,
     Cell,
     Partition,
     SSTableReader,
@@ -68,6 +72,8 @@ from cassowary_spark.sources.sstable_format import (
 from cassowary_spark.sources.validators import Validator, get_validator
 
 FAR_FUTURE_TS = 0x7FFFFFF0  # default read_ts: nothing is expired
+
+_REGISTERED_SESSIONS: set[int] = set()
 
 
 def _successor(key: bytes) -> bytes:
@@ -405,8 +411,164 @@ class SSTableDataSourceReader(DataSourceReader):
             yield flush()
 
 
+# --------------------------------------------------------------- writer
+
+
+_SPARK_TO_VALIDATOR = {
+    "string": "UTF8Type",
+    "binary": "BytesType",
+    "bigint": "LongType",
+    "long": "LongType",
+    "int": "Int32Type",
+    "integer": "Int32Type",
+    "boolean": "BooleanType",
+    "float": "FloatType",
+    "double": "DoubleType",
+    "timestamp": "TimestampType",
+}
+
+
+@dataclass
+class SSTableCommitMessage(WriterCommitMessage):
+    staged_prefix: str | None  # None for empty tasks
+    rows: int
+
+
+class SSTableDataSourceWriter(DataSourceWriter):
+    """Distributed sink: each task flushes its partition as one SSTable.
+
+    The memtable-flush analogy: a task buffers and key-sorts its rows
+    (bounded by the task's partition, as any file sink is), writes one
+    generation into a staging dir, and the driver commit renames the
+    staged generations into the snapshot atomically-enough for a
+    file-based sink (abort deletes the staging dir). At scale, pair
+    with ``repartitionByRange(key)`` so generations are key-disjoint
+    and merged reads never reconcile across them.
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sstable sink requires a path")
+        self.keyspace = options.get("keyspace", "ks")
+        self.table = options.get("table", "cf")
+        self.compression = None if options.get("compression") == "none" else "deflate"
+        self.write_ts = int(options.get("write_ts", 1))
+        self.overwrite = overwrite
+        key = options.get("key") or schema.fields[0].name
+        names = [f.name for f in schema.fields]
+        if key not in names:
+            raise ValueError(f"key column {key!r} not in schema {names}")
+        self.key_col = key
+        self.key_idx = names.index(key)
+        try:
+            self.fields = [
+                (f.name, _SPARK_TO_VALIDATOR[f.dataType.simpleString()]) for f in schema.fields
+            ]
+        except KeyError as e:
+            raise ValueError(f"no validator mapping for Spark type {e}") from None
+        self.staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        self.table_schema = {
+            "key": [key, dict(self.fields)[key]],
+            "columns": [[n, v] for n, v in self.fields if n != key],
+        }
+
+    def write(self, iterator) -> SSTableCommitMessage:
+        from pyspark import TaskContext
+
+        from cassowary_spark.sources.sstable_format import (
+            Cell,
+            Partition as SSPartition,
+            SSTableWriter,
+        )
+
+        gen = (TaskContext.get().partitionId() if TaskContext.get() else 0) + 1
+        key_enc = get_validator(self.table_schema["key"][1]).encode
+        col_enc = {n: get_validator(v).encode for n, v in self.table_schema["columns"]}
+        col_names = [n for n, _ in self.table_schema["columns"]]
+
+        from cassowary_spark.sources.sstable_format import ROW_MARKER
+
+        parts: list = []
+        for row in iterator:
+            vals = tuple(row)
+            key = key_enc(vals[self.key_idx])
+            cells = [Cell(ROW_MARKER, b"", self.write_ts)]
+            cells += [
+                Cell(n.encode(), col_enc[n](v), self.write_ts)
+                for n, v in zip(
+                    [f for f, _ in self.fields], vals
+                )
+                if n in col_enc and v is not None
+            ]
+            parts.append(SSPartition(key, cells=cells))
+        if not parts:
+            return SSTableCommitMessage(None, 0)
+        parts.sort(key=lambda p: p.key)
+        w = SSTableWriter(
+            self.staging, self.keyspace, self.table, gen, self.table_schema,
+            compression=self.compression, expected_keys=len(parts),
+        )
+        last = None
+        n = 0
+        for p in parts:
+            if last is not None and p.key == last.key:
+                last.cells.extend(p.cells)  # same key in one task: merge cells
+                continue
+            if last is not None:
+                w.append(last)
+                n += 1
+            last = p
+        if last is not None:
+            w.append(last)
+            n += 1
+        prefix = w.close()
+        return SSTableCommitMessage(prefix, n)
+
+    def commit(self, messages) -> None:
+        import glob
+        import shutil
+
+        staged = sorted(
+            m.staged_prefix for m in messages if m is not None and m.staged_prefix
+        )
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.path, f"{self.keyspace}-{self.table}-*")):
+                os.remove(f)
+            base = 0
+        else:
+            existing = [
+                int(p.rsplit("-", 2)[-2])
+                for p in glob.glob(
+                    os.path.join(self.path, f"{self.keyspace}-{self.table}-*-Data.db")
+                )
+            ]
+            base = max(existing, default=0)
+        for i, prefix in enumerate(staged):
+            final_gen = base + i + 1
+            for comp in glob.glob(prefix + "-*"):
+                fname = os.path.basename(comp)
+                suffix = fname.rsplit("-", 1)[-1]  # component name (no '-' in any)
+                os.replace(
+                    comp,
+                    os.path.join(
+                        self.path,
+                        f"{self.keyspace}-{self.table}-{FORMAT_VERSION}-{final_gen}-{suffix}",
+                    ),
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class SSTableDataSource(DataSource):
-    """``spark.read.format("sstable").load(snapshot_dir)``."""
+    """``spark.read.format("sstable").load(snapshot_dir)`` and
+    ``df.write.format("sstable").save(snapshot_dir)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -419,6 +581,9 @@ class SSTableDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SSTableDataSourceReader(dict(self.options), schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return SSTableDataSourceWriter(dict(self.options), schema, overwrite)
+
 
 def register_sstable_source(spark) -> None:
     """Idempotently register the sstable format on a SparkSession.
@@ -430,6 +595,8 @@ def register_sstable_source(spark) -> None:
     plan time because this reader implements ``pushFilters``) is
     enabled at runtime.
     """
+    if id(spark) in _REGISTERED_SESSIONS:
+        return
     from pyspark import cloudpickle
 
     from cassowary_spark.sources import sstable_format, validators
@@ -438,6 +605,7 @@ def register_sstable_source(spark) -> None:
         cloudpickle.register_pickle_by_value(mod)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SSTableDataSource)
+    _REGISTERED_SESSIONS.add(id(spark))
 
 
 def read_sstable(spark, path: str, **options: Any):
@@ -448,10 +616,27 @@ def read_sstable(spark, path: str, **options: Any):
     return reader.load()
 
 
+def write_sstable(df, path: str, key: str, mode: str = "overwrite", **options: Any):
+    """Write a DataFrame as an SSTable snapshot (one generation/task).
+
+    For key-disjoint generations at scale, range-partition first:
+    ``df.repartitionByRange(n, key)`` — each task then owns a
+    contiguous key range, so merged reads never reconcile across
+    generations and key pruning skips whole files.
+    """
+    register_sstable_source(df.sparkSession)
+    writer = df.write.format("sstable").mode(mode).option("key", key)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 __all__ = [
     "SSTableDataSource",
     "SSTableDataSourceReader",
+    "SSTableDataSourceWriter",
     "register_sstable_source",
     "read_sstable",
+    "write_sstable",
     "reconcile",
 ]

@@ -61,6 +61,11 @@ NO_EXPIRY = 0x7FFFFFFF
 FLAG_TOMBSTONE = 0x01
 FLAG_EXPIRING = 0x02
 
+# CQL3-style row marker: a zero-byte-named cell asserting the row
+# exists even when every regular column is null. Sorts before any real
+# (UTF-8) column name and takes part in LWW/tombstone reconciliation.
+ROW_MARKER = b"\x00"
+
 DEFAULT_CHUNK_LEN = 65536
 
 
