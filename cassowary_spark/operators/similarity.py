@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -147,6 +147,96 @@ def ann_lsh_topk(
     bucketed = corpus.withColumn("bucket", hyperplane_bits(as_double(vec_col), n_planes, dim))
     q = query.withColumn("qbucket", hyperplane_bits(as_double(query_vec_col), n_planes, dim))
     cand = bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    scored = cand.select(
+        F.col(id_col),
+        cosine(as_double(vec_col), as_double(query_vec_col)).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_centroids: int = 16,
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (corpus + cluster id, centroids).
+
+    Centroid seeding is deterministic (the k lowest-id vectors), then
+    ``lloyd_iters`` distributed k-means steps refine them — each step
+    is one broadcast-join assignment plus one (cluster, dim-position)
+    mean aggregation, i.e. shuffle state of K×dim doubles regardless of
+    corpus size. The returned assignment is what you'd persist
+    partitioned-by-cluster at 100 TB so probes prune to nprobe/K of
+    the data on read.
+    """
+    seeds = corpus.orderBy(id_col).limit(k_centroids)
+    w = Window.orderBy(id_col)
+    centroids = seeds.select(
+        (F.row_number().over(w) - 1).alias("cid"), as_double(vec_col).alias("cvec")
+    )
+    # Pre-normalize once per row so the K-way broadcast compare does one
+    # dot product per centroid, not a full cosine (norms recomputed K×).
+    prepped = corpus.select(
+        F.col(id_col), F.col(vec_col), as_double(vec_col).alias("_vd")
+    ).withColumn("_vn", l2_norm(F.col("_vd")))
+
+    def assign(cents: DataFrame) -> DataFrame:
+        cents_n = cents.withColumn("_cn", l2_norm(F.col("cvec")))
+        scored = prepped.crossJoin(F.broadcast(cents_n)).select(
+            F.col(id_col), F.col(vec_col), F.col("cid"),
+            (dot(F.col("_vd"), F.col("cvec")) / (F.col("_vn") * F.col("_cn"))).alias("sim"),
+        )
+        best = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(best))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "sim")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(lloyd_iters):
+        # new centroid = element-wise mean of its members (K×dim state)
+        centroids = (
+            assigned.select("cid", F.posexplode(as_double(vec_col)).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cvec")
+            )
+        )
+        assigned = assign(centroids)
+    return assigned, centroids
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec_col: str,
+    k: int,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest inverted lists.
+
+    The query ranks centroids (K rows, driver-free broadcast compare),
+    keeps nprobe cluster ids, and exact-scores only vectors assigned to
+    them — scanning ~nprobe/K of the corpus. Recall/latency trade via
+    nprobe, as in classic IVF-Flat.
+    """
+    assigned, centroids = ivf_assign(corpus, id_col, vec_col, k_centroids)
+    qc = query.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_vec_col), F.col("cid"),
+        cosine(as_double(query_vec_col), F.col("cvec")).alias("csim"),
+    )
+    probes = qc.orderBy(F.col("csim").desc(), F.col("cid")).limit(nprobe).select("cid", query_vec_col)
+    cand = assigned.join(F.broadcast(probes), "cid")
     scored = cand.select(
         F.col(id_col),
         cosine(as_double(vec_col), as_double(query_vec_col)).alias("cos_sim"),

@@ -21,6 +21,7 @@ from cassowary_spark.operators.dedup import (
     simhash,
 )
 from cassowary_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     as_double,
     cosine,
@@ -258,6 +259,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     topk = ann_lsh_topk(
         e.filter(F.col("vec_id") != 0), qdf, "vec_id", "embedding", "qv", k=10, n_planes=6
+    )
+    return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
+
+
+@query("q_ann_ivf")  # rows-only: approximate by construction
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate NN (C3 scale path #2): a distributed
+    k-means coarse quantizer (deterministic seeds + one Lloyd step,
+    K×dim shuffle state) buckets the corpus into inverted lists; the
+    probe exact-scores only the nprobe nearest lists (~nprobe/K of the
+    data). Recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    topk = ann_ivf_topk(
+        e.filter(F.col("vec_id") != 0), qdf, "vec_id", "embedding", "qv",
+        k=10, k_centroids=8, nprobe=4,
     )
     return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
 

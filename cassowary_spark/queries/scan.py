@@ -218,3 +218,26 @@ def q_sstable_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap = build_sstable_snapshot(sf_dir)
     return read_sstable(spark, snap).filter(F.col("s_nationkey") < 20)
+
+
+@query(
+    "q_sstable_lookup",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (1, 7, 42)
+    """,
+)
+def q_sstable_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSTable point lookup (A1 + §4 pushdown): key IN-list probe.
+
+    The IN predicate pushes into the DataSource (pushFilters), which
+    bloom-prunes generations per key and reads only the matching
+    Index.db slots — the Cassandra read path, not a table scan. At
+    100 TB this is O(keys × generations) chunk reads, independent of
+    snapshot size.
+    """
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_sstable_snapshot(sf_dir)
+    return read_sstable(spark, snap).filter(F.col("s_suppkey").isin(1, 7, 42))

@@ -173,3 +173,22 @@ def test_multimodal_decode_stub_plumbing(spark, sf_dir):
     assert all(1 <= r.width <= 64 and 1 <= r.height <= 64 for r in meta)
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    from cassowary_spark.operators.similarity import ann_ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = {r.vec_id for r in cosine_topk(corpus, qdf, "vec_id", "embedding", "qv", 10).collect()}
+    approx = [
+        r.vec_id
+        for r in ann_ivf_topk(
+            corpus, qdf, "vec_id", "embedding", "qv", 10, k_centroids=8, nprobe=4
+        ).collect()
+    ]
+    # nprobe/K = 1/2 of the corpus scanned → expect solid overlap with
+    # the exact top-10 even on near-orthogonal random vectors.
+    assert len(approx) == 10 and len(set(approx)) == 10
+    assert len(exact & set(approx)) >= 3

@@ -89,3 +89,9 @@ def test_asof_join_single_shuffle(q):
     p = plan_of(q["q_join_asof"])
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert p.count("Exchange") <= 3  # key shuffle + AQE artifacts, not a join explosion
+
+
+def test_sstable_lookup_pushes_in_list(q):
+    p = plan_of(q["q_sstable_lookup"])
+    assert "BatchScan sstable" in p
+    assert "In(s_suppkey" in p  # IN-list reached the Python DataSource
