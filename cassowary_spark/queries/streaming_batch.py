@@ -155,3 +155,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"), srnd(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+@query("q_session_capped")  # rows-only: sequential per-user fold, not ANSI-SQL
+def q_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-capped sessionization (S7, batch form): sessions close on
+    30-min inactivity OR cumulative value >= 200 — the second rule is a
+    sequential per-user fold session_window cannot express. Runs the
+    same applyInPandas fold as the applyInPandasWithState stream job
+    (equivalence tested in tests/test_streaming.py); one shuffle on
+    user_id, state bounded by keys not events."""
+    from cassowary_spark.streaming.jobs import value_capped_sessions_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_capped_sessions_batch(ev, gap_minutes=30, cap=200.0)

@@ -40,3 +40,31 @@ def load_all() -> None:
     from cassowary_spark import queries  # noqa: F401
 
     queries.load()
+    _register_modules_by_value()
+
+
+def _register_modules_by_value() -> None:
+    """Ship this package's code inside every pickled closure (by value).
+
+    The driver's verify imports us from an arbitrary cwd into a vanilla
+    SparkSession whose executors do NOT have this repo on PYTHONPATH.
+    Worker-side functions (pandas UDFs, applyInPandas folds, the
+    sstable DataSource) that reference module-level helpers would
+    otherwise pickle those helpers *by reference* and die with
+    ModuleNotFoundError on the executors. Registering the package's
+    modules with cloudpickle's by-value mode makes every closure
+    self-contained — the local-mode equivalent of shipping a zip via
+    addPyFile, with no session handle needed.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover - pyspark always present
+        return
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("cassowary_spark") and mod is not None:
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass

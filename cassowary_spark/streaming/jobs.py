@@ -107,3 +107,159 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- S7
+# Custom stateful operator: value-capped sessionization. A session
+# closes on inactivity (gap) OR when its cumulative `value` reaches a
+# cap — the second condition is sequential per user and inexpressible
+# with session_window, hence applyInPandasWithState (the Structured
+# Streaming escape hatch for custom per-key state machines).
+
+CAPPED_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# State = one open session; timestamps as int64 µs (state columns
+# round-trip via Arrow, so fixed-width ints are the stable encoding).
+CAPPED_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _capped_fold(ts_us_list, values, open_state, gap_us, cap):
+    """Sequential session fold shared by the stream and batch twins.
+
+    Returns (closed sessions, open state or None). An event joins the
+    open session unless the gap elapsed; a session whose sum reaches
+    the cap closes *with* that event (flush-on-full).
+    """
+    closed = []
+    state = open_state  # (start, last, n, sum)
+    for ts, v in zip(ts_us_list, values):
+        if state is not None and ts - state[1] > gap_us:
+            closed.append(state)
+            state = None
+        if state is None:
+            state = (ts, ts, 1, float(v))
+        else:
+            state = (state[0], ts, state[2] + 1, state[3] + float(v))
+        if state[3] >= cap:
+            closed.append(state)
+            state = None
+    return closed, state
+
+
+def value_capped_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    cap: float = 200.0,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """S7: per-user state machine via applyInPandasWithState.
+
+    State is one open session per user (4 scalars — bounded by key
+    cardinality, not event volume); closed sessions emit in append
+    mode; EventTimeTimeout flushes idle sessions once the watermark
+    passes last_ts + gap. Requires per-key time-ordered arrival
+    (replay time-range-partitioned files in order, as Kafka key
+    ordering or a sorted backfill provides).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, sumv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [sumv],
+                }
+            )
+            return
+        pdf = pd.concat(list(pdf_iter)).sort_values("ts")
+        ts_us = (pdf["ts"].astype("int64") // 1_000).astype("int64")  # ns → µs
+        open_state = state.get if state.exists else None
+        closed, new_state = _capped_fold(
+            ts_us.tolist(), pdf["value"].tolist(), open_state, gap_us, cap
+        )
+        if new_state is not None:
+            state.update(new_state)
+            state.setTimeoutTimestamp((new_state[1] + gap_us) // 1_000)
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
+                    "session_end": [pd.Timestamp(s[1], unit="us") for s in closed],
+                    "n_events": [s[2] for s in closed],
+                    "sum_value": [s[3] for s in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CAPPED_SESSION_OUTPUT,
+            stateStructType=CAPPED_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def value_capped_sessions_batch(
+    events: DataFrame, gap_minutes: int = 30, cap: float = 200.0
+) -> DataFrame:
+    """Batch twin of S7 (same fold via applyInPandas; final open
+    sessions close at end-of-input). Shuffles once on user_id; each
+    group is one user's events — skew-bounded by per-user volume."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("ts")
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+        closed, open_state = _capped_fold(
+            ts_us, pdf["value"].tolist(), None, gap_us, cap
+        )
+        if open_state is not None:
+            closed.append(open_state)
+        uid = pdf["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
+                "session_end": [pd.Timestamp(s[1], unit="us") for s in closed],
+                "n_events": [s[2] for s in closed],
+                "sum_value": [s[3] for s in closed],
+            }
+        )
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        fn, schema=CAPPED_SESSION_OUTPUT
+    )

@@ -144,3 +144,48 @@ def test_watermark_drops_late_data(spark, tmp_path):
     run_once()
     # the on-time event produced one update; the late event none
     assert sum(r.n_events for r in collected) == 1, collected
+
+
+def test_stream_capped_sessions_equals_batch(spark, sf_dir, tmp_path_factory):
+    """S7: applyInPandasWithState state machine vs its batch twin.
+
+    Files are time-range partitioned and written in ts order so each
+    user's events arrive ordered across micro-batches (the Kafka
+    key-ordering contract); a far-future sentinel event advances the
+    watermark at the end so every idle session times out and emits.
+    """
+    import datetime as dt
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    path = str(tmp_path_factory.mktemp("events_capped"))
+    # 4 time-ordered files with increasing mtimes (arrival order)
+    bounds = [r[0] for r in ev.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)").collect()][0]
+    import time as _t
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        part.orderBy("ts").coalesce(1).write.mode("append").parquet(path)
+        lo = hi
+        _t.sleep(1.1)  # distinct mtimes → FileStreamSource replays in order
+    sentinel = spark.createDataFrame(
+        [(-1, dt.datetime(2100, 1, 1), 0.0)], "user_id long, ts timestamp, value double"
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = _drain(
+        spark, jobs.value_capped_sessions(stream, gap_minutes=30, cap=200.0), "t_capped"
+    ).filter("user_id >= 0").collect()
+    batch = jobs.value_capped_sessions_batch(ev, gap_minutes=30, cap=200.0).collect()
+    k = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+    assert {k(r) for r in got} == {k(r) for r in batch}
+    assert len(got) > 0
