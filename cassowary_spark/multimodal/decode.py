@@ -77,6 +77,57 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
     raise NotImplementedError("image codecs not available in this environment")
 
 
-def sample_frames(content: bytes, every_n: int) -> list[bytes]:
-    """STUB — needs a video codec; plumbing mirrors image_meta."""
+# Output schema of the frame-sampling stage: one row per sampled frame.
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame binary, frame_bytes int"
+
+
+def decode_frames_real(content: bytes, every_n: int) -> list[bytes]:
+    """Real video frame extraction — requires PyAV/ffmpeg (absent here).
+
+    STUB: replace with ``av.open(io.BytesIO(content))`` keyframe
+    iteration when the codec lands; ``sample_frames`` plumbing is
+    unchanged.
+    """
     raise NotImplementedError("video codecs not available in this environment")
+
+
+def fake_frames(content: bytes, every_n: int) -> list[bytes]:
+    """Deterministic stand-in: treat the payload as a fixed-size frame
+    stream (64-byte 'frames'), keeping every n-th chunk."""
+    frames = [content[i : i + 64] for i in range(0, len(content), 64)]
+    return frames[::every_n]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """mapInPandas frame-sampling stage: (id, content) → FRAME_SCHEMA.
+
+    A flat-map in Arrow batches — one input video row fans out to its
+    sampled frames, bytes stay worker-local. At 100 TB the input is
+    repartitioned by size (maxPartitionBytes) so a few giant videos
+    don't skew tasks; output rows carry small frames + metadata, ready
+    for a downstream embed/score stage.
+    """
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                for i, fr in enumerate(fake_frames(bytes(content), every_n)):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "frame": frames,
+                    "frame_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return df.mapInPandas(explode_frames, FRAME_SCHEMA)

@@ -445,3 +445,31 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     binary = attach_binary(d, "doc_id", "text")
     return image_meta(binary, "doc_id", "content")
+
+
+@query(
+    "q_mm_frames",
+    oracle="""
+    WITH nums AS (
+        SELECT unnest(range(0, (
+            SELECT CAST(ceil(ceil(max(strlen(text)) / 64.0) / 2.0) AS BIGINT)
+            FROM documents
+        ))) AS i
+    )
+    SELECT d.doc_id,
+           CAST(n.i AS INT) AS frame_no,
+           CAST(least(64, strlen(d.text) - n.i * 2 * 64) AS INT) AS frame_bytes
+    FROM documents d JOIN nums n ON n.i * 2 * 64 < strlen(d.text)
+    """,
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (C5): binary payload → mapInPandas
+    flat-map → one row per sampled frame (every 2nd 64-byte chunk of
+    the deterministic fake stream). The oracle replays the chunk
+    arithmetic; the binary frame itself is projected out of the gated
+    result (metadata-only compare) but carried by the operator."""
+    from cassowary_spark.multimodal.decode import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = attach_binary(d, "doc_id", "text")
+    return sample_frames(binary, every_n=2).select("doc_id", "frame_no", "frame_bytes")

@@ -192,3 +192,18 @@ def test_ann_ivf_recall(spark, sf_dir):
     # the exact top-10 even on near-orthogonal random vectors.
     assert len(approx) == 10 and len(set(approx)) == 10
     assert len(exact & set(approx)) >= 3
+
+
+def test_sample_frames_plumbing(spark):
+    from cassowary_spark.multimodal.decode import attach_binary, fake_frames, sample_frames
+
+    df = spark.createDataFrame([(1, "x" * 200), (2, "y" * 64)], "doc_id long, text string")
+    out = sample_frames(attach_binary(df, "doc_id", "text"), every_n=2).collect()
+    # doc 1: 4 chunks (64,64,64,8) -> frames 0,2 kept; doc 2: 1 chunk
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [(r.frame_no, r.frame_bytes) for r in by_doc[1]] == [(0, 64), (1, 64)]
+    assert bytes(by_doc[1][0].frame) == b"x" * 64
+    assert [(r.frame_no, r.frame_bytes) for r in by_doc[2]] == [(0, 64)]
+    assert fake_frames(b"x" * 200, 2) == [b"x" * 64, b"x" * 64]
