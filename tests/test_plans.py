@@ -95,3 +95,10 @@ def test_sstable_lookup_pushes_in_list(q):
     p = plan_of(q["q_sstable_lookup"])
     assert "BatchScan sstable" in p
     assert "In(s_suppkey" in p  # IN-list reached the Python DataSource
+
+
+def test_no_row_at_a_time_python_anywhere(q):
+    # Every Python surface must be Arrow-batched: row-at-a-time UDFs
+    # (BatchEvalPython) are banned from all query plans (SCALE.md).
+    for name, df in q.items():
+        assert "BatchEvalPython" not in plan_of(df), name
