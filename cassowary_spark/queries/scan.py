@@ -241,3 +241,67 @@ def q_sstable_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap = build_sstable_snapshot(sf_dir)
     return read_sstable(spark, snap).filter(F.col("s_suppkey").isin(1, 7, 42))
+
+
+def build_wide_snapshot(sf_dir: str) -> str:
+    """Materialize events as a Cassandra wide-row snapshot (cached).
+
+    user_id is the partition key; each event is one dynamic column
+    (name = zero-padded event_id, value = DoubleType-encoded value,
+    cell timestamp = event time in µs). Two generations deal events
+    round-robin, so a merged read must union each user's cells across
+    files — the wide-row shape SURVEY.md §1.1 describes.
+    """
+    import pyarrow.parquet as pq
+
+    from cassowary_spark.sources.convert import write_wide_snapshot
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    snap = os.path.join(
+        repo_root, ".sstable_cache", os.path.basename(sf_dir.rstrip("/")), "events_wide"
+    )
+    if os.path.exists(os.path.join(snap, "ks-events-jb-2-TOC.txt")):
+        return snap
+    t = pq.read_table(table_path(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"])
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    padded = pc.utf8_lpad(pc.cast(t.column("event_id"), pa.string()), 12, "0")
+    t = t.set_column(t.schema.get_field_index("event_id"), "event_id", padded)
+    write_wide_snapshot(
+        t, snap, key_col="user_id", name_col="event_id", value_col="value",
+        ts_col="ts", value_validator="DoubleType", keyspace="ks", name="events",
+        generations=2,
+    )
+    return snap
+
+
+@query(
+    "q_sstable_wide",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           floor(value * 10000.0 + 0.5) / 10000.0 AS value,
+           epoch_us(ts) AS cell_ts
+    FROM events
+    """,
+)
+def q_sstable_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-row scan (A1/§1.1): dynamic columns in long format.
+
+    Each user's events live as dynamic cells of one partition across
+    two generations; the source merges them and emits
+    (user_id, column_name, value, cell_ts) — Cassandra's sorted-map
+    row shape, with cell timestamps surfacing the event time. At
+    100 TB a single user's multi-million-cell partition streams
+    through one task (cells are iterated, never materialized per
+    partition)."""
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_wide_snapshot(sf_dir)
+    return read_sstable(spark, snap).select(
+        "user_id",
+        F.col("column_name").cast("long").alias("event_id"),
+        srnd(F.col("value"), 4).alias("value"),
+        "cell_ts",
+    )

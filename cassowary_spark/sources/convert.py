@@ -168,3 +168,67 @@ def write_tombstone_generation(
     for p in parts:
         w.append(p)
     w.close()
+
+
+def write_wide_snapshot(
+    table: pa.Table,
+    out_dir: str,
+    key_col: str,
+    name_col: str,
+    value_col: str,
+    ts_col: str | None = None,
+    value_validator: str = "DoubleType",
+    keyspace: str = "ks",
+    name: str = "wide",
+    generations: int = 2,
+    compression: str | None = "deflate",
+) -> str:
+    """Write (key, dynamic-column, value[, ts]) triples as wide rows.
+
+    Cassandra's native shape: one partition per key, one cell per
+    (name, value) with the cell timestamp taken from ``ts_col`` (µs)
+    — the reference's wide-row tables (SURVEY.md §1.1) land in Hive as
+    exactly this long format. Rows are dealt round-robin into
+    ``generations`` sstables so a merged read must union cells of the
+    same key across files.
+    """
+    key_v = get_validator(validator_for_arrow(table.schema.field(key_col).type))
+    val_v = get_validator(value_validator)
+    data = table.to_pydict()
+    n = table.num_rows
+
+    schema = {
+        "key": [key_col, key_v.name],
+        "columns": [],  # dynamic — no fixed column set
+        "wide": True,
+        "wide_validator": value_validator,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for g in range(generations):
+        by_key: dict[bytes, list[Cell]] = {}
+        for i in range(g, n, generations):
+            key = key_v.encode(_to_python(data[key_col][i]))
+            ts = 1
+            if ts_col is not None:
+                tsv = _to_python(data[ts_col][i])
+                if isinstance(tsv, datetime):
+                    # naive datetimes are UTC wall-clock; integer math
+                    # avoids both datetime.timestamp()'s local-tz
+                    # dependence and float µs rounding
+                    td = tsv.replace(tzinfo=None) - datetime(1970, 1, 1)
+                    ts = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+                else:
+                    ts = int(tsv)
+            cname = str(_to_python(data[name_col][i])).encode("utf-8")
+            v = _to_python(data[value_col][i])
+            by_key.setdefault(key, []).append(
+                Cell(cname, b"" if v is None else val_v.encode(v), ts)
+            )
+        w = SSTableWriter(
+            out_dir, keyspace, name, g + 1, schema,
+            compression=compression, expected_keys=len(by_key),
+        )
+        for key in sorted(by_key):
+            w.append(Partition(key, cells=by_key[key]))
+        w.close()
+    return out_dir

@@ -64,9 +64,11 @@ from pyspark.sql.types import StructType
 
 from cassowary_spark.sources.sstable_format import (
     FORMAT_VERSION,
+    ROW_MARKER,
     Cell,
     Partition,
     SSTableReader,
+    SSTableWriter,
     discover_sstables,
 )
 from cassowary_spark.sources.validators import Validator, get_validator
@@ -171,6 +173,19 @@ class SSTableDataSourceReader(DataSourceReader):
         readers = discover_sstables(self.path)
         if not readers:
             raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
+        stats_schema = readers[0].schema
+        # Wide-row mode (Cassandra's native shape: a partition is a
+        # sorted map of dynamic columns): emit the long format
+        # (key, column_name, value, cell_ts) instead of pivoting cell
+        # names into fixed fields. Dynamic column *values* share one
+        # validator. Both default from Statistics.db (self-describing
+        # snapshots) and are overridable via options.
+        wide_default = "true" if stats_schema.get("wide") else "false"
+        self.wide = str(options.get("wide", wide_default)).lower() == "true"
+        self.wide_validator = get_validator(
+            options.get("wide_validator")
+            or stats_schema.get("wide_validator", "BytesType")
+        )
         # Split count adapts to snapshot size unless pinned: one split
         # per ~MIN_ROWS_PER_SPLIT rows keeps tiny tables to a single
         # Python worker round-trip while a 100 TB snapshot still fans
@@ -180,8 +195,8 @@ class SSTableDataSourceReader(DataSourceReader):
             self.n_splits = int(options["splits"])
         else:
             self.n_splits = max(1, min(64, total_rows // self.MIN_ROWS_PER_SPLIT))
-        self.schema = TableSchema.from_stats(readers[0].schema)
-        if options.get("columns"):
+        self.schema = TableSchema.from_stats(stats_schema)
+        if options.get("columns") and not self.wide:
             cols = [c.strip() for c in str(options["columns"]).split(",") if c.strip()]
             self.schema = self.schema.project(cols)
         # Driver-side planning state: only prefixes + small metadata are
@@ -305,10 +320,32 @@ class SSTableDataSourceReader(DataSourceReader):
                 return False
         return True
 
-    def _decode(self, key: bytes, cells: dict[bytes, Cell]) -> tuple | None:
+    def output_ddl(self) -> str:
+        if self.wide:
+            return (
+                f"{self.schema.key_name} {self.schema.key_validator.spark_type}, "
+                f"column_name string, value {self.wide_validator.spark_type}, "
+                "cell_ts long"
+            )
+        return self.schema.ddl()
+
+    def _emit(self, key: bytes, cells: dict[bytes, Cell]) -> Iterator[tuple]:
+        """Decode one reconciled partition → output row(s)."""
         key_val = self.schema.key_validator.decode(key)
         if not self._key_ok(key_val):
-            return None
+            return
+        if self.wide:
+            for name in sorted(cells):
+                if name == ROW_MARKER:
+                    continue
+                cell = cells[name]
+                yield (
+                    key_val,
+                    name.decode("utf-8"),
+                    self.wide_validator.decode(cell.value) if cell.value else None,
+                    cell.timestamp,
+                )
+            return
         out: list[Any] = [key_val] if self.schema.key_in_output else []
         for name, validator in self.schema.columns:
             cell = cells.get(name.encode("utf-8"))
@@ -316,7 +353,7 @@ class SSTableDataSourceReader(DataSourceReader):
                 out.append(None)
             else:
                 out.append(validator.decode(cell.value))
-        return tuple(out)
+        yield tuple(out)
 
     def _scan_ranges(
         self, readers: list[SSTableReader], start: bytes | None, end: bytes | None
@@ -332,18 +369,14 @@ class SSTableDataSourceReader(DataSourceReader):
                 if key != group_key and group:
                     cells = reconcile(group, self.read_ts)
                     if cells:
-                        row = self._decode(group_key, cells)
-                        if row is not None:
-                            yield row
+                        yield from self._emit(group_key, cells)
                     group = []
                 group_key = key
                 group.append((gen, part))
             if group:
                 cells = reconcile(group, self.read_ts)
                 if cells:
-                    row = self._decode(group_key, cells)
-                    if row is not None:
-                        yield row
+                    yield from self._emit(group_key, cells)
         else:
             # Reference parity: one row per sstable version, unmerged
             # (cassowary's InputFormat emitted per-sstable rows and left
@@ -354,9 +387,7 @@ class SSTableDataSourceReader(DataSourceReader):
                         c.name: c for c in part.cells if c.live_at(self.read_ts)
                     }
                     if live:
-                        row = self._decode(part.key, live)
-                        if row is not None:
-                            yield row
+                        yield from self._emit(part.key, live)
 
     def _rows(self, partition: SSTablePartition) -> Iterator[tuple]:
         readers = [SSTableReader(p) for p in partition.prefixes]
@@ -370,6 +401,13 @@ class SSTableDataSourceReader(DataSourceReader):
             yield from self._scan_ranges(readers, partition.start_key, partition.end_key)
 
     def _arrow_fields(self):
+        if self.wide:
+            return [
+                (self.schema.key_name, self.schema.key_validator),
+                ("column_name", get_validator("UTF8Type")),
+                ("value", self.wide_validator),
+                ("cell_ts", get_validator("LongType")),
+            ]
         fields = []
         if self.schema.key_in_output:
             fields.append((self.schema.key_name, self.schema.key_validator))
@@ -476,20 +514,16 @@ class SSTableDataSourceWriter(DataSourceWriter):
         }
 
     def write(self, iterator) -> SSTableCommitMessage:
+        # NOTE: worker-side method — only module-level imports of this
+        # package (shipped by value) or installed packages are safe
+        # here; a lazy `import cassowary_spark...` would fail on
+        # executors without the repo on PYTHONPATH.
         from pyspark import TaskContext
-
-        from cassowary_spark.sources.sstable_format import (
-            Cell,
-            Partition as SSPartition,
-            SSTableWriter,
-        )
 
         gen = (TaskContext.get().partitionId() if TaskContext.get() else 0) + 1
         key_enc = get_validator(self.table_schema["key"][1]).encode
         col_enc = {n: get_validator(v).encode for n, v in self.table_schema["columns"]}
         col_names = [n for n, _ in self.table_schema["columns"]]
-
-        from cassowary_spark.sources.sstable_format import ROW_MARKER
 
         parts: list = []
         for row in iterator:
@@ -503,7 +537,7 @@ class SSTableDataSourceWriter(DataSourceWriter):
                 )
                 if n in col_enc and v is not None
             ]
-            parts.append(SSPartition(key, cells=cells))
+            parts.append(Partition(key, cells=cells))
         if not parts:
             return SSTableCommitMessage(None, 0)
         parts.sort(key=lambda p: p.key)
@@ -576,7 +610,7 @@ class SSTableDataSource(DataSource):
 
     def schema(self) -> str:
         reader = SSTableDataSourceReader(dict(self.options), None)
-        return reader.schema.ddl()
+        return reader.output_ddl()
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SSTableDataSourceReader(dict(self.options), schema)

@@ -367,3 +367,68 @@ def test_q_sstable_scan_matches_parquet(spark, sf_dir):
     exp = load_table(spark, sf_dir, "supplier").filter("s_nationkey < 20")
     assert got.schema == exp.schema
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+# ------------------------------------------------------------- wide rows
+
+
+def test_wide_row_merge_and_cell_updates(tmp_path):
+    from cassowary_spark.sources.validators import get_validator as gv
+
+    enc_k = gv("LongType").encode
+    enc_v = gv("DoubleType").encode
+    schema = {"key": ["uid", "LongType"], "columns": [],
+              "wide": True, "wide_validator": "DoubleType"}
+    # gen1: user 1 has cells a=1.0, b=2.0; gen2 updates b=9.0 (newer
+    # ts) and tombstones a
+    w1 = SSTableWriter(str(tmp_path), "ks", "w", 1, schema)
+    w1.append(Partition(enc_k(1), cells=[
+        Cell(b"a", enc_v(1.0), 100), Cell(b"b", enc_v(2.0), 100)]))
+    w1.close()
+    w2 = SSTableWriter(str(tmp_path), "ks", "w", 2, schema)
+    w2.append(Partition(enc_k(1), cells=[
+        Cell(b"a", b"", 200, FLAG_TOMBSTONE), Cell(b"b", enc_v(9.0), 200)]))
+    w2.close()
+
+    r = SSTableDataSourceReader({"path": str(tmp_path)}, None)
+    assert r.wide and r.output_ddl().startswith("uid long, column_name string, value double")
+    rows = _collect(r)
+    assert rows == [(1, "b", 9.0, 200)]  # a deleted, b updated LWW
+
+
+def test_wide_snapshot_roundtrip(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from cassowary_spark.sources.convert import write_wide_snapshot
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    d = str(tmp_path / "wide")
+    write_wide_snapshot(
+        t, d, key_col="user_id", name_col="event_id", value_col="value",
+        ts_col="ts", generations=3,
+    )
+    df = read_sstable(spark, d)
+    assert df.columns == ["user_id", "column_name", "value", "cell_ts"]
+    assert df.count() == t.num_rows  # every event = one cell
+    # per-user cell counts match the parquet
+    from cassowary_spark.tables import load_table
+
+    got = {r.user_id: r.n for r in df.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").groupBy("user_id").count().collect()
+    assert got == {r.user_id: r["count"] for r in ev}
+
+
+def test_sql_ddl_registration(spark, tmp_path):
+    """A5: the CREATE EXTERNAL TABLE analog — SQL DDL over the source."""
+    from cassowary_spark.sources.sstable_datasource import register_sstable_source
+
+    d = _snapshot_dir(tmp_path)
+    register_sstable_source(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW sstable_cf USING sstable OPTIONS (path '{d}')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM sstable_cf").collect()[0].n == 98
+    assert spark.sql("SELECT name FROM sstable_cf WHERE id = 42").collect()[0].name == "row42"
