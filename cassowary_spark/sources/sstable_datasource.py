@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -600,6 +601,61 @@ class SSTableDataSourceWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+# ------------------------------------------------------------- streaming
+
+
+class SSTableStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("sstable")`` — generations as batches.
+
+    The Cassandra ingest pattern: flushes/incremental backups drop new
+    numbered generations into the snapshot dir; each micro-batch emits
+    the rows of generations that arrived since the last offset
+    (``{"gen": N}``), *unmerged* — a generation is a delta, and
+    reconciliation stays in the query layer (`latest_version` /
+    stateful dedup), exactly where the reference left it. Offsets are
+    generation numbers, so recovery replay (`readBetweenOffsets`) is
+    deterministic. The simple (driver-side) reader fits the
+    generation-grained, low-frequency arrival rate; a partitioned
+    `DataSourceStreamReader` would reuse the batch splitter as-is.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.options = dict(options)
+        self._batch = SSTableDataSourceReader(self.options, None)
+
+    def initialOffset(self) -> dict:
+        return {"gen": 0}
+
+    def _readers_between(self, lo: int, hi: int | None):
+        readers = discover_sstables(self.options["path"])
+        return [
+            r for r in readers if r.generation > lo and (hi is None or r.generation <= hi)
+        ]
+
+    def _rows(self, readers) -> Iterator[tuple]:
+        for r in readers:
+            for part in r.scan():
+                live = {c.name: c for c in part.cells if c.live_at(self._batch.read_ts)}
+                if live:
+                    yield from self._batch._emit(part.key, live)
+
+    def read(self, start: dict):
+        # a picklable iterator (list_iterator, not a generator): the
+        # batch's rows are serialized by the simple-stream machinery
+        readers = self._readers_between(int(start.get("gen", 0)), None)
+        if not readers:
+            return iter([]), start
+        end = {"gen": max(r.generation for r in readers)}
+        return iter(list(self._rows(readers))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        readers = self._readers_between(int(start.get("gen", 0)), int(end.get("gen", 0)))
+        return iter(list(self._rows(readers)))
+
+    def commit(self, end: dict) -> None:
+        pass  # generations are immutable; nothing to clean up
+
+
 class SSTableDataSource(DataSource):
     """``spark.read.format("sstable").load(snapshot_dir)`` and
     ``df.write.format("sstable").save(snapshot_dir)``."""
@@ -617,6 +673,9 @@ class SSTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return SSTableDataSourceWriter(dict(self.options), schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SSTableStreamReader(dict(self.options))
 
 
 def register_sstable_source(spark) -> None:

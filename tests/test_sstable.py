@@ -432,3 +432,51 @@ def test_sql_ddl_registration(spark, tmp_path):
     )
     assert spark.sql("SELECT count(*) AS n FROM sstable_cf").collect()[0].n == 98
     assert spark.sql("SELECT name FROM sstable_cf WHERE id = 42").collect()[0].name == "row42"
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_stream_generations_as_microbatches(spark, tmp_path):
+    """readStream over a snapshot dir: each new generation is a delta
+    micro-batch (unmerged; reconcile stays in the query layer)."""
+    from cassowary_spark.sources.sstable_datasource import register_sstable_source
+
+    d = str(tmp_path / "snap")
+    w1 = SSTableWriter(d, "ks", "cf", 1, SCHEMA)
+    for i in range(3):
+        w1.append(_part(i, f"v1-{i}", float(i), ts=100))
+    w1.close()
+
+    register_sstable_source(spark)
+    stream = spark.readStream.format("sstable").option("path", d).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sst_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM sst_stream").collect()[0].n == 3
+        # second generation arrives: 2 rows, one updating key 1
+        w2 = SSTableWriter(d, "ks", "cf", 2, SCHEMA)
+        w2.append(_part(1, "v2-1", 11.0, ts=200))
+        w2.append(_part(9, "v2-9", 9.0, ts=200))
+        w2.close()
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sst_stream").collect()
+        assert len(rows) == 5  # deltas, unmerged
+        # downstream reconcile (the query-layer pattern): latest per key
+        from cassowary_spark.operators.versions import latest_version
+
+        latest = {
+            r.id: r.name
+            for r in latest_version(
+                spark.table("sst_stream"), ["id"], "score", tiebreakers=["name"]
+            ).collect()
+        }
+        assert latest[1] == "v2-1" and latest[0] == "v1-0" and latest[9] == "v2-9"
+    finally:
+        q.stop()
