@@ -172,7 +172,9 @@ def ivf_assign(
     the data on read.
     """
     seeds = corpus.orderBy(id_col).limit(k_centroids)
-    w = Window.orderBy(id_col)
+    # constant partition key: the window runs over K<=16 seed rows, and
+    # an explicit spec silences Spark's global-window warning
+    w = Window.partitionBy(F.lit(0)).orderBy(id_col)
     centroids = seeds.select(
         (F.row_number().over(w) - 1).alias("cid"), as_double(vec_col).alias("cvec")
     )

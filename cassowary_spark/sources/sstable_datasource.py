@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from cassowary_spark.sources.sstable_format import (
+    FLAG_COUNTER,
     FORMAT_VERSION,
     ROW_MARKER,
     Cell,
@@ -132,10 +133,16 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
     generation. Row tombstones suppress cells written at or before
     ``marked_for_delete_at``. Returns None when nothing survives.
     """
+    import struct as _struct
+
     mfda = max(p.marked_for_delete_at for _, p in versions)
     best: dict[bytes, tuple[tuple, Cell]] = {}
+    counters: dict[bytes, list[Cell]] = {}
     for gen, part in versions:
         for cell in part.cells:
+            if cell.flags & FLAG_COUNTER and not cell.is_tombstone:
+                counters.setdefault(cell.name, []).append(cell)
+                continue
             rank = (cell.timestamp, cell.is_tombstone, cell.value, gen)
             cur = best.get(cell.name)
             if cur is None or rank > cur[0]:
@@ -145,6 +152,21 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
         for name, (_, cell) in best.items()
         if cell.timestamp > mfda and cell.live_at(read_ts)
     }
+    # Counter columns: SUM live deltas newer than any delete of the
+    # column (cell tombstone resets the counter; row tombstone too).
+    for name, deltas in counters.items():
+        floor_ts = mfda
+        tomb = best.get(name)
+        if tomb is not None and tomb[1].is_tombstone:
+            floor_ts = max(floor_ts, tomb[1].timestamp)
+            live.pop(name, None)
+        alive = [c for c in deltas if c.timestamp > floor_ts]
+        if alive:
+            total = sum(_struct.unpack(">q", c.value)[0] for c in alive)
+            live[name] = Cell(
+                name, _struct.pack(">q", total),
+                max(c.timestamp for c in alive), FLAG_COUNTER,
+            )
     return live or None
 
 

@@ -60,6 +60,11 @@ NO_EXPIRY = 0x7FFFFFFF
 
 FLAG_TOMBSTONE = 0x01
 FLAG_EXPIRING = 0x02
+# Counter cell (CounterColumnType): the value is an int64 BE *delta*;
+# merge SUMS live deltas instead of last-write-wins (Cassandra's
+# commutative counter semantics, minus the per-replica shard lists a
+# single-writer snapshot doesn't need).
+FLAG_COUNTER = 0x04
 
 # CQL3-style row marker: a zero-byte-named cell asserting the row
 # exists even when every regular column is null. Sorts before any real

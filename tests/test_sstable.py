@@ -480,3 +480,34 @@ def test_stream_generations_as_microbatches(spark, tmp_path):
         assert latest[1] == "v2-1" and latest[0] == "v1-0" and latest[9] == "v2-9"
     finally:
         q.stop()
+
+
+# -------------------------------------------------------------- counters
+
+
+def test_counter_cells_sum_across_generations(tmp_path):
+    import struct
+
+    from cassowary_spark.sources.sstable_format import FLAG_COUNTER
+
+    enc_k = get_validator("LongType").encode
+    delta = lambda v: struct.pack(">q", v)
+    schema = {"key": ["id", "LongType"], "columns": [["hits", "LongType"]]}
+
+    w1 = SSTableWriter(str(tmp_path), "ks", "ctr", 1, schema)
+    w1.append(Partition(enc_k(1), cells=[Cell(b"hits", delta(5), 10, FLAG_COUNTER)]))
+    w1.append(Partition(enc_k(2), cells=[Cell(b"hits", delta(1), 10, FLAG_COUNTER)]))
+    w1.close()
+    w2 = SSTableWriter(str(tmp_path), "ks", "ctr", 2, schema)
+    w2.append(Partition(enc_k(1), cells=[Cell(b"hits", delta(7), 20, FLAG_COUNTER)]))
+    # key 2: counter reset (cell tombstone) then a newer increment
+    w2.append(Partition(enc_k(2), cells=[
+        Cell(b"hits", b"", 15, FLAG_TOMBSTONE),
+        Cell(b"hits", delta(100), 20, FLAG_COUNTER),
+    ]))
+    w2.close()
+
+    r = SSTableDataSourceReader({"path": str(tmp_path)}, None)
+    rows = dict((k, v) for k, v in _collect(r))
+    assert rows[1] == 12  # 5 + 7: increments SUM, not last-write-wins
+    assert rows[2] == 100  # tombstone at ts=15 resets earlier +1
