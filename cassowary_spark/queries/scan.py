@@ -276,6 +276,66 @@ def build_wide_snapshot(sf_dir: str) -> str:
     return snap
 
 
+def build_clustered_snapshot(sf_dir: str) -> str:
+    """Materialize a lineitem slice as a CQL3 clustered snapshot
+    (cached): partition key l_orderkey, clustering key l_linenumber,
+    two value fields — the composite-cell-name layout CQL3 tables use
+    over wide rows. Two round-robin generations force cross-file
+    merge of individual CQL3 rows."""
+    import pyarrow.parquet as pq
+
+    from cassowary_spark.sources.convert import write_clustered_snapshot
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    snap = os.path.join(
+        repo_root, ".sstable_cache", os.path.basename(sf_dir.rstrip("/")), "lineitem_cql3"
+    )
+    if os.path.exists(os.path.join(snap, "ks-lineitem-jb-2-TOC.txt")):
+        return snap
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    write_clustered_snapshot(
+        t, snap, key_col="l_orderkey", clustering_cols=["l_linenumber"],
+        keyspace="ks", name="lineitem", generations=2, ts_per_generation=False,
+    )
+    return snap
+
+
+@query(
+    "q_sstable_clustered",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(max(l_quantity) * 10000.0 + 0.5) / 10000.0 AS l_quantity,
+           floor(max(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS l_extendedprice
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    """,
+)
+def q_sstable_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL3 clustered table scan (A1/§1.1 composite columns).
+
+    lineitem as a CQL3 table: l_orderkey partitions, l_linenumber
+    clustering, fields as composite-named cells merged across two
+    generations; one output row per CQL3 row. The fixture's duplicate
+    (orderkey, linenumber) pairs upsert Cassandra-style — equal-
+    timestamp writes resolve per cell to the greater value bytes,
+    i.e. numeric max for positive BE doubles — which the GROUP BY max
+    oracle reproduces exactly. Partition-key pushdown applies
+    unchanged; clustering-range pushdown would be the next refinement
+    (Cassandra's column-slice reads)."""
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_clustered_snapshot(sf_dir)
+    df = read_sstable(spark, snap)
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        srnd(F.col("l_quantity"), 4).alias("l_quantity"),
+        srnd(F.col("l_extendedprice"), 4).alias("l_extendedprice"),
+    )
+
+
 @query(
     "q_sstable_wide",
     oracle="""

@@ -232,3 +232,79 @@ def write_wide_snapshot(
             w.append(Partition(key, cells=by_key[key]))
         w.close()
     return out_dir
+
+
+def write_clustered_snapshot(
+    table: pa.Table,
+    out_dir: str,
+    key_col: str,
+    clustering_cols: list[str],
+    keyspace: str = "ks",
+    name: str = "cql3",
+    generations: int = 2,
+    base_timestamp: int = 1_000,
+    ts_per_generation: bool = True,
+    compression: str | None = "deflate",
+) -> str:
+    """Write a CQL3-style table: clustering keys in composite cell names.
+
+    Each input row becomes one CQL3 row inside its partition: cells
+    named ``composite(clustering values..., field)`` plus the row
+    marker ``composite(clustering values..., "")`` — the on-disk shape
+    CQL3 tables take over wide rows (SURVEY.md §1.1). Input rows are
+    dealt round-robin into ``generations`` sstables, so partitions
+    (and even individual CQL3 rows' cells) must merge across files.
+
+    ``ts_per_generation=False`` writes every cell at one timestamp:
+    duplicate primary keys then resolve by Cassandra's same-timestamp
+    tiebreak (greater value bytes per cell — numeric max for positive
+    BE-encoded numerics), which an aggregate oracle can reproduce.
+    """
+    from cassowary_spark.sources.sstable_format import encode_composite
+
+    key_v = get_validator(validator_for_arrow(table.schema.field(key_col).type))
+    cluster_vs = [
+        (c, get_validator(validator_for_arrow(table.schema.field(c).type)))
+        for c in clustering_cols
+    ]
+    field_cols = [
+        f.name for f in table.schema if f.name != key_col and f.name not in clustering_cols
+    ]
+    field_vs = {
+        c: get_validator(validator_for_arrow(table.schema.field(c).type)) for c in field_cols
+    }
+    schema = {
+        "key": [key_col, key_v.name],
+        "columns": [[c, field_vs[c].name] for c in field_cols],
+        "clustering": [[c, v.name] for c, v in cluster_vs],
+    }
+    data = table.to_pydict()
+    n = table.num_rows
+    os.makedirs(out_dir, exist_ok=True)
+    for g in range(generations):
+        by_key: dict[bytes, list[Cell]] = {}
+        ts = base_timestamp + g if ts_per_generation else base_timestamp
+        for i in range(g, n, generations):
+            key = key_v.encode(_to_python(data[key_col][i]))
+            prefix = [v.encode(_to_python(data[c][i])) for c, v in cluster_vs]
+            cells = by_key.setdefault(key, [])
+            cells.append(Cell(encode_composite(prefix + [b""]), b"", ts))
+            for c in field_cols:
+                v = _to_python(data[c][i])
+                if v is None:
+                    continue
+                cells.append(
+                    Cell(
+                        encode_composite(prefix + [c.encode("utf-8")]),
+                        field_vs[c].encode(v),
+                        ts,
+                    )
+                )
+        w = SSTableWriter(
+            out_dir, keyspace, name, g + 1, schema,
+            compression=compression, expected_keys=len(by_key),
+        )
+        for key in sorted(by_key):
+            w.append(Partition(key, cells=by_key[key]))
+        w.close()
+    return out_dir

@@ -71,6 +71,7 @@ from cassowary_spark.sources.sstable_format import (
     Partition,
     SSTableReader,
     SSTableWriter,
+    decode_composite,
     discover_sstables,
 )
 from cassowary_spark.sources.validators import Validator, get_validator
@@ -209,6 +210,13 @@ class SSTableDataSourceReader(DataSourceReader):
             options.get("wide_validator")
             or stats_schema.get("wide_validator", "BytesType")
         )
+        # CQL3 clustering keys: cell names are CompositeType-encoded
+        # (clustering values..., field name); one output row per
+        # distinct clustering prefix within a partition. Declared in
+        # Statistics.db by the clustered writer.
+        self.clustering: list[tuple[str, Validator]] = [
+            (n, get_validator(v)) for n, v in stats_schema.get("clustering", [])
+        ]
         # Split count adapts to snapshot size unless pinned: one split
         # per ~MIN_ROWS_PER_SPLIT rows keeps tiny tables to a single
         # Python worker round-trip while a 100 TB snapshot still fans
@@ -350,6 +358,11 @@ class SSTableDataSourceReader(DataSourceReader):
                 f"column_name string, value {self.wide_validator.spark_type}, "
                 "cell_ts long"
             )
+        if self.clustering:
+            parts = [f"{self.schema.key_name} {self.schema.key_validator.spark_type}"]
+            parts += [f"{n} {v.spark_type}" for n, v in self.clustering]
+            parts += [f"{n} {v.spark_type}" for n, v in self.schema.columns]
+            return ", ".join(parts)
         return self.schema.ddl()
 
     def _emit(self, key: bytes, cells: dict[bytes, Cell]) -> Iterator[tuple]:
@@ -369,6 +382,23 @@ class SSTableDataSourceReader(DataSourceReader):
                     cell.timestamp,
                 )
             return
+        if self.clustering:
+            # group cells by clustering prefix → one row per CQL3 row
+            groups: dict[tuple, dict[str, Cell]] = {}
+            for name, cell in cells.items():
+                comps = decode_composite(name)
+                if len(comps) != len(self.clustering) + 1:
+                    continue  # malformed / non-CQL3 cell
+                groups.setdefault(tuple(comps[:-1]), {})[comps[-1].decode("utf-8")] = cell
+            for prefix in sorted(groups):
+                fields = groups[prefix]
+                row: list[Any] = [key_val]
+                row += [v.decode(raw) for (_, v), raw in zip(self.clustering, prefix)]
+                for cname, cv in self.schema.columns:
+                    cell = fields.get(cname)
+                    row.append(cv.decode(cell.value) if cell and cell.value else None)
+                yield tuple(row)
+            return
         out: list[Any] = [key_val] if self.schema.key_in_output else []
         for name, validator in self.schema.columns:
             cell = cells.get(name.encode("utf-8"))
@@ -382,10 +412,17 @@ class SSTableDataSourceReader(DataSourceReader):
         self, readers: list[SSTableReader], start: bytes | None, end: bytes | None
     ) -> Iterator[tuple]:
         if self.merge:
-            streams = [
-                ((p.key, r.generation, p) for p in r.scan(start, end)) for r in readers
-            ]
-            merged = heapq.merge(*streams, key=lambda t: (t[0], t[1]))
+
+            def stream(reader: SSTableReader):
+                # explicit binding — a genexp here would late-bind the
+                # loop variable and mislabel every stream with the last
+                # reader's generation, silently breaking the LWW
+                # generation tiebreak (caught by the property tests)
+                gen = reader.generation
+                for part in reader.scan(start, end):
+                    yield (part.key, gen, part)
+
+            merged = heapq.merge(*(stream(r) for r in readers), key=lambda t: (t[0], t[1]))
             group_key: bytes | None = None
             group: list[tuple[int, Partition]] = []
             for key, gen, part in merged:
@@ -431,6 +468,12 @@ class SSTableDataSourceReader(DataSourceReader):
                 ("value", self.wide_validator),
                 ("cell_ts", get_validator("LongType")),
             ]
+        if self.clustering:
+            return (
+                [(self.schema.key_name, self.schema.key_validator)]
+                + list(self.clustering)
+                + list(self.schema.columns)
+            )
         fields = []
         if self.schema.key_in_output:
             fields.append((self.schema.key_name, self.schema.key_validator))

@@ -458,3 +458,29 @@ def discover_sstables(directory: str) -> list[SSTableReader]:
 
 def bisect_right_keys(keys: list[bytes], key: bytes) -> int:
     return bisect_right(keys, key)
+
+
+# ------------------------------------------------------------ composites
+# CQL3 CompositeType cell names (public Cassandra encoding): each
+# component is `u16 length | bytes | 0x00 end-of-component`. A CQL3
+# row's cells are named composite(clustering values..., field name);
+# the row marker is the composite with an empty field component.
+
+
+def encode_composite(components: list[bytes]) -> bytes:
+    out = bytearray()
+    for c in components:
+        out += struct.pack(">H", len(c))
+        out += c
+        out += b"\x00"
+    return bytes(out)
+
+
+def decode_composite(name: bytes) -> list[bytes]:
+    parts = []
+    pos = 0
+    while pos < len(name):
+        (ln,) = struct.unpack_from(">H", name, pos)
+        parts.append(name[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln + 1  # skip end-of-component byte
+    return parts

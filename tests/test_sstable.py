@@ -511,3 +511,45 @@ def test_counter_cells_sum_across_generations(tmp_path):
     rows = dict((k, v) for k, v in _collect(r))
     assert rows[1] == 12  # 5 + 7: increments SUM, not last-write-wins
     assert rows[2] == 100  # tombstone at ts=15 resets earlier +1
+
+
+# ------------------------------------------------------------- clustering
+
+
+def test_clustered_rows_update_across_generations(spark, tmp_path):
+    from cassowary_spark.sources.convert import write_clustered_snapshot
+    from cassowary_spark.sources.sstable_format import encode_composite
+
+    t = pa.table(
+        {
+            "pk": pa.array([1, 1, 2], pa.int64()),
+            "ck": pa.array([10, 20, 10], pa.int32()),
+            "val": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    d = str(tmp_path / "cql3")
+    write_clustered_snapshot(t, d, key_col="pk", clustering_cols=["ck"], generations=1)
+    # gen 2: update (1, 20).val with a newer timestamp
+    enc_k = get_validator("LongType").encode
+    enc_ck = get_validator("Int32Type").encode
+    enc_v = get_validator("DoubleType").encode
+    schema = {
+        "key": ["pk", "LongType"],
+        "columns": [["val", "DoubleType"]],
+        "clustering": [["ck", "Int32Type"]],
+    }
+    w = SSTableWriter(d, "ks", "cql3", 2, schema)
+    w.append(
+        Partition(
+            enc_k(1),
+            cells=[Cell(encode_composite([enc_ck(20), b"val"]), enc_v(99.0), 2_000)],
+        )
+    )
+    w.close()
+
+    df = read_sstable(spark, d)
+    assert df.columns == ["pk", "ck", "val"]
+    got = {(r.pk, r.ck): r.val for r in df.collect()}
+    assert got == {(1, 10): 1.0, (1, 20): 99.0, (2, 10): 3.0}
+    # partition-key pushdown still applies to clustered tables
+    assert {r.ck for r in df.filter("pk = 1").collect()} == {10, 20}
