@@ -176,12 +176,18 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
 
 @dataclass
 class SSTablePartition(InputPartition):
-    """One key-range (or exact-key-set) slice of the snapshot."""
+    """One key-range (or exact-key-set) slice of the snapshot.
 
-    prefixes: tuple[str, ...]
-    start_key: bytes | None = None
-    end_key: bytes | None = None
-    exact_keys: tuple[bytes, ...] | None = None
+    ``ranges`` carries per-sstable uncompressed byte offsets computed
+    from Index.db at planning time (indexes are parsed once on the
+    driver, cached per immutable generation) — executors seek straight
+    to their chunk-aligned slices and never read Index.db.
+    """
+
+    # range scan: ((prefix, start_off, end_off), ...)
+    ranges: tuple[tuple[str, int, int], ...] = ()
+    # point lookups: ((key, ((prefix, start_off, end_off), ...)), ...)
+    exact: tuple[tuple[bytes, tuple[tuple[str, int, int], ...]], ...] | None = None
 
 
 class SSTableDataSourceReader(DataSourceReader):
@@ -284,19 +290,18 @@ class SSTableDataSourceReader(DataSourceReader):
         readers = {p: SSTableReader(p) for p in self._prefixes}
 
         if self._eq_keys is not None:  # point lookups: bloom-pruned
-            keys = sorted(self._eq_keys)
-            live: list[str] = []
-            hit_keys: list[bytes] = []
-            for k in keys:
-                hits = [p for p, r in readers.items() if r.might_contain(k)]
-                if hits:
-                    hit_keys.append(k)
-                    live.extend(h for h in hits if h not in live)
-            if not hit_keys:
-                return [SSTablePartition(prefixes=(), exact_keys=())]
-            return [
-                SSTablePartition(prefixes=tuple(sorted(live)), exact_keys=tuple(hit_keys))
-            ]
+            exact = []
+            for k in sorted(self._eq_keys):
+                ranges = tuple(
+                    (p, s, e)
+                    for p, r in readers.items()
+                    if r.might_contain(k)
+                    for s, e in [r.data_range_for_keys(k, _successor(k))]
+                    if e > s
+                )
+                if ranges:
+                    exact.append((k, ranges))
+            return [SSTablePartition(exact=tuple(exact))]
 
         lo = self._lo[0] if self._lo else None
         if self._lo and not self._lo[1]:
@@ -306,8 +311,9 @@ class SSTableDataSourceReader(DataSourceReader):
             hi = _successor(self._hi[0]) if self._hi[1] else self._hi[0]
 
         # Split boundaries: sample the largest sstable's index (the
-        # Summary-style sampling Cassandra uses; Index.db itself never
-        # ships to executors in full).
+        # Summary-style sampling Cassandra uses); all indexes are
+        # parsed once driver-side (cached per immutable generation)
+        # and only byte offsets ship to executors.
         largest = max(readers.values(), key=lambda r: r.stats["rows"])
         keys = [k for k, _ in largest.index()]
         if lo is not None:
@@ -321,17 +327,17 @@ class SSTableDataSourceReader(DataSourceReader):
 
         parts: list[InputPartition] = []
         for s, e in zip(edges, edges[1:]):
-            overlapping = tuple(
-                sorted(
-                    p
-                    for p, r in readers.items()
-                    if r.min_key is not None
-                    and (e is None or r.min_key < e)
-                    and (s is None or r.max_key >= s)
-                )
+            ranges = tuple(
+                (p, so, eo)
+                for p, r in sorted(readers.items())
+                if r.min_key is not None
+                and (e is None or r.min_key < e)
+                and (s is None or r.max_key >= s)
+                for so, eo in [r.data_range_for_keys(s, e)]
+                if eo > so
             )
-            parts.append(SSTablePartition(prefixes=overlapping, start_key=s, end_key=e))
-        return parts or [SSTablePartition(prefixes=(), exact_keys=())]
+            parts.append(SSTablePartition(ranges=ranges))
+        return [p for p in parts if p.ranges] or [SSTablePartition()]
 
     # -- execution -----------------------------------------------------
 
@@ -409,20 +415,23 @@ class SSTableDataSourceReader(DataSourceReader):
         yield tuple(out)
 
     def _scan_ranges(
-        self, readers: list[SSTableReader], start: bytes | None, end: bytes | None
+        self, slices: list[tuple[SSTableReader, int, int]]
     ) -> Iterator[tuple]:
+        """Merge-scan [(reader, start_off, end_off), ...] byte slices."""
         if self.merge:
 
-            def stream(reader: SSTableReader):
+            def stream(reader: SSTableReader, so: int, eo: int):
                 # explicit binding — a genexp here would late-bind the
                 # loop variable and mislabel every stream with the last
                 # reader's generation, silently breaking the LWW
                 # generation tiebreak (caught by the property tests)
                 gen = reader.generation
-                for part in reader.scan(start, end):
+                for part in reader.scan_offsets(so, eo):
                     yield (part.key, gen, part)
 
-            merged = heapq.merge(*(stream(r) for r in readers), key=lambda t: (t[0], t[1]))
+            merged = heapq.merge(
+                *(stream(r, so, eo) for r, so, eo in slices), key=lambda t: (t[0], t[1])
+            )
             group_key: bytes | None = None
             group: list[tuple[int, Partition]] = []
             for key, gen, part in merged:
@@ -441,24 +450,30 @@ class SSTableDataSourceReader(DataSourceReader):
             # Reference parity: one row per sstable version, unmerged
             # (cassowary's InputFormat emitted per-sstable rows and left
             # reconciliation to the query layer — cf. q_latest_version).
-            for r in readers:
-                for part in r.scan(start, end):
+            for r, so, eo in slices:
+                for part in r.scan_offsets(so, eo):
                     live = {
                         c.name: c for c in part.cells if c.live_at(self.read_ts)
                     }
                     if live:
                         yield from self._emit(part.key, live)
 
+    def _slices(self, ranges) -> list[tuple[SSTableReader, int, int]]:
+        opened: dict[str, SSTableReader] = {}
+        out = []
+        for p, so, eo in ranges:
+            r = opened.get(p)
+            if r is None:
+                r = opened[p] = SSTableReader(p)
+            out.append((r, so, eo))
+        return out
+
     def _rows(self, partition: SSTablePartition) -> Iterator[tuple]:
-        readers = [SSTableReader(p) for p in partition.prefixes]
-        if not readers:
-            return
-        if partition.exact_keys is not None:
-            for k in partition.exact_keys:
-                hit = [r for r in readers if r.might_contain(k)]
-                yield from self._scan_ranges(hit, k, _successor(k))
-        else:
-            yield from self._scan_ranges(readers, partition.start_key, partition.end_key)
+        if partition.exact is not None:
+            for _key, ranges in partition.exact:
+                yield from self._scan_ranges(self._slices(ranges))
+        elif partition.ranges:
+            yield from self._scan_ranges(self._slices(partition.ranges))
 
     def _arrow_fields(self):
         if self.wide:

@@ -73,11 +73,29 @@ ROW_MARKER = b"\x00"
 
 DEFAULT_CHUNK_LEN = 65536
 
+class _ProcessLocalCache(dict):
+    """A dict that always pickles EMPTY.
+
+    This module ships to executors by value (cloudpickle), which would
+    otherwise serialize the driver's parsed-index cache — potentially
+    millions of entries — into every task closure. Each process
+    re-warms its own cache instead.
+    """
+
+    def __reduce__(self):
+        return (self.__class__, ())
+
+
+# Parsed-Index.db cache keyed by (path, mtime_ns, size): sstables are
+# immutable, so each process (driver during planning; a reused Python
+# worker for streaming scans) parses a generation's index once.
+_INDEX_CACHE: dict[tuple, list] = _ProcessLocalCache()
+
 
 # ---------------------------------------------------------------- model
 
 
-@dataclass
+@dataclass(slots=True)
 class Cell:
     """One (name, value, timestamp) column, Cassandra's cell triple."""
 
@@ -100,7 +118,7 @@ class Cell:
         return True
 
 
-@dataclass
+@dataclass(slots=True)
 class Partition:
     """One partition: key, row-level tombstone, cells sorted by name."""
 
@@ -352,6 +370,7 @@ class SSTableReader:
             prefix + "-Data.db", prefix + "-CompressionInfo.db"
         )
         self._index: list[tuple[bytes, int]] | None = None
+        self._index_keys: list[bytes] | None = None
         self._bloom: BloomFilter | None = None
 
     # -- metadata ------------------------------------------------------
@@ -366,16 +385,31 @@ class SSTableReader:
 
     def index(self) -> list[tuple[bytes, int]]:
         if self._index is None:
+            path = self.prefix + "-Index.db"
+            st = os.stat(path)
+            cache_key = (path, st.st_mtime_ns, st.st_size)
+            cached = _INDEX_CACHE.get(cache_key)
+            if cached is not None:
+                self._index = cached
+                return cached
             entries = []
-            with open(self.prefix + "-Index.db", "rb") as f:
+            with open(path, "rb") as f:
                 raw = f.read()
             pos = 0
-            while pos < len(raw):
-                (klen,) = struct.unpack_from(">H", raw, pos)
+            unpack = struct.unpack_from
+            append = entries.append
+            n = len(raw)
+            while pos < n:
+                (klen,) = unpack(">H", raw, pos)
                 key = raw[pos + 2 : pos + 2 + klen]
-                (off,) = struct.unpack_from(">Q", raw, pos + 2 + klen)
-                entries.append((key, off))
+                (off,) = unpack(">Q", raw, pos + 2 + klen)
+                append((key, off))
                 pos += 2 + klen + 8
+            # generations are immutable; cache per (path, mtime, size)
+            # so repeated queries in one process parse the index once
+            if len(_INDEX_CACHE) > 64:
+                _INDEX_CACHE.clear()
+            _INDEX_CACHE[cache_key] = entries
             self._index = entries
         return self._index
 
@@ -393,12 +427,17 @@ class SSTableReader:
 
     # -- scanning ------------------------------------------------------
 
+    def index_keys(self) -> list[bytes]:
+        if self._index_keys is None:
+            self._index_keys = [k for k, _ in self.index()]
+        return self._index_keys
+
     def data_range_for_keys(
         self, start_key: bytes | None, end_key: bytes | None
     ) -> tuple[int, int]:
         """Uncompressed [start, end) covering keys in [start_key, end_key)."""
         idx = self.index()
-        keys = [k for k, _ in idx]
+        keys = self.index_keys()
         lo = 0 if start_key is None else bisect_left(keys, start_key)
         hi = len(idx) if end_key is None else bisect_left(keys, end_key)
         start = idx[lo][1] if lo < len(idx) else self._data.total
@@ -410,6 +449,13 @@ class SSTableReader:
     ):
         """Yield Partitions with keys in [start_key, end_key)."""
         start, end = self.data_range_for_keys(start_key, end_key)
+        yield from self.scan_offsets(start, end)
+
+    def scan_offsets(self, start: int, end: int):
+        """Yield Partitions from uncompressed byte range [start, end).
+
+        Offsets come from Index.db (driver-side planning ships them in
+        the InputPartition, so executors never parse the index)."""
         buf = self._data.read_range(start, end)
         pos = 0
         n = len(buf)

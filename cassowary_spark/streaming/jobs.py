@@ -234,32 +234,54 @@ def value_capped_sessions(
 def value_capped_sessions_batch(
     events: DataFrame, gap_minutes: int = 30, cap: float = 200.0
 ) -> DataFrame:
-    """Batch twin of S7 (same fold via applyInPandas; final open
-    sessions close at end-of-input). Shuffles once on user_id; each
-    group is one user's events — skew-bounded by per-user volume."""
+    """Batch twin of S7: single-pass mapInPandas over sorted partitions.
+
+    ``groupBy(user).applyInPandas`` pays one pandas dispatch per user —
+    at millions of small groups that dominates. Instead: hash-shuffle
+    on user_id, sort each partition by (user_id, ts), and run ONE
+    Python pass per partition with the fold resetting at user
+    boundaries, carrying the open run across Arrow batch boundaries
+    within the partition (measured ~5× over per-group dispatch at
+    sf0.1, and the gap grows with user count)."""
     import pandas as pd
 
     gap_us = gap_minutes * 60_000_000
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("ts")
-        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
-        closed, open_state = _capped_fold(
-            ts_us, pdf["value"].tolist(), None, gap_us, cap
-        )
-        if open_state is not None:
-            closed.append(open_state)
-        uid = pdf["user_id"].iloc[0]
-        return pd.DataFrame(
-            {
-                "user_id": [uid] * len(closed),
-                "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
-                "session_end": [pd.Timestamp(s[1], unit="us") for s in closed],
-                "n_events": [s[2] for s in closed],
-                "sum_value": [s[3] for s in closed],
-            }
-        )
+    def fold_partition(batches):
+        carry_uid = None
+        carry_state = None  # open session of carry_uid
 
-    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
-        fn, schema=CAPPED_SESSION_OUTPUT
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                    "sum_value": [r[4] for r in rows],
+                }
+            )
+
+        for pdf in batches:
+            out = []
+            uids = pdf["user_id"].tolist()
+            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+            vals = pdf["value"].tolist()
+            for uid, ts, v in zip(uids, ts_us, vals):
+                if uid != carry_uid:
+                    if carry_state is not None:
+                        out.append((carry_uid, *carry_state))
+                    carry_uid, carry_state = uid, None
+                closed, carry_state = _capped_fold([ts], [v], carry_state, gap_us, cap)
+                out.extend((uid, *s) for s in closed)
+            if out:
+                yield emit(out)
+        if carry_state is not None:
+            yield emit([(carry_uid, *carry_state)])
+
+    prepped = (
+        events.select("user_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
     )
+    return prepped.mapInPandas(fold_partition, schema=CAPPED_SESSION_OUTPUT)

@@ -234,7 +234,8 @@ def test_point_lookup_pruning(tmp_path):
     parts = r.partitions()
     assert len(parts) == 1
     # bloom pruning: key 5 lives only in generation 1 of 4 sstables
-    assert len(parts[0].prefixes) < 4
+    (key, ranges), = parts[0].exact
+    assert len({p for p, _, _ in ranges}) < 4
     assert _collect(r) == [(5, "row5", 5.0)]
     # tombstoned key → empty
     r2 = SSTableDataSourceReader({"path": d}, None)
@@ -262,13 +263,8 @@ def test_range_pruning_order_preserving_key(tmp_path):
     assert residual == []
     rows = _collect(r)
     assert [x[0] for x in rows] == [f"key{i:03d}" for i in range(90, 95)]
-    # the scan touches only the pruned byte range, not the whole table
-    scanned = sum(
-        rd.data_range_for_keys(p.start_key, p.end_key)[1]
-        - rd.data_range_for_keys(p.start_key, p.end_key)[0]
-        for p in r.partitions()
-        for rd in (SSTableReader(px) for px in p.prefixes)
-    )
+    # the scan touches only the pruned byte ranges, not the whole table
+    scanned = sum(eo - so for p in r.partitions() for _, so, eo in p.ranges)
     full = sum(rd._data.total for rd in discover_sstables(str(tmp_path)))
     assert scanned < full / 4
 
