@@ -337,6 +337,38 @@ def q_sstable_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sstable_slice",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(max(l_quantity) * 10000.0 + 0.5) / 10000.0 AS l_quantity,
+           floor(max(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey <= 600 AND l_linenumber <= 2
+    GROUP BY l_orderkey, l_linenumber
+    """,
+)
+def q_sstable_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-slice read (Cassandra's clustering-range query).
+
+    The clustering predicate pushes into the source and drops CQL3
+    rows cell-side before any field decode — the within-partition
+    slice Cassandra serves from its promoted index. The partition-key
+    range on a signed LongType key stays Spark-side (BE byte order
+    isn't value order across the sign; UTF8/ascii/bytes keys get index
+    pruning — see tests/test_sstable.py range-pruning test).
+    """
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_clustered_snapshot(sf_dir)
+    df = read_sstable(spark, snap)
+    return df.filter((F.col("l_orderkey") <= 600) & (F.col("l_linenumber") <= 2)).select(
+        "l_orderkey", "l_linenumber",
+        srnd(F.col("l_quantity"), 4).alias("l_quantity"),
+        srnd(F.col("l_extendedprice"), 4).alias("l_extendedprice"),
+    )
+
+
+@query(
     "q_sstable_wide",
     oracle="""
     SELECT user_id,

@@ -86,6 +86,24 @@ def _successor(key: bytes) -> bytes:
     return key + b"\x00"
 
 
+def _preds_ok(preds: list[tuple[str, Any]], val: Any) -> bool:
+    """Evaluate consumed (op, value) predicates exactly on a decoded value."""
+    for op, v in preds:
+        if op == "eq" and val != v:
+            return False
+        if op == "in" and val not in v:
+            return False
+        if op == "gt" and not val > v:
+            return False
+        if op == "ge" and not val >= v:
+            return False
+        if op == "lt" and not val < v:
+            return False
+        if op == "le" and not val <= v:
+            return False
+    return True
+
+
 # -------------------------------------------------------------- schema
 
 
@@ -244,15 +262,33 @@ class SSTableDataSourceReader(DataSourceReader):
         self._lo: tuple[bytes, bool] | None = None  # (bound, inclusive)
         self._hi: tuple[bytes, bool] | None = None
         self._key_preds: list[tuple[str, Any]] = []  # exact re-check on decoded key
+        # Clustering-column slice predicates (first clustering column):
+        # applied on the decoded clustering value before any field
+        # decode — Cassandra's column-slice read, evaluated cell-side.
+        self._cluster_preds: list[tuple[str, Any]] = []
 
     # -- pushdown ------------------------------------------------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         kname = self.schema.key_name
         kv = self.schema.key_validator
+        cluster_col = self.clustering[0][0] if self.clustering else None
+        _OPS = {
+            EqualTo: "eq",
+            GreaterThan: "gt",
+            GreaterThanOrEqual: "ge",
+            LessThan: "lt",
+            LessThanOrEqual: "le",
+        }
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
+            if col == cluster_col and type(f) in _OPS:
+                # column-slice predicate: evaluated on the decoded
+                # clustering value before any field decode (exact, so
+                # the filter is fully consumed)
+                self._cluster_preds.append((_OPS[type(f)], f.value))
+                continue
             if col != kname:
                 yield f
                 continue
@@ -342,20 +378,7 @@ class SSTableDataSourceReader(DataSourceReader):
     # -- execution -----------------------------------------------------
 
     def _key_ok(self, key_val: Any) -> bool:
-        for op, v in self._key_preds:
-            if op == "eq" and key_val != v:
-                return False
-            if op == "in" and key_val not in v:
-                return False
-            if op == "gt" and not key_val > v:
-                return False
-            if op == "ge" and not key_val >= v:
-                return False
-            if op == "lt" and not key_val < v:
-                return False
-            if op == "le" and not key_val <= v:
-                return False
-        return True
+        return _preds_ok(self._key_preds, key_val)
 
     def output_ddl(self) -> str:
         if self.wide:
@@ -396,7 +419,15 @@ class SSTableDataSourceReader(DataSourceReader):
                 if len(comps) != len(self.clustering) + 1:
                     continue  # malformed / non-CQL3 cell
                 groups.setdefault(tuple(comps[:-1]), {})[comps[-1].decode("utf-8")] = cell
+            first_cv = self.clustering[0][1]
             for prefix in sorted(groups):
+                # column-slice pushdown: drop the CQL3 row before any
+                # field decode if its clustering head fails the pushed
+                # slice predicates
+                if self._cluster_preds and not _preds_ok(
+                    self._cluster_preds, first_cv.decode(prefix[0])
+                ):
+                    continue
                 fields = groups[prefix]
                 row: list[Any] = [key_val]
                 row += [v.decode(raw) for (_, v), raw in zip(self.clustering, prefix)]

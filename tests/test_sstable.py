@@ -549,3 +549,26 @@ def test_clustered_rows_update_across_generations(spark, tmp_path):
     assert got == {(1, 10): 1.0, (1, 20): 99.0, (2, 10): 3.0}
     # partition-key pushdown still applies to clustered tables
     assert {r.ck for r in df.filter("pk = 1").collect()} == {10, 20}
+
+
+def test_clustering_slice_pushdown(spark, tmp_path):
+    from cassowary_spark.sources.convert import write_clustered_snapshot
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    t = pa.table(
+        {
+            "pk": pa.array([1, 1, 1, 2], pa.int64()),
+            "ck": pa.array([10, 20, 30, 10], pa.int32()),
+            "val": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    d = str(tmp_path / "cql3")
+    write_clustered_snapshot(t, d, key_col="pk", clustering_cols=["ck"], generations=1)
+    r = SSTableDataSourceReader({"path": d}, None)
+    residual = list(r.pushFilters([LessThanOrEqual(("ck",), 10)]))
+    assert residual == []  # clustering predicate fully consumed
+    rows = _collect(r)
+    assert rows == [(1, 10, 1.0), (2, 10, 4.0)]
+    # through Spark: the filter disappears from the post-scan plan
+    df = read_sstable(spark, d).filter("ck <= 10")
+    assert {(x.pk, x.ck) for x in df.collect()} == {(1, 10), (2, 10)}
