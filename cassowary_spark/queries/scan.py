@@ -368,6 +368,83 @@ def q_sstable_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_rt_snapshot(sf_dir: str) -> str:
+    """Clustered lineitem snapshot plus a generation of range tombstones
+    (cached): for every partition with l_orderkey <= 200, a slice
+    delete of clustering range l_linenumber in [3, 5] — Cassandra's
+    ``DELETE ... WHERE pk = ? AND ck >= 3 AND ck <= 5``, the third
+    delete kind after cell and row tombstones."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cassowary_spark.sources.convert import (
+        composite_slice_bounds,
+        write_clustered_snapshot,
+        write_range_tombstone_generation,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    snap = os.path.join(
+        repo_root, ".sstable_cache", os.path.basename(sf_dir.rstrip("/")), "lineitem_rt"
+    )
+    if os.path.exists(os.path.join(snap, "ks-lineitem-jb-3-TOC.txt")):
+        return snap
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    write_clustered_snapshot(
+        t, snap, key_col="l_orderkey", clustering_cols=["l_linenumber"],
+        keyspace="ks", name="lineitem", generations=2, ts_per_generation=False,
+    )
+    schema = {
+        "key": ["l_orderkey", "LongType"],
+        "columns": [["l_quantity", "DoubleType"], ["l_extendedprice", "DoubleType"]],
+        "clustering": [["l_linenumber", "Int32Type"]],
+    }
+    lo, hi = composite_slice_bounds(schema, [3], [5])
+    keys = pc.unique(
+        t.filter(pc.less_equal(t.column("l_orderkey"), 200)).column("l_orderkey")
+    ).to_pylist()
+    write_range_tombstone_generation(
+        snap, schema, [(k, lo, hi) for k in sorted(keys)],
+        generation=3, keyspace="ks", name="lineitem", timestamp=5_000,
+    )
+    return snap
+
+
+@query(
+    "q_sstable_rt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(max(l_quantity) * 10000.0 + 0.5) / 10000.0 AS l_quantity,
+           floor(max(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS l_extendedprice
+    FROM lineitem
+    WHERE NOT (l_orderkey <= 200 AND l_linenumber BETWEEN 3 AND 5)
+    GROUP BY l_orderkey, l_linenumber
+    """,
+)
+def q_sstable_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-tombstone (clustering-slice delete) read — A3's third
+    delete kind.
+
+    A tombstone-only generation carries per-partition slice deletes
+    (l_linenumber in [3,5] for l_orderkey <= 200); the merged read
+    suppresses covered cells across older generations at reconcile
+    time, reproduced by the oracle's NOT(...) predicate. DeletionInfo
+    stays per-partition, so at 100 TB slice deletes cost one small
+    generation, never a rewrite of the data files.
+    """
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_rt_snapshot(sf_dir)
+    return read_sstable(spark, snap).select(
+        "l_orderkey", "l_linenumber",
+        srnd(F.col("l_quantity"), 4).alias("l_quantity"),
+        srnd(F.col("l_extendedprice"), 4).alias("l_extendedprice"),
+    )
+
+
 @query(
     "q_sstable_wide",
     oracle="""

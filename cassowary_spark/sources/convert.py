@@ -22,6 +22,8 @@ from cassowary_spark.sources.sstable_format import (
     Cell,
     Partition,
     SSTableWriter,
+    encode_composite,
+    range_tombstone,
 )
 from cassowary_spark.sources.validators import get_validator
 
@@ -167,6 +169,58 @@ def write_tombstone_generation(
     )
     for p in parts:
         w.append(p)
+    w.close()
+
+
+def composite_slice_bounds(
+    schema: dict, lo_values: list, hi_values: list
+) -> tuple[bytes, bytes]:
+    """[start, end] cell-name bounds covering a CQL3 clustering slice.
+
+    ``lo_values``/``hi_values`` are inclusive prefixes of the table's
+    clustering columns (typed values, encoded via the schema's
+    clustering validators). A composite prefix is byte-wise <= every
+    cell name it prefixes, so the start bound is the encoded lo prefix;
+    the end bound appends 0xFF, which sorts after any continuation of
+    the hi prefix (component length prefixes start 0x00) — the role
+    Cassandra's end-of-component byte plays in its slice bounds.
+    """
+    cluster_vs = [get_validator(v) for _, v in schema["clustering"]]
+    lo = [v.encode(x) for v, x in zip(cluster_vs, lo_values)]
+    hi = [v.encode(x) for v, x in zip(cluster_vs, hi_values)]
+    return encode_composite(lo), encode_composite(hi) + b"\xff"
+
+
+def write_range_tombstone_generation(
+    out_dir: str,
+    schema: dict,
+    deletes: list[tuple],
+    generation: int,
+    keyspace: str = "ks",
+    name: str = "cf",
+    timestamp: int = 10_000,
+    compression: str | None = "deflate",
+) -> None:
+    """Append a generation of range tombstones (clustering-slice deletes).
+
+    ``deletes``: (partition_key_value, start_name, end_name) triples —
+    bounds are raw cell-name bytes, inclusive (build clustered-table
+    bounds with ``composite_slice_bounds``). The generation contains
+    only DeletionInfo, like the sstable a flushed memtable of DELETEs
+    produces; merged reads suppress covered cells in older generations.
+    """
+    key_enc = get_validator(schema["key"][1]).encode
+    by_key: dict[bytes, list[Cell]] = {}
+    for key_val, start, end in deletes:
+        by_key.setdefault(key_enc(key_val), []).append(
+            range_tombstone(start, end, timestamp)
+        )
+    w = SSTableWriter(
+        out_dir, keyspace, name, generation, schema, compression=compression,
+        expected_keys=len(by_key),
+    )
+    for key in sorted(by_key):
+        w.append(Partition(key, cells=by_key[key]))
     w.close()
 
 

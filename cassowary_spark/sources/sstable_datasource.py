@@ -65,6 +65,7 @@ from pyspark.sql.types import StructType
 
 from cassowary_spark.sources.sstable_format import (
     FLAG_COUNTER,
+    FLAG_RANGE,
     FORMAT_VERSION,
     ROW_MARKER,
     Cell,
@@ -73,6 +74,8 @@ from cassowary_spark.sources.sstable_format import (
     SSTableWriter,
     decode_composite,
     discover_sstables,
+    live_unmerged,
+    rt_floor,
 )
 from cassowary_spark.sources.validators import Validator, get_validator
 
@@ -150,15 +153,22 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
     Cassandra's reconcile: highest timestamp wins; on a timestamp tie a
     tombstone beats a live cell, then greater value bytes, then newer
     generation. Row tombstones suppress cells written at or before
-    ``marked_for_delete_at``. Returns None when nothing survives.
+    ``marked_for_delete_at``; range tombstones (DeletionInfo slices,
+    pooled across all versions) suppress covered cells the same way.
+    Returns None when nothing survives.
     """
     import struct as _struct
 
     mfda = max(p.marked_for_delete_at for _, p in versions)
+    rts: list[tuple[bytes, bytes, int]] = []
     best: dict[bytes, tuple[tuple, Cell]] = {}
     counters: dict[bytes, list[Cell]] = {}
     for gen, part in versions:
         for cell in part.cells:
+            if cell.flags & FLAG_RANGE:
+                if cell.timestamp > mfda:  # row delete supersedes older slices
+                    rts.append((cell.name, cell.value, cell.timestamp))
+                continue
             if cell.flags & FLAG_COUNTER and not cell.is_tombstone:
                 counters.setdefault(cell.name, []).append(cell)
                 continue
@@ -169,12 +179,14 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
     live = {
         name: cell
         for name, (_, cell) in best.items()
-        if cell.timestamp > mfda and cell.live_at(read_ts)
+        if cell.timestamp > mfda
+        and (not rts or cell.timestamp > rt_floor(rts, name))
+        and cell.live_at(read_ts)
     }
     # Counter columns: SUM live deltas newer than any delete of the
-    # column (cell tombstone resets the counter; row tombstone too).
+    # column (cell tombstone resets the counter; row/range delete too).
     for name, deltas in counters.items():
-        floor_ts = mfda
+        floor_ts = mfda if not rts else max(mfda, rt_floor(rts, name))
         tomb = best.get(name)
         if tomb is not None and tomb[1].is_tombstone:
             floor_ts = max(floor_ts, tomb[1].timestamp)
@@ -483,9 +495,7 @@ class SSTableDataSourceReader(DataSourceReader):
             # reconciliation to the query layer — cf. q_latest_version).
             for r, so, eo in slices:
                 for part in r.scan_offsets(so, eo):
-                    live = {
-                        c.name: c for c in part.cells if c.live_at(self.read_ts)
-                    }
+                    live = live_unmerged(part, self.read_ts)
                     if live:
                         yield from self._emit(part.key, live)
 
@@ -746,7 +756,7 @@ class SSTableStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, readers) -> Iterator[tuple]:
         for r in readers:
             for part in r.scan():
-                live = {c.name: c for c in part.cells if c.live_at(self._batch.read_ts)}
+                live = live_unmerged(part, self._batch.read_ts)
                 if live:
                     yield from self._batch._emit(part.key, live)
 

@@ -65,6 +65,15 @@ FLAG_EXPIRING = 0x02
 # commutative counter semantics, minus the per-replica shard lists a
 # single-writer snapshot doesn't need).
 FLAG_COUNTER = 0x04
+# Range tombstone (Cassandra's third delete kind, COLUMN_MASK_RANGE
+# in the jb format): deletes every cell whose name falls in
+# [start, end] at or before its timestamp. Reuses the ordinary cell
+# layout — name = start bound, value = end bound (both inclusive,
+# compared in raw cell-name byte order), timestamp = deletion time —
+# so the on-disk format is unchanged. For CQL3 tables the bounds are
+# composite prefixes (see convert.composite_slice_bounds), matching
+# Cassandra's clustering-slice DELETEs.
+FLAG_RANGE = 0x08
 
 # CQL3-style row marker: a zero-byte-named cell asserting the row
 # exists even when every regular column is null. Sorts before any real
@@ -126,6 +135,44 @@ class Partition:
     local_deletion_time: int = LIVE_LDT
     marked_for_delete_at: int = LIVE_MFDA
     cells: list[Cell] = field(default_factory=list)
+
+
+def range_tombstone(start: bytes, end: bytes, timestamp: int) -> Cell:
+    """A range-tombstone cell deleting names in [start, end] (inclusive)."""
+    if not start or start > end:
+        raise ValueError("range tombstone needs non-empty start <= end")
+    return Cell(start, end, timestamp, FLAG_TOMBSTONE | FLAG_RANGE)
+
+
+def rt_floor(rts: list[tuple[bytes, bytes, int]], name: bytes) -> int:
+    """Newest range-tombstone timestamp covering ``name`` (LIVE_MFDA if none).
+
+    Linear in the partition's range-tombstone count — Cassandra keeps
+    the same per-partition DeletionInfo list; partitions carry at most
+    a handful of slice deletes, and the list never leaves one task.
+    """
+    floor = LIVE_MFDA
+    for s, e, ts in rts:
+        if s <= name <= e and ts > floor:
+            floor = ts
+    return floor
+
+
+def live_unmerged(part: Partition, read_ts: int) -> dict[bytes, Cell]:
+    """One partition version's live cells by name (no cross-sstable merge).
+
+    Drops cell tombstones, TTL-expired cells, and cells covered by a
+    same-partition range tombstone — the filtering a single-sstable
+    reader (unmerged mode, the generation-delta stream source) applies.
+    """
+    rts = [(c.name, c.value, c.timestamp) for c in part.cells if c.flags & FLAG_RANGE]
+    return {
+        c.name: c
+        for c in part.cells
+        if not c.flags & FLAG_RANGE
+        and c.live_at(read_ts)
+        and (not rts or c.timestamp > rt_floor(rts, c.name))
+    }
 
 
 # ---------------------------------------------------------------- bloom

@@ -572,3 +572,94 @@ def test_clustering_slice_pushdown(spark, tmp_path):
     # through Spark: the filter disappears from the post-scan plan
     df = read_sstable(spark, d).filter("ck <= 10")
     assert {(x.pk, x.ck) for x in df.collect()} == {(1, 10), (2, 10)}
+
+
+# ------------------------------------------------------- range tombstones
+
+
+def test_range_tombstone_reconcile():
+    """Slice delete suppresses covered cells; newer writes survive."""
+    from cassowary_spark.sources.sstable_format import range_tombstone
+
+    old = Partition(b"k", cells=[
+        Cell(b"a", b"1", 10), Cell(b"c", b"3", 10), Cell(b"f", b"6", 10),
+    ])
+    # delete names [b, e] at ts 20, then rewrite "c" at ts 30
+    newer = Partition(b"k", cells=[
+        range_tombstone(b"b", b"e", 20), Cell(b"c", b"33", 30),
+    ])
+    live = reconcile([(1, old), (2, newer)], read_ts=10**9)
+    assert {n: c.value for n, c in live.items()} == {b"a": b"1", b"c": b"33", b"f": b"6"}
+
+
+def test_range_tombstone_same_sstable_unmerged(tmp_path):
+    """Unmerged reads apply same-partition range tombstones too."""
+    from cassowary_spark.sources.sstable_format import range_tombstone
+
+    enc = get_validator("LongType").encode
+    part = Partition(enc(1), cells=[
+        Cell(b"name", b"gone", 10),
+        Cell(b"score", get_validator("DoubleType").encode(2.0), 30),
+        range_tombstone(b"name", b"name", 20),
+    ])
+    _write(str(tmp_path), 1, [part])
+    r = SSTableDataSourceReader({"path": str(tmp_path), "merge": "false"}, None)
+    assert _collect(r) == [(1, None, 2.0)]
+
+
+def test_range_tombstone_clustered_slice(spark, tmp_path):
+    """CQL3 DELETE ... WHERE pk=? AND ck BETWEEN lo AND hi."""
+    from cassowary_spark.sources.convert import (
+        composite_slice_bounds,
+        write_clustered_snapshot,
+        write_range_tombstone_generation,
+    )
+
+    t = pa.table(
+        {
+            "pk": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ck": pa.array([10, 20, 30, 40, 20, 50], pa.int32()),
+            "val": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    d = str(tmp_path / "cql3")
+    write_clustered_snapshot(
+        t, d, key_col="pk", clustering_cols=["ck"], generations=1,
+        base_timestamp=1_000,
+    )
+    schema = {
+        "key": ["pk", "LongType"],
+        "columns": [["val", "DoubleType"]],
+        "clustering": [["ck", "Int32Type"]],
+    }
+    lo, hi = composite_slice_bounds(schema, [20], [30])
+    write_range_tombstone_generation(
+        d, schema, [(1, lo, hi)], generation=2, timestamp=5_000,
+    )
+    df = read_sstable(spark, d)
+    got = {(r.pk, r.ck) for r in df.collect()}
+    # pk=1 loses ck 20 and 30; pk=2 untouched (per-partition delete)
+    assert got == {(1, 10), (1, 40), (2, 20), (2, 50)}
+
+
+def test_range_tombstone_resets_counter(tmp_path):
+    from cassowary_spark.sources.sstable_format import FLAG_COUNTER, range_tombstone
+    import struct
+
+    delta = lambda n: struct.pack(">q", n)
+    enc = get_validator("LongType").encode
+    w1 = SSTableWriter(str(tmp_path), "ks", "cf", 1, {
+        "key": ["id", "LongType"], "columns": [["hits", "LongType"]],
+    })
+    w1.append(Partition(enc(1), cells=[Cell(b"hits", delta(5), 10, FLAG_COUNTER)]))
+    w1.close()
+    w2 = SSTableWriter(str(tmp_path), "ks", "cf", 2, {
+        "key": ["id", "LongType"], "columns": [["hits", "LongType"]],
+    })
+    w2.append(Partition(enc(1), cells=[
+        range_tombstone(b"a", b"z", 20),          # covers "hits"
+        Cell(b"hits", delta(3), 30, FLAG_COUNTER),  # post-delete increment
+    ]))
+    w2.close()
+    r = SSTableDataSourceReader({"path": str(tmp_path)}, None)
+    assert _collect(r) == [(1, 3)]
