@@ -62,7 +62,14 @@ def minhash_signatures(
     """(id, sig: array<bigint>) — sig[j] = min over shingles of a
     seeded 64-bit hash. One explode + one groupBy; the agg is
     num_hashes parallel min()s, all map-side combinable."""
-    sh = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
+    # Repartition by id BEFORE the explode: parquet often lands a
+    # corpus in few large files, which would pin the expensive
+    # shingle+hash map stage to those few tasks. Hashing on the id
+    # also lets the groupBy below reuse the partitioning (no second
+    # exchange of the exploded rows — the wide data never reshuffles).
+    sh = df.repartition(F.col(id_col)).withColumn(
+        "__toks", F.split(F.col(text_col), " ")
+    ).select(
         F.col(id_col), F.explode(shingles_of_tokens("__toks", shingle_k)).alias("__shingle")
     )
     mins = sh.withColumn("__sh_h", F.xxhash64("__shingle")).groupBy(id_col).agg(
@@ -93,10 +100,14 @@ def minhash_lsh_pairs(
     id — LSH guarantees the bucket join touches candidate pairs only.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
+    # The band rows carry (id, band, band_sig) ONLY — 3 longs. Shipping
+    # the full num_hashes-long signature through the bands× explode and
+    # both sides of the self-join would multiply the shuffle ~20×; the
+    # signatures are re-joined below for just the candidate pairs,
+    # which LSH keeps a tiny fraction of the row count.
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.posexplode(
             F.array(
                 *[
@@ -118,18 +129,20 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = cand.select(
-        "id_a",
-        "id_b",
-        (
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-            / F.lit(num_hashes)
-        ).alias("est_jaccard"),
+    est = (
+        cand.join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
     )
     return est.filter(F.col("est_jaccard") >= threshold)
 
@@ -154,7 +167,8 @@ def ngram_jaccard_pairs(
     count is ~1e-12 at any realistic shingle cardinality).
     """
     sh = (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        df.repartition(F.col(id_col))  # spread the shingle map stage
+        .withColumn("__toks", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.explode(shingles_of_tokens("__toks", shingle_k)).alias("shingle"))
         .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
         .persist()
@@ -195,7 +209,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     each bit-sum becomes the fingerprint bit. One explode + groupBy
     (64 map-side-combinable sums), then bit packing — all JVM exprs.
     """
-    toks = df.select(
+    toks = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))

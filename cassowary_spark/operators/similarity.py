@@ -215,6 +215,72 @@ def ivf_assign(
     return assigned, centroids
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    k_centroids: int = 16,
+    lloyd_iters: int = 1,
+) -> None:
+    """Persist an IVF-Flat index: inverted lists + centroids (offline).
+
+    The lists land as parquet **partitioned by cid** — the on-disk
+    twin of FAISS's inverted lists. Probes then read only the nprobe
+    matching partitions (dynamic partition pruning on the broadcast
+    probe join), so query cost is ~nprobe/K of the corpus regardless
+    of total size; the index build is a once-per-corpus batch job, not
+    per-query work.
+    """
+    import os
+
+    assigned, centroids = ivf_assign(corpus, id_col, vec_col, k_centroids, lloyd_iters)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "lists")
+    )
+    centroids.select(
+        "cid", F.col("cvec").cast("array<double>").alias("cvec")
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ann_ivf_probe(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec_col: str,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query-time half of IVF-Flat over a persisted index.
+
+    Ranks the (tiny, broadcast) centroid table against the query
+    vector, keeps the nprobe best cluster ids, and exact-scores only
+    those inverted-list partitions — the parquet scan is pruned to
+    nprobe/K of the files by the partition-column join.
+    """
+    import os
+
+    centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
+    lists = spark.read.parquet(os.path.join(index_path, "lists"))
+    qc = query.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_vec_col), F.col("cid"),
+        cosine(as_double(query_vec_col), F.col("cvec")).alias("csim"),
+    )
+    probes = (
+        qc.orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid", query_vec_col)
+    )
+    cand = lists.join(F.broadcast(probes), "cid")
+    scored = cand.select(
+        F.col(id_col),
+        cosine(as_double(vec_col), as_double(query_vec_col)).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     query: DataFrame,

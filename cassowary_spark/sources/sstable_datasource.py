@@ -163,19 +163,25 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
     rts: list[tuple[bytes, bytes, int]] = []
     best: dict[bytes, tuple[tuple, Cell]] = {}
     counters: dict[bytes, list[Cell]] = {}
+    get = best.get
     for gen, part in versions:
         for cell in part.cells:
-            if cell.flags & FLAG_RANGE:
-                if cell.timestamp > mfda:  # row delete supersedes older slices
-                    rts.append((cell.name, cell.value, cell.timestamp))
-                continue
-            if cell.flags & FLAG_COUNTER and not cell.is_tombstone:
-                counters.setdefault(cell.name, []).append(cell)
-                continue
-            rank = (cell.timestamp, cell.is_tombstone, cell.value, gen)
-            cur = best.get(cell.name)
+            flags = cell.flags
+            if flags & 0x0C:  # FLAG_COUNTER | FLAG_RANGE — the rare kinds
+                if flags & FLAG_RANGE:
+                    if cell.timestamp > mfda:  # row delete supersedes slices
+                        rts.append((cell.name, cell.value, cell.timestamp))
+                    continue
+                if not flags & 0x01:
+                    counters.setdefault(cell.name, []).append(cell)
+                    continue
+            # hot path: LWW rank (flags & 0x01 is the tombstone bit —
+            # 0/1 compares identically to the old bool)
+            name = cell.name
+            rank = (cell.timestamp, flags & 0x01, cell.value, gen)
+            cur = get(name)
             if cur is None or rank > cur[0]:
-                best[cell.name] = (rank, cell)
+                best[name] = (rank, cell)
     live = {
         name: cell
         for name, (_, cell) in best.items()
@@ -221,7 +227,10 @@ class SSTablePartition(InputPartition):
 
 
 class SSTableDataSourceReader(DataSourceReader):
-    MIN_ROWS_PER_SPLIT = 5_000
+    # ~10k rows of per-split decode work amortizes the Python-worker
+    # round trip without starving parallelism (measured optimum on
+    # local[32] at sf0.1; at cluster scale `splits` pins it instead)
+    MIN_ROWS_PER_SPLIT = 10_000
     ARROW_BATCH_ROWS = 4_096
 
     def __init__(self, options: dict, user_schema: StructType | None) -> None:
@@ -424,25 +433,47 @@ class SSTableDataSourceReader(DataSourceReader):
                 )
             return
         if self.clustering:
-            # group cells by clustering prefix → one row per CQL3 row
-            groups: dict[tuple, dict[str, Cell]] = {}
+            # Group cells by clustering prefix → one row per CQL3 row.
+            # The group key is the RAW composite-prefix bytes (equality
+            # and sort-stable), so the component decode runs once per
+            # CQL3 row, not once per cell — the hot loop below only
+            # scans the composite to find the final (field) component.
+            ndepth = len(self.clustering)
+            groups: dict[bytes, dict[str, Cell]] = {}
             for name, cell in cells.items():
-                comps = decode_composite(name)
-                if len(comps) != len(self.clustering) + 1:
-                    continue  # malformed / non-CQL3 cell
-                groups.setdefault(tuple(comps[:-1]), {})[comps[-1].decode("utf-8")] = cell
+                pos = 0
+                end = len(name)
+                count = 0
+                fstart = 0
+                flen = 0
+                while pos + 2 <= end:
+                    ln = (name[pos] << 8) | name[pos + 1]
+                    if pos + 2 + ln + 1 > end:
+                        count = -1  # malformed / non-CQL3 cell
+                        break
+                    count += 1
+                    fstart = pos + 2
+                    flen = ln
+                    pos += 3 + ln
+                if count != ndepth + 1 or pos != end:
+                    continue
+                pkey = name[: fstart - 2]
+                grp = groups.get(pkey)
+                if grp is None:
+                    grp = groups[pkey] = {}
+                grp[name[fstart : fstart + flen].decode("utf-8")] = cell
             first_cv = self.clustering[0][1]
+            cpreds = self._cluster_preds
             for prefix in sorted(groups):
+                comps = decode_composite(prefix)
                 # column-slice pushdown: drop the CQL3 row before any
                 # field decode if its clustering head fails the pushed
                 # slice predicates
-                if self._cluster_preds and not _preds_ok(
-                    self._cluster_preds, first_cv.decode(prefix[0])
-                ):
+                if cpreds and not _preds_ok(cpreds, first_cv.decode(comps[0])):
                     continue
                 fields = groups[prefix]
                 row: list[Any] = [key_val]
-                row += [v.decode(raw) for (_, v), raw in zip(self.clustering, prefix)]
+                row += [v.decode(raw) for (_, v), raw in zip(self.clustering, comps)]
                 for cname, cv in self.schema.columns:
                     cell = fields.get(cname)
                     row.append(cv.decode(cell.value) if cell and cell.value else None)
