@@ -15,11 +15,14 @@ from hypothesis import strategies as st
 
 from cassowary_spark.sources.sstable_datasource import SSTableDataSourceReader
 from cassowary_spark.sources.sstable_format import (
+    FLAG_COUNTER,
     FLAG_EXPIRING,
     FLAG_TOMBSTONE,
     Cell,
     Partition,
     SSTableWriter,
+    encode_composite,
+    range_tombstone,
 )
 from cassowary_spark.sources.validators import get_validator
 
@@ -37,12 +40,16 @@ cell_write = st.fixed_dictionaries(
     }
 )
 
+# (lo, hi, ts) column-name slice delete; lo/hi normalized in the writer
+range_tomb = st.tuples(COLS, COLS, TS)
+
 generation = st.lists(
     st.fixed_dictionaries(
         {
             "key": KEYS,
             "row_tomb": st.one_of(st.none(), TS),
             "cells": st.lists(cell_write, max_size=4),
+            "range_tombs": st.lists(range_tomb, max_size=2),
         }
     ),
     max_size=12,
@@ -65,10 +72,14 @@ def _dedupe_generation(rows):
     holds one partition per key)."""
     by_key: dict[int, dict] = {}
     for r in rows:
-        slot = by_key.setdefault(r["key"], {"row_tomb": None, "cells": []})
+        slot = by_key.setdefault(
+            r["key"], {"row_tomb": None, "cells": [], "range_tombs": []}
+        )
         if r["row_tomb"] is not None:
             slot["row_tomb"] = max(slot["row_tomb"] or 0, r["row_tomb"])
         slot["cells"].extend(r["cells"])
+        for lo, hi, ts in r.get("range_tombs", ()):
+            slot["range_tombs"].append((min(lo, hi), max(lo, hi), ts))
     return by_key
 
 
@@ -77,9 +88,10 @@ def _model(gens) -> dict[int, dict[str, str | None]]:
     acc: dict[int, dict] = {}
     for g, rows in enumerate(gens, start=1):
         for key, slot in _dedupe_generation(rows).items():
-            m = acc.setdefault(key, {"tomb": None, "cells": {}})
+            m = acc.setdefault(key, {"tomb": None, "cells": {}, "rts": []})
             if slot["row_tomb"] is not None:
                 m["tomb"] = max(m["tomb"] or 0, slot["row_tomb"])
+            m["rts"].extend(slot["range_tombs"])
             for wcell in slot["cells"]:
                 c = _mk_cell(wcell)
                 rank = (c.timestamp, c.is_tombstone, c.value, g)
@@ -93,6 +105,8 @@ def _model(gens) -> dict[int, dict[str, str | None]]:
             if c.is_tombstone:
                 continue
             if m["tomb"] is not None and c.timestamp <= m["tomb"]:
+                continue
+            if any(lo <= col <= hi and c.timestamp <= ts for lo, hi, ts in m["rts"]):
                 continue
             if c.flags & FLAG_EXPIRING and c.local_expiration <= READ_TS:
                 continue
@@ -124,7 +138,11 @@ def test_randomized_snapshot_matches_model(tmp_path_factory, gens, splits):
                 Partition(
                     enc(key),
                     marked_for_delete_at=slot["row_tomb"] if slot["row_tomb"] else -(2**63),
-                    cells=[_mk_cell(c) for c in slot["cells"]],
+                    cells=[_mk_cell(c) for c in slot["cells"]]
+                    + [
+                        range_tombstone(lo.encode(), hi.encode(), ts)
+                        for lo, hi, ts in slot["range_tombs"]
+                    ],
                 )
             )
         w.close()
@@ -146,3 +164,252 @@ def test_randomized_snapshot_matches_model(tmp_path_factory, gens, splits):
                 assert k not in got, "duplicate key emitted"
                 got[k] = {n: v for n, v in zip("abc", (a, b, c)) if v is not None}
     assert got == _model(gens)
+
+
+# ------------------------------------------------------ wide-row property
+
+WIDE_NAMES = st.sampled_from(["m", "n", "o", "p", "q"])
+
+wide_write = st.fixed_dictionaries(
+    {
+        "key": KEYS,
+        "name": WIDE_NAMES,
+        "value": st.text(alphabet="uv", min_size=0, max_size=4),
+        "ts": TS,
+        "tomb": st.booleans(),
+    }
+)
+
+
+@given(
+    gens=st.lists(st.lists(wide_write, max_size=10), min_size=1, max_size=4),
+    row_tombs=st.lists(st.tuples(KEYS, TS), max_size=3),
+    splits=st.integers(1, 4),
+)
+@settings(max_examples=80, deadline=None)
+def test_wide_row_randomized_matches_model(tmp_path_factory, gens, row_tombs, splits):
+    """Wide mode: dynamic columns merge per (key, name) across files."""
+    tmp = str(tmp_path_factory.mktemp("wideprop"))
+    enc = get_validator("LongType").encode
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [],
+        "wide": True,
+        "wide_validator": "UTF8Type",
+    }
+    n_gens = len(gens)
+    for g, writes in enumerate(gens, start=1):
+        by_key: dict[int, list[Cell]] = {}
+        for w_ in writes:
+            by_key.setdefault(w_["key"], []).append(
+                Cell(
+                    w_["name"].encode(),
+                    b"" if w_["tomb"] else w_["value"].encode(),
+                    w_["ts"],
+                    FLAG_TOMBSTONE if w_["tomb"] else 0,
+                )
+            )
+        # last generation also carries the row tombstones
+        tombs = dict.fromkeys((k for k, _ in row_tombs), None) if g == n_gens else {}
+        for k, ts in row_tombs:
+            if g == n_gens:
+                tombs[k] = max(ts, tombs[k] or 0)
+        w = SSTableWriter(tmp, "ks", "wideprop", g, schema, chunk_len=256)
+        for key in sorted(set(by_key) | set(tombs)):
+            w.append(
+                Partition(
+                    enc(key),
+                    marked_for_delete_at=tombs.get(key) or -(2**63),
+                    cells=by_key.get(key, []),
+                )
+            )
+        w.close()
+
+    # independent model: LWW per (key, name); row tombs suppress <= ts
+    tomb_by_key: dict[int, int] = {}
+    for k, ts in row_tombs:
+        tomb_by_key[k] = max(ts, tomb_by_key.get(k, 0))
+    best: dict[tuple[int, str], tuple] = {}
+    for g, writes in enumerate(gens, start=1):
+        for w_ in writes:
+            val = b"" if w_["tomb"] else w_["value"].encode()
+            rank = (w_["ts"], w_["tomb"], val, g)
+            cur = best.get((w_["key"], w_["name"]))
+            if cur is None or rank > cur:
+                best[(w_["key"], w_["name"])] = rank
+    expected = set()
+    for (k, name), (ts, tomb, val, _g) in best.items():
+        if tomb or ts <= tomb_by_key.get(k, -1):
+            continue
+        expected.add((k, name, val.decode() if val else None, ts))
+
+    reader = SSTableDataSourceReader({"path": tmp, "splits": str(splits)}, None)
+    got = set()
+    for p in reader.partitions():
+        for item in reader.read(p):
+            rows_out = (
+                [tuple(d.values()) for d in item.to_pylist()]
+                if isinstance(item, pa.RecordBatch)
+                else [tuple(item)]
+            )
+            for row in rows_out:
+                assert row not in got, "duplicate wide cell emitted"
+                got.add(row)
+    assert got == expected
+
+
+# ------------------------------------------------------- counter property
+
+counter_write = st.fixed_dictionaries(
+    {
+        "key": st.integers(min_value=0, max_value=20),
+        "col": COLS,
+        "delta": st.integers(min_value=-100, max_value=100),
+        "ts": TS,
+        "reset": st.booleans(),  # True → cell tombstone (counter reset)
+    }
+)
+
+
+@given(
+    gens=st.lists(st.lists(counter_write, max_size=8), min_size=1, max_size=4),
+    splits=st.integers(1, 3),
+)
+@settings(max_examples=80, deadline=None)
+def test_counter_randomized_matches_model(tmp_path_factory, gens, splits):
+    """Counters: live deltas newer than any reset sum commutatively."""
+    import struct as _struct
+
+    tmp = str(tmp_path_factory.mktemp("ctrprop"))
+    enc = get_validator("LongType").encode
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [["a", "LongType"], ["b", "LongType"], ["c", "LongType"]],
+    }
+    for g, writes in enumerate(gens, start=1):
+        by_key: dict[int, list[Cell]] = {}
+        for w_ in writes:
+            if w_["reset"]:
+                cell = Cell(w_["col"].encode(), b"", w_["ts"], FLAG_TOMBSTONE)
+            else:
+                cell = Cell(
+                    w_["col"].encode(),
+                    _struct.pack(">q", w_["delta"]),
+                    w_["ts"],
+                    FLAG_COUNTER,
+                )
+            by_key.setdefault(w_["key"], []).append(cell)
+        w = SSTableWriter(tmp, "ks", "ctrprop", g, schema, chunk_len=256)
+        for key in sorted(by_key):
+            w.append(Partition(enc(key), cells=by_key[key]))
+        w.close()
+
+    # model: per (key, col), floor = newest reset ts; sum deltas > floor
+    resets: dict[tuple[int, str], int] = {}
+    deltas: dict[tuple[int, str], list[tuple[int, int]]] = {}
+    for writes in gens:
+        for w_ in writes:
+            kc = (w_["key"], w_["col"])
+            if w_["reset"]:
+                resets[kc] = max(w_["ts"], resets.get(kc, 0))
+            else:
+                deltas.setdefault(kc, []).append((w_["ts"], w_["delta"]))
+    expected: dict[int, dict[str, int]] = {}
+    for kc, ds in deltas.items():
+        floor = resets.get(kc, -(2**63))
+        alive = [d for ts, d in ds if ts > floor]
+        if alive:
+            expected.setdefault(kc[0], {})[kc[1]] = sum(alive)
+
+    reader = SSTableDataSourceReader({"path": tmp, "splits": str(splits)}, None)
+    got: dict[int, dict[str, int]] = {}
+    for p in reader.partitions():
+        for item in reader.read(p):
+            rows_out = (
+                [tuple(d.values()) for d in item.to_pylist()]
+                if isinstance(item, pa.RecordBatch)
+                else [tuple(item)]
+            )
+            for k, a, b, c in rows_out:
+                assert k not in got
+                got[k] = {n: v for n, v in zip("abc", (a, b, c)) if v is not None}
+    assert got == {k: v for k, v in expected.items() if v}
+
+
+# ------------------------------------------------------ clustered property
+
+clustered_write = st.fixed_dictionaries(
+    {
+        "key": st.integers(min_value=0, max_value=15),
+        "ck": st.integers(min_value=0, max_value=5),
+        "col": st.sampled_from(["a", "b"]),
+        "value": st.text(alphabet="rs", min_size=1, max_size=3),
+        "ts": TS,
+    }
+)
+
+
+@given(
+    gens=st.lists(st.lists(clustered_write, max_size=10), min_size=1, max_size=3),
+    splits=st.integers(1, 3),
+)
+@settings(max_examples=80, deadline=None)
+def test_clustered_randomized_matches_model(tmp_path_factory, gens, splits):
+    """CQL3 mode: composite cells group into rows per (key, ck); cell
+    LWW applies per (key, ck, field) across generations."""
+    tmp = str(tmp_path_factory.mktemp("cqlprop"))
+    kenc = get_validator("LongType").encode
+    ckv = get_validator("Int32Type")
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [["a", "UTF8Type"], ["b", "UTF8Type"]],
+        "clustering": [["ck", "Int32Type"]],
+    }
+    for g, writes in enumerate(gens, start=1):
+        by_key: dict[int, list[Cell]] = {}
+        for w_ in writes:
+            prefix = [ckv.encode(w_["ck"])]
+            cells = by_key.setdefault(w_["key"], [])
+            cells.append(Cell(encode_composite(prefix + [b""]), b"", w_["ts"]))
+            cells.append(
+                Cell(
+                    encode_composite(prefix + [w_["col"].encode()]),
+                    w_["value"].encode(),
+                    w_["ts"],
+                )
+            )
+        w = SSTableWriter(tmp, "ks", "cqlprop", g, schema, chunk_len=256)
+        for key in sorted(by_key):
+            w.append(Partition(kenc(key), cells=by_key[key]))
+        w.close()
+
+    # model: LWW per (key, ck, field); a written (key, ck) always has a
+    # live row marker, so every touched row exists
+    best: dict[tuple[int, int, str], tuple] = {}
+    for g, writes in enumerate(gens, start=1):
+        for w_ in writes:
+            kcf = (w_["key"], w_["ck"], w_["col"])
+            rank = (w_["ts"], False, w_["value"].encode(), g)
+            cur = best.get(kcf)
+            if cur is None or rank > cur:
+                best[kcf] = rank
+    expected: dict[tuple[int, int], dict[str, str]] = {}
+    for writes in gens:
+        for w_ in writes:
+            expected.setdefault((w_["key"], w_["ck"]), {})
+    for (k, ck, col), (ts, _t, val, _g) in best.items():
+        expected[(k, ck)][col] = val.decode()
+
+    reader = SSTableDataSourceReader({"path": tmp, "splits": str(splits)}, None)
+    got: dict[tuple[int, int], dict[str, str]] = {}
+    for p in reader.partitions():
+        for item in reader.read(p):
+            rows_out = (
+                [tuple(d.values()) for d in item.to_pylist()]
+                if isinstance(item, pa.RecordBatch)
+                else [tuple(item)]
+            )
+            for k, ck, a, b in rows_out:
+                assert (k, ck) not in got, "duplicate CQL3 row emitted"
+                got[(k, ck)] = {n: v for n, v in zip("ab", (a, b)) if v is not None}
+    assert got == expected
