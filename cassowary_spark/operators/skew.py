@@ -1,0 +1,55 @@
+"""Skew mitigation for shuffle joins (SURVEY.md §4; SCALE.md).
+
+AQE's skew-join splitting handles most hot keys automatically, but it
+only kicks in for sort-merge joins with statistics at runtime. The
+explicit salted join here is the deterministic fallback a pipeline
+pins when a known-hot key (a null-ish default id, a celebrity user, a
+crawler's empty-document hash) would otherwise route one giant
+partition to one task:
+
+- the BIG side gets a uniform salt in [0, salts) per row — its hot
+  key's rows now spread over ``salts`` partitions;
+- the SMALL side (too big to broadcast, too small to matter) is
+  replicated once per salt value — ``salts`` copies, the price paid
+  for the spread;
+- the join keys on (key, salt), so per-task input is bounded by
+  |hot key| / salts.
+
+Row-level salt assignment is arbitrary by construction (any row can
+land in any replica); results are identical for every assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str | Column,
+    small_key: str | Column,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` with an explicit ``salts``-way spread.
+
+    ``how`` supports inner/left (semantics preserved: each big row
+    carries exactly one salt, so unmatched rows surface once). Right
+    and full joins would multiply unmatched small rows per replica —
+    rejected.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    bk = F.col(big_key) if isinstance(big_key, str) else big_key
+    sk = F.col(small_key) if isinstance(small_key, str) else small_key
+    b = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)).cast("int"),
+    )
+    s = small.withColumn(
+        "__rep", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    joined = b.join(s, (bk == sk) & (F.col("__salt") == F.col("__rep")), how)
+    return joined.drop("__salt", "__rep")

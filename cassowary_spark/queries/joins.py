@@ -246,3 +246,37 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             srnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_skew",
+    oracle="""
+    SELECT s.s_nationkey,
+           count(*) AS n_lineitems,
+           floor((sum(l.l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted (skew-spread) equi-join (B5 under skew; SCALE.md).
+
+    The explicit 8-way salt spreads any hot l_suppkey over 8 tasks by
+    replicating the supplier side per salt — the deterministic skew
+    mitigation for when AQE's runtime splitting can't apply (non-SMJ
+    plans, or a known-hot key pinned ahead of time). Results are
+    byte-identical to the unsalted join, which is exactly what the
+    oracle checks.
+    """
+    from cassowary_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        salted_join(li, s, "l_suppkey", "s_suppkey", salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            srnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

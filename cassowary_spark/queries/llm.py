@@ -508,3 +508,37 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     binary = attach_binary(d, "doc_id", "text")
     return sample_frames(binary, every_n=2).select("doc_id", "frame_no", "frame_bytes")
+
+
+# ---------------------------------------------------------------- sampling
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           min(doc_id) AS min_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    GROUP BY lang
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~10%) — the training-data split.
+
+    Sampling by content-stable hash (not rand()) is how corpus
+    pipelines shard: the same doc lands in the same split on every
+    run, across engines, regardless of partitioning — so train/val
+    splits survive reprocessing. The predicate is a pure row-local
+    filter (no shuffle, no state); the only shuffle is the final
+    per-lang count. ~10.2% = 26/256 of the first hash byte.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "1a"
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+    )

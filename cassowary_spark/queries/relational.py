@@ -104,3 +104,52 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (B4) — partial-agg dedup before the shuffle."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "q_sql_report",
+    oracle="""
+    SELECT n.n_name,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface (the HiveQL role Shark played): a TPC-H-Q5-ish
+    six-table report submitted as one ``spark.sql`` string over
+    registered temp views — proof the engine's whole relational
+    surface is reachable without the DataFrame API.
+
+    Catalyst plans it identically to the DataFrame twin: region/nation
+    broadcast, the fact-side joins shuffle on their keys, AQE reorders
+    and broadcast-converts the post-filter orders side when small.
+    """
+    for t in ["region", "nation", "customer", "orders", "lineitem", "supplier"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+               count(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY n.n_name
+        """
+    )

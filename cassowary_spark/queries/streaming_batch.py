@@ -169,3 +169,45 @@ def q_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return value_capped_sessions_batch(ev, gap_minutes=30, cap=200.0)
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           v.ts AS view_ts,
+           c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch form): views ⋈ same-user
+    clicks within 30 minutes.
+
+    The streaming twin (streaming/jobs.view_click_join, equivalence
+    tested) watermarks both sides so state retention is bounded by
+    watermark + interval; this batch form is the same plan over the
+    static table — an equi-join on user_id with a range residual, so
+    the shuffle is an ordinary hash partition, never a cartesian.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    return v.join(
+        c,
+        F.expr(
+            "v.user_id = c.user_id AND c.ts >= v.ts"
+            " AND c.ts <= v.ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )

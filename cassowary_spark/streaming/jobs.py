@@ -94,6 +94,34 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "value", "c_mktsegment")
 
 
+def view_click_join(
+    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each view pairs with the same
+    user's clicks in [view_ts, view_ts + within].
+
+    Both sides carry watermarks and the join condition bounds event
+    time, so per-side state retention is watermark + interval — the
+    state store never grows unboundedly. Inner joins emit on match
+    (no watermark wait); the equi-key (user_id) keeps the shuffle an
+    ordinary hash partition on both streams.
+    """
+    v = events.filter(F.col("event_type") == "view").withWatermark("ts", watermark).alias("v")
+    c = events.filter(F.col("event_type") == "click").withWatermark("ts", watermark).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a streaming DataFrame into an in-memory sink (tests).
 

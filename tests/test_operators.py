@@ -207,3 +207,24 @@ def test_sample_frames_plumbing(spark):
     assert bytes(by_doc[1][0].frame) == b"x" * 64
     assert [(r.frame_no, r.frame_bytes) for r in by_doc[2]] == [(0, 64)]
     assert fake_frames(b"x" * 200, 2) == [b"x" * 64, b"x" * 64]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from cassowary_spark.operators.skew import salted_join
+    from cassowary_spark.tables import load_table
+    import pytest as _pytest
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    plain = li.join(s, li.l_suppkey == s.s_suppkey).count()
+    salted = salted_join(li, s, "l_suppkey", "s_suppkey", salts=4).count()
+    assert salted == plain
+    # left join: unmatched big rows survive exactly once
+    li_phantom = li.union(
+        spark.createDataFrame([(999_999_999, 999_999_999)], "l_orderkey long, l_suppkey long")
+    )
+    left = salted_join(li_phantom, s, "l_suppkey", "s_suppkey", salts=4, how="left")
+    assert left.count() == plain + 1
+    assert left.filter("s_suppkey IS NULL").count() == 1
+    with _pytest.raises(ValueError):
+        salted_join(li, s, "l_suppkey", "s_suppkey", how="full")

@@ -102,3 +102,43 @@ def test_no_row_at_a_time_python_anywhere(q):
     # (BatchEvalPython) are banned from all query plans (SCALE.md).
     for name, df in q.items():
         assert "BatchEvalPython" not in plan_of(df), name
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketing co-locates both join sides (SCALE.md): writing fact
+    and dim bucketed+sorted by the join key makes the sort-merge join
+    read bucket files directly — zero Exchange in the join subtree.
+    At 100 TB this is the difference between joining in place and
+    re-shuffling both tables every query."""
+    import shutil
+
+    from cassowary_spark.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bucketed", "ord_bucketed"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)  # orphaned runs
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_bucketed"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("ord_bucketed"))
+    joined = spark.table("li_bucketed").join(
+        spark.table("ord_bucketed"),
+        spark.table("li_bucketed").l_orderkey == spark.table("ord_bucketed").o_orderkey,
+    )
+    # sf0.001 fits under the broadcast threshold; disable it so the
+    # plan is the SMJ a 100 TB fact-fact join would get
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p  # co-located: no shuffle on either side
+    assert "SelectedBucketsCount" in p
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")

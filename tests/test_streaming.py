@@ -189,3 +189,33 @@ def test_stream_capped_sessions_equals_batch(spark, sf_dir, tmp_path_factory):
     k = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
     assert {k(r) for r in got} == {k(r) for r in batch}
     assert len(got) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join: same pairs as the batch twin.
+
+    Inner joins emit on match, so a huge watermark only delays state
+    CLEANUP, never results — every pair must appear once both sides'
+    files are processed.
+    """
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _drain(
+        spark,
+        jobs.view_click_join(stream, watermark="100 days"),
+        "t_ssjoin",
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    batch = v.join(
+        c,
+        F.expr(
+            "v.user_id = c.user_id AND c.ts >= v.ts"
+            " AND c.ts <= v.ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("v.event_id").alias("view_id"), F.col("c.event_id").alias("click_id")
+    ).collect()
+    assert {(r.view_id, r.click_id) for r in got} == {
+        (r.view_id, r.click_id) for r in batch
+    }
