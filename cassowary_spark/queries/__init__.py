@@ -15,6 +15,7 @@ _MODULES = (
     "udf",
     "streaming_batch",
     "llm",
+    "pipeline",
 )
 
 _loaded = False

@@ -207,3 +207,32 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(srnd(F.sum("o_totalprice"), 2))
     )
     return piv
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS n,
+           floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS lo,
+           floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS hi
+    FROM orders GROUP BY bin
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (B16-adjacent): bin =
+    floor(price / 50000). Binning is a row-local projection, so the
+    whole histogram is one partial-agg groupBy over ~tens of bins —
+    the reduce side is trivially small at any corpus size (the
+    canonical map-side-combine win).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bin", F.floor(F.col("o_totalprice") / 50000))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            srnd(F.min("o_totalprice"), 2).alias("lo"),
+            srnd(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

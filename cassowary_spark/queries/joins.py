@@ -280,3 +280,37 @@ def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             srnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    SELECT levenshtein(a.s_name, b.s_name) AS distance,
+           count(*) AS n_pairs
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    GROUP BY distance
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join on supplier names (B11-adjacent
+    similarity join): pairs within Levenshtein distance 2, bucketed by
+    distance.
+
+    Locally this is the exact quadratic form (a broadcast
+    nested-loop with the key-inequality pruning half the matrix). At
+    100 TB the same operator runs with a blocking stage first — join
+    on a cheap equi-key block (name length band, first-k prefix, or a
+    q-gram bucket) and apply levenshtein only within blocks, turning
+    O(n²) into per-block quadratics; the fixture names share one
+    prefix so blocking degenerates and exact is honest here.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a, b = s.alias("a"), s.alias("b")
+    lev = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .filter(lev <= 2)
+        .groupBy(lev.alias("distance"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -153,3 +153,64 @@ def q_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+_SUBQUERY_SQL = """
+    SELECT o.o_orderpriority,
+           count(*) AS n_big_orders
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      AND o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("q_subquery", oracle=_SUBQUERY_SQL)
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar, correlated-EXISTS, and IN subqueries in one statement —
+    the decorrelation surface (B14-ish; Catalyst rewrites them to a
+    scalar-agg cross join plus left-semi joins).
+
+    Identical SQL text runs on both engines. Plan shape at scale: the
+    scalar avg is a 1-row broadcast; EXISTS/IN become semi-joins that
+    shuffle on their equi-keys (AQE broadcasts the post-filter
+    customer side when small). The avg predicate compares unrounded
+    doubles, safe because order prices are cents-quantized — no value
+    sits within float-error distance of the mean.
+    """
+    for t in ["orders", "lineitem", "customer"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderstatus,
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+               CAST(count(*) AS DOUBLE) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'sum_price' AS measure, sum_price AS amount FROM agg
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS amount FROM agg
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (B4-adjacent): wide per-status measures to long
+    (status, measure, amount) form — `DataFrame.unpivot`, the inverse
+    of `q_pivot`. The melt is a row-local generate (no shuffle beyond
+    the feeding agg); the oracle spells it as UNION ALL, which is the
+    same logical expansion.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        srnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return agg.unpivot(
+        ["o_orderstatus"], ["sum_price", "n_orders"], "measure", "amount"
+    )
