@@ -307,10 +307,13 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     a, b = s.alias("a"), s.alias("b")
-    lev = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    # Threshold-bounded levenshtein (Spark 3.5+): banded DP that bails
+    # out once the distance provably exceeds k — O(len·k) per pair
+    # instead of O(len²), and returns -1 past the bound (= our filter).
+    lev = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"), 2)
     return (
         a.join(F.broadcast(b), F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .filter(lev <= 2)
+        .filter(lev >= 0)
         .groupBy(lev.alias("distance"))
         .agg(F.count("*").alias("n_pairs"))
     )
