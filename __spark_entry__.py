@@ -31,12 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-query adjudication window covers the queries that
+    most need a hard correctness row this round (registry.DRIVER_PRIORITY)."""
     registry.load_all()
-    return dict(registry.QUERIES)
+    return registry.ordered(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query key (omitted ⇒ rows-only)."""
     registry.load_all()
-    return dict(registry.ORACLES)
+    return registry.ordered(registry.ORACLES)

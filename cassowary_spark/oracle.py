@@ -34,12 +34,20 @@ def _norm_cell(v: Any) -> Any:
         return "<NULL>"
     if isinstance(v, np.generic):
         v = v.item()  # numpy scalars repr differently from python scalars
+    if isinstance(v, bool):
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"  # pandas renders SQL NULL doubles as NaN
         if v == 0.0:
-            return 0.0  # collapse -0.0 / +0.0
-        return v
+            v = 0.0  # collapse -0.0 / +0.0
+        # Tag floats so int64 462 != double 462.0 — the driver's value
+        # hash is type-sensitive, and Python's 462 == 462.0 would mask
+        # exactly the LONG-vs-DOUBLE divergence that failed q_fn_math
+        # in round 1. Tagging makes equality and the repr-sort agree.
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if hasattr(v, "isoformat"):

@@ -68,17 +68,38 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")  # rows-only: HLL++ sketch values differ from DuckDB's
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*)                  AS n_rows,
+           TRUE                      AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++, B16) — the scale path for NDV.
 
-    No oracle: sketch estimates are engine-specific; the pytest suite
-    asserts <5% relative error against the exact count instead.
+    Sketch estimates are engine-specific, so the raw approx value can't
+    be oracle-hashed; instead the query emits the exact count plus a
+    deterministic "the sketch is within 5% of exact" boolean, and the
+    oracle asserts exact + TRUE. The HLL++ rsd is 2%, so 5% is a
+    stable margin, and B16 now contributes a hard driver signal.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02).cast("double")
+                - F.countDistinct("l_partkey").cast("double")
+            )
+            / F.countDistinct("l_partkey").cast("double")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -147,15 +147,20 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.abs(bal - 500).alias("dist500"),
         srnd(bal, 1).alias("bal_r1"),
-        F.ceil(bal).alias("bal_ceil"),
-        F.floor(bal).alias("bal_floor"),
+        # Spark ceil/floor → LONG but DuckDB's → DOUBLE; the driver's
+        # value hash is type-sensitive (int64 != double even when equal),
+        # so cast to double to match the oracle exactly (round-1 red).
+        F.ceil(bal).cast("double").alias("bal_ceil"),
+        F.floor(bal).cast("double").alias("bal_floor"),
         srnd(F.exp(bal / 1000), 4).alias("e_bal"),
         srnd(F.log(F.abs(bal) + 1), 4).alias("ln_bal"),
         srnd(F.log10(F.abs(bal) + 1), 4).alias("log10_bal"),
         srnd(F.log2(F.abs(bal) + 1), 4).alias("log2_bal"),
         srnd(F.pow(bal, 2), 2).alias("bal_sq"),
         srnd(F.sqrt(F.abs(bal)), 4).alias("bal_sqrt"),
-        F.signum(bal - 500).alias("bal_sign"),
+        # DuckDB sign() → INTEGER, Spark signum() → DOUBLE; cast to int
+        # so both engines hash the value as a python int.
+        F.signum(bal - 500).cast("int").alias("bal_sign"),
         srnd(F.sin(bal / 100), 4).alias("sin_b"),
         srnd(F.cos(bal / 100), 4).alias("cos_b"),
         srnd(F.degrees(bal / 1000), 4).alias("deg_b"),

@@ -97,13 +97,16 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join = NOT EXISTS (B8)."""
+    """Left anti join = NOT EXISTS (B8): customers with no pending
+    orders. (Every customer has *some* order at sf0.01, so the anti is
+    against the P-status subset — 56 rows, a non-trivial result.)"""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
 
 
@@ -297,23 +300,17 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity join): pairs within Levenshtein distance 2, bucketed by
     distance.
 
-    Locally this is the exact quadratic form (a broadcast
-    nested-loop with the key-inequality pruning half the matrix). At
-    100 TB the same operator runs with a blocking stage first — join
-    on a cheap equi-key block (name length band, first-k prefix, or a
-    q-gram bucket) and apply levenshtein only within blocks, turning
-    O(n²) into per-block quadratics; the fixture names share one
-    prefix so blocking degenerates and exact is honest here.
+    Round 1 ran this as a broadcast nested-loop over all O(n²) pairs —
+    the one scale-killer the round-1 audit flagged. Now it uses the
+    symmetric-delete blocked join (operators/fuzzy.py): deletion-
+    variant explode → equi-join on the 64-bit variant hash → bounded
+    levenshtein verify. Recall-lossless at threshold 2 (ed≤2 pairs
+    always share a deletion variant — pigeonhole on the edited
+    positions), so the oracle is the same exact quadratic SQL; the
+    plan has no BroadcastNestedLoopJoin (asserted in tests/test_plans).
     """
+    from cassowary_spark.operators.fuzzy import fuzzy_self_join
+
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    a, b = s.alias("a"), s.alias("b")
-    # Threshold-bounded levenshtein (Spark 3.5+): banded DP that bails
-    # out once the distance provably exceeds k — O(len·k) per pair
-    # instead of O(len²), and returns -1 past the bound (= our filter).
-    lev = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"), 2)
-    return (
-        a.join(F.broadcast(b), F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .filter(lev >= 0)
-        .groupBy(lev.alias("distance"))
-        .agg(F.count("*").alias("n_pairs"))
-    )
+    pairs = fuzzy_self_join(s, key_col="s_suppkey", str_col="s_name", k=2)
+    return pairs.groupBy("distance").agg(F.count("*").alias("n_pairs"))

@@ -152,7 +152,7 @@ _CHUNK_TOKENS = 512
     SELECT source,
            CAST(floor(start_tok / {_CHUNK_TOKENS}) AS BIGINT) AS chunk_id,
            count(*) AS n_docs,
-           sum(n_tok) AS n_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM placed GROUP BY source, chunk_id
@@ -214,7 +214,7 @@ _EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
     SELECT lang,
            count(*) AS n_docs,
            count(*) FILTER (clean <> txt) AS n_redacted,
-           sum(len(txt) - len(clean)) AS chars_removed
+           CAST(sum(len(txt) - len(clean)) AS BIGINT) AS chars_removed
     FROM red GROUP BY lang
     """,
 )

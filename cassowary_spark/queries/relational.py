@@ -110,7 +110,7 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_report",
     oracle="""
     SELECT n.n_name,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           CAST(floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n_items
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -119,8 +119,8 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
     """,
 )
@@ -139,7 +139,7 @@ def q_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name,
-               floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+               CAST(floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) AS DOUBLE) / 100.0 AS revenue,
                count(*) AS n_items
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -148,8 +148,8 @@ def q_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation n   ON s.s_nationkey = n.n_nationkey
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'ASIA'
-          AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n.n_name
         """
     )

@@ -54,16 +54,22 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (B32): nations with customers but no suppliers.
+    """EXCEPT (B32): customers with finished orders but no pending ones.
 
     `subtract` is EXCEPT DISTINCT (any match on the right removes the
     value entirely) — not `exceptAll().distinct()`, which would keep a
-    value that merely occurs more often on the left.
+    value that merely occurs more often on the left. (Every nation has
+    both customers and suppliers at sf0.01, so the round-1 nationkey
+    version returned 0 rows — agreement on empty proves nothing; this
+    form returns 52 rows.)
     """
-    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+    o = load_table(spark, sf_dir, "orders")
+    f_custs = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    p_custs = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return f_custs.subtract(p_custs)
