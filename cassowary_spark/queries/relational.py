@@ -155,6 +155,45 @@ def q_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cluster_by",
+    oracle="""
+    SELECT user_id, event_id, rn FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY (B27) — Hive's repartition + per-partition
+    sort surface, submitted as SQL: cluster events by user_id with rows
+    time-ordered inside each partition, then take each user's first 3
+    events via row_number.
+
+    Scale note: the window's PARTITION BY user_id reuses the exchange
+    introduced by DISTRIBUTE BY user_id — one shuffle total, and the
+    SORT BY feeds the window's required ordering. The deterministic
+    row_number projection (ties broken by event_id) makes an otherwise
+    physical-layout-only operator oracle-checkable; the shuffle-free
+    bucketed-join side of B27 stays plan-audited in tests/test_plans.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH clustered AS (
+            SELECT user_id, event_id, ts FROM events
+            DISTRIBUTE BY user_id SORT BY user_id, ts, event_id
+        )
+        SELECT user_id, event_id, rn FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM clustered
+        ) WHERE rn <= 3
+        """
+    )
+
+
 _SUBQUERY_SQL = """
     SELECT o.o_orderpriority,
            count(*) AS n_big_orders

@@ -474,3 +474,143 @@ def q_sstable_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         srnd(F.col("value"), 4).alias("value"),
         "cell_ts",
     )
+
+
+def build_collections_snapshot(sf_dir: str) -> str:
+    """Materialize per-order lineitem collections as a CQL3 snapshot
+    (cached): partition key l_orderkey, clustering key n_items, plus
+    three collection columns — ``prices list<double>`` (one element
+    per lineitem, position-keyed), ``supp_set set<long>`` (distinct
+    suppkeys, element-in-cell-name), ``qty_map map<int,double>``
+    (linenumber → max quantity; keys pre-deduped because map cell
+    names must be unique). Element cells are dealt round-robin across
+    two generations, so every single collection must merge its cells
+    across sstable files."""
+    import duckdb
+
+    from cassowary_spark.sources.convert import write_collections_snapshot
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    snap = os.path.join(
+        repo_root, ".sstable_cache", os.path.basename(sf_dir.rstrip("/")), "lineitem_coll"
+    )
+    if os.path.exists(os.path.join(snap, "ks-lineitem-jb-2-TOC.txt")):
+        return snap
+    con = duckdb.connect()
+    t = con.execute(
+        f"""
+        WITH src AS (SELECT * FROM read_parquet('{table_path(sf_dir, "lineitem")}')),
+        per_ln AS (
+            SELECT l_orderkey, l_linenumber, max(l_quantity) AS q
+            FROM src GROUP BY 1, 2
+        ),
+        maps AS (
+            SELECT l_orderkey,
+                   list(l_linenumber ORDER BY l_linenumber) AS qk,
+                   list(q ORDER BY l_linenumber) AS qv
+            FROM per_ln GROUP BY 1
+        ),
+        base AS (
+            SELECT l_orderkey,
+                   CAST(count(*) AS INT) AS n_items,
+                   list(l_extendedprice ORDER BY l_linenumber, l_extendedprice) AS prices,
+                   list(DISTINCT l_suppkey) AS supp_set
+            FROM src GROUP BY 1
+        )
+        SELECT b.l_orderkey, b.n_items, b.prices, b.supp_set, m.qk, m.qv
+        FROM base b JOIN maps m USING (l_orderkey)
+        ORDER BY l_orderkey
+        """
+    ).arrow()
+    con.close()
+    write_collections_snapshot(
+        pa_table_combine(t), snap,
+        key_col="l_orderkey", clustering_cols=["n_items"],
+        list_cols={"prices": "DoubleType"},
+        set_cols={"supp_set": "LongType"},
+        map_cols={"qty_map": ("qk", "qv", "Int32Type", "DoubleType")},
+        keyspace="ks", name="lineitem", generations=2,
+    )
+    return snap
+
+
+def pa_table_combine(t):
+    """ChunkedArray → single chunk so to_pydict row indexing is O(1)."""
+    return t.combine_chunks()
+
+
+@query(
+    "q_sstable_collections",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS INT) AS n_items,
+           count(*) AS n_prices,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_prices,
+           count(DISTINCT l_suppkey) AS n_supps,
+           min(l_suppkey) AS min_supp,
+           max(l_suppkey) AS max_supp,
+           count(DISTINCT l_linenumber) AS n_qty,
+           floor((max(CASE WHEN l_linenumber = 1 THEN l_quantity END)) * 10000.0 + 0.5) / 10000.0 AS qty_l1
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_sstable_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL3 collection columns (A4/§1.1): list<double>, set<long>, and
+    map<int,double> decoded from collection-keyed composite cells, each
+    collection merged from cells interleaved across two generations.
+
+    Collection values are reduced to scalars (sizes, sums, element
+    lookups) so the oracle hash is representation-independent — the
+    same convention as q_fn_array. ``sum_prices`` folds the decoded
+    list in element order; ``qty_l1`` is a map lookup on key 1.
+    """
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_collections_snapshot(sf_dir)
+    df = read_sstable(spark, snap)
+    return df.select(
+        "l_orderkey",
+        "n_items",
+        F.size("prices").alias("n_prices"),
+        srnd(F.aggregate("prices", F.lit(0.0), lambda acc, x: acc + x), 2).alias("sum_prices"),
+        F.size("supp_set").alias("n_supps"),
+        F.array_min("supp_set").alias("min_supp"),
+        F.array_max("supp_set").alias("max_supp"),
+        F.size("qty_map").alias("n_qty"),
+        srnd(F.element_at("qty_map", F.lit(1)), 4).alias("qty_l1"),
+    )
+
+
+@query(
+    "q_sstable_sink",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           floor(s_acctbal * 10000.0 + 0.5) / 10000.0 AS s_acctbal
+    FROM supplier
+    """,
+)
+def q_sstable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSTable sink round-trip (A6): write supplier through
+    ``df.write.format("sstable")`` (each task stages one generation,
+    driver commit renames them in), then read the snapshot back merged.
+
+    The write runs on every call (mode=overwrite, no caching) so the
+    staged-commit path is actually exercised by the driver, not just
+    by pytest. Hash-partitioned tasks give key-disjoint generations;
+    the merged read reconciles them back to exactly the input rows —
+    which is what the oracle (the source table itself) asserts.
+    """
+    from cassowary_spark.sources.sstable_datasource import read_sstable, write_sstable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    snap = os.path.join(
+        repo_root, ".sstable_cache", os.path.basename(sf_dir.rstrip("/")), "supplier_sink"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    write_sstable(s.repartition(4, "s_suppkey"), snap, key="s_suppkey", mode="overwrite")
+    return read_sstable(spark, snap).select(
+        "s_suppkey", "s_name", "s_nationkey",
+        srnd(F.col("s_acctbal"), 4).alias("s_acctbal"),
+    )

@@ -47,10 +47,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_math", "q_sql_report", "q_join_anti", "q_except",
     "q_agg_approx", "q_fuzzy_join",
     # new operators this round
-    "q_cluster_by", "q_sstable_collections",
+    "q_cluster_by", "q_sstable_collections", "q_sstable_sink",
     # high-value re-confirmations (green in round 1)
     "q_flagship", "q_scan", "q_sstable_scan", "q_join_inner",
-    "q_join_asof", "q_agg_basic", "q_window_rank",
+    "q_join_asof", "q_agg_basic",
 )
 
 

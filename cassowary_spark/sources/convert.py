@@ -11,6 +11,7 @@ the scan/merge/reconcile path end-to-end (SURVEY.md §7 M5).
 from __future__ import annotations
 
 import os
+import struct
 from datetime import datetime
 from decimal import Decimal
 
@@ -354,6 +355,140 @@ def write_clustered_snapshot(
                         ts,
                     )
                 )
+        w = SSTableWriter(
+            out_dir, keyspace, name, g + 1, schema,
+            compression=compression, expected_keys=len(by_key),
+        )
+        for key in sorted(by_key):
+            w.append(Partition(key, cells=by_key[key]))
+        w.close()
+    return out_dir
+
+
+def write_collections_snapshot(
+    table: pa.Table,
+    out_dir: str,
+    key_col: str,
+    clustering_cols: list[str],
+    list_cols: dict[str, str] | None = None,
+    set_cols: dict[str, str] | None = None,
+    map_cols: dict[str, tuple[str, str, str, str]] | None = None,
+    keyspace: str = "ks",
+    name: str = "coll",
+    generations: int = 2,
+    base_timestamp: int = 1_000,
+    compression: str | None = "deflate",
+) -> str:
+    """Write a CQL3 table with collection columns (list/set/map).
+
+    Cassandra's public on-disk layout for CQL3 collections: every
+    element is one cell whose composite name appends a *collection
+    key* component after the field-name component —
+
+    - ``list<T>``: key = 16-byte position uuid (here a deterministic
+      BE counter — byte order == insertion order, as timeuuids are
+      time-ordered), cell value = the T-encoded element;
+    - ``set<T>``: key = the T-encoded element itself, value empty;
+    - ``map<K,V>``: key = K-encoded map key, value = V-encoded value.
+
+    Inputs: ``list_cols``/``set_cols`` map an arrow list-typed column
+    to its element validator; ``map_cols`` maps an output column name
+    to (keys_col, values_col, key_validator, value_validator) built
+    from two parallel arrow list columns. Element cells are dealt
+    round-robin across ``generations``, so reading a single logical
+    collection requires merging cells across sstable files — the
+    cross-file reconcile path, exercised per element.
+    """
+    list_cols = list_cols or {}
+    set_cols = set_cols or {}
+    map_cols = map_cols or {}
+    key_v = get_validator(validator_for_arrow(table.schema.field(key_col).type))
+    cluster_vs = [
+        (c, get_validator(validator_for_arrow(table.schema.field(c).type)))
+        for c in clustering_cols
+    ]
+    consumed = (
+        {key_col}
+        | set(clustering_cols)
+        | set(list_cols)
+        | set(set_cols)
+        | {src for spec in map_cols.values() for src in spec[:2]}
+    )
+    field_cols = [f.name for f in table.schema if f.name not in consumed]
+    field_vs = {
+        c: get_validator(validator_for_arrow(table.schema.field(c).type)) for c in field_cols
+    }
+    collections_schema = (
+        [[c, "list", v] for c, v in list_cols.items()]
+        + [[c, "set", v] for c, v in set_cols.items()]
+        + [[c, "map", kv, vv] for c, (_, _, kv, vv) in map_cols.items()]
+    )
+    schema = {
+        "key": [key_col, key_v.name],
+        "columns": [[c, field_vs[c].name] for c in field_cols],
+        "clustering": [[c, v.name] for c, v in cluster_vs],
+        "collections": collections_schema,
+    }
+    data = table.to_pydict()
+    n = table.num_rows
+    os.makedirs(out_dir, exist_ok=True)
+    ts = base_timestamp
+
+    def row_cells(i: int) -> list[Cell]:
+        prefix = [v.encode(_to_python(data[c][i])) for c, v in cluster_vs]
+        cells = []
+        for c in field_cols:
+            v = _to_python(data[c][i])
+            if v is not None:
+                cells.append(
+                    Cell(encode_composite(prefix + [c.encode("utf-8")]), field_vs[c].encode(v), ts)
+                )
+        for c, vname in list_cols.items():
+            vv = get_validator(vname)
+            for pos, elem in enumerate(data[c][i] or []):
+                pos_key = struct.pack(">QQ", 0, pos)  # BE counter ~ timeuuid order
+                cells.append(
+                    Cell(
+                        encode_composite(prefix + [c.encode("utf-8"), pos_key]),
+                        vv.encode(_to_python(elem)),
+                        ts,
+                    )
+                )
+        for c, vname in set_cols.items():
+            ev = get_validator(vname)
+            for elem in data[c][i] or []:
+                cells.append(
+                    Cell(
+                        encode_composite(prefix + [c.encode("utf-8"), ev.encode(_to_python(elem))]),
+                        b"",
+                        ts,
+                    )
+                )
+        for c, (ks_col, vs_col, kvn, vvn) in map_cols.items():
+            kv, vv = get_validator(kvn), get_validator(vvn)
+            for mk, mv in zip(data[ks_col][i] or [], data[vs_col][i] or []):
+                cells.append(
+                    Cell(
+                        encode_composite(prefix + [c.encode("utf-8"), kv.encode(_to_python(mk))]),
+                        vv.encode(_to_python(mv)),
+                        ts,
+                    )
+                )
+        return cells
+
+    for g in range(generations):
+        by_key: dict[bytes, list[Cell]] = {}
+        for i in range(n):
+            key = key_v.encode(_to_python(data[key_col][i]))
+            prefix = [v.encode(_to_python(data[c][i])) for c, v in cluster_vs]
+            cells = by_key.setdefault(key, [])
+            # row marker in every generation (idempotent under merge)
+            cells.append(Cell(encode_composite(prefix + [b""]), b"", ts))
+            # deal element cells round-robin: each generation holds an
+            # interleaved slice of every collection
+            cells.extend(
+                c for j, c in enumerate(row_cells(i)) if j % generations == g
+            )
         w = SSTableWriter(
             out_dir, keyspace, name, g + 1, schema,
             compression=compression, expected_keys=len(by_key),

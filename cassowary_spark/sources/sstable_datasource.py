@@ -79,7 +79,11 @@ from cassowary_spark.sources.sstable_format import (
 )
 from cassowary_spark.sources.validators import Validator, get_validator
 
-FAR_FUTURE_TS = 0x7FFFFFF0  # default read_ts: nothing is expired
+# Default read_ts: far enough in the future that every TTL'd cell is
+# treated as already expired — deterministic reads regardless of wall
+# clock (a TTL'd cell's visibility never depends on when the query
+# runs). Pass an explicit read_ts option to see live-TTL snapshots.
+FAR_FUTURE_TS = 0x7FFFFFF0
 
 _REGISTERED_SESSIONS: set[int] = set()
 
@@ -262,6 +266,23 @@ class SSTableDataSourceReader(DataSourceReader):
         self.clustering: list[tuple[str, Validator]] = [
             (n, get_validator(v)) for n, v in stats_schema.get("clustering", [])
         ]
+        # CQL3 collection columns (list<T> / set<T> / map<K,V>): each
+        # element is its own cell whose composite name carries ONE
+        # extra component after the field name — the "collection key"
+        # (list: 16-byte position uuid; set: the element itself, value
+        # empty; map: the map key, value = map value). Declared in
+        # Statistics.db as [name, kind, elem_or_key_validator,
+        # value_validator] (last entry only for map). Clustered tables
+        # only — CQL3 collections always live in composite cells.
+        self.collections: list[tuple[str, str, Validator, Validator | None]] = [
+            (
+                spec[0],
+                spec[1],
+                get_validator(spec[2]),
+                get_validator(spec[3]) if len(spec) > 3 and spec[3] else None,
+            )
+            for spec in stats_schema.get("collections", [])
+        ]
         # Split count adapts to snapshot size unless pinned: one split
         # per ~MIN_ROWS_PER_SPLIT rows keeps tiny tables to a single
         # Python worker round-trip while a 100 TB snapshot still fans
@@ -275,6 +296,7 @@ class SSTableDataSourceReader(DataSourceReader):
         if options.get("columns") and not self.wide:
             cols = [c.strip() for c in str(options["columns"]).split(",") if c.strip()]
             self.schema = self.schema.project(cols)
+            self.collections = [c for c in self.collections if c[0] in set(cols)]
         # Driver-side planning state: only prefixes + small metadata are
         # shipped to executors; Index.db is re-read per partition there.
         self._prefixes = [r.prefix for r in readers]
@@ -304,10 +326,14 @@ class SSTableDataSourceReader(DataSourceReader):
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
-            if col == cluster_col and type(f) in _OPS:
+            if col == cluster_col and type(f) in _OPS and not self.wide:
                 # column-slice predicate: evaluated on the decoded
                 # clustering value before any field decode (exact, so
-                # the filter is fully consumed)
+                # the filter is fully consumed). NOT consumed in wide
+                # mode — the wide branch of _emit never applies
+                # _cluster_preds, so consuming there would silently
+                # drop the predicate and return wrong rows; wide reads
+                # yield it back for Spark to evaluate.
                 self._cluster_preds.append((_OPS[type(f)], f.value))
                 continue
             if col != kname:
@@ -412,6 +438,11 @@ class SSTableDataSourceReader(DataSourceReader):
             parts = [f"{self.schema.key_name} {self.schema.key_validator.spark_type}"]
             parts += [f"{n} {v.spark_type}" for n, v in self.clustering]
             parts += [f"{n} {v.spark_type}" for n, v in self.schema.columns]
+            for cname, kind, v1, v2 in self.collections:
+                if kind == "map":
+                    parts.append(f"{cname} map<{v1.spark_type},{v2.spark_type}>")
+                else:  # list / set → array of the element type
+                    parts.append(f"{cname} array<{v1.spark_type}>")
             return ", ".join(parts)
         return self.schema.ddl()
 
@@ -437,46 +468,98 @@ class SSTableDataSourceReader(DataSourceReader):
             # The group key is the RAW composite-prefix bytes (equality
             # and sort-stable), so the component decode runs once per
             # CQL3 row, not once per cell — the hot loop below only
-            # scans the composite to find the final (field) component.
+            # scans the composite to find the final (field) component
+            # (and, for collection cells, the one before it).
             ndepth = len(self.clustering)
             groups: dict[bytes, dict[str, Cell]] = {}
+            # collection cells: prefix → column → {collection_key: cell}
+            coll_groups: dict[bytes, dict[str, dict[bytes, Cell]]] = {}
+            have_colls = bool(self.collections)
             for name, cell in cells.items():
                 pos = 0
                 end = len(name)
                 count = 0
                 fstart = 0
                 flen = 0
+                pstart = 0
+                plen = 0
                 while pos + 2 <= end:
                     ln = (name[pos] << 8) | name[pos + 1]
                     if pos + 2 + ln + 1 > end:
                         count = -1  # malformed / non-CQL3 cell
                         break
                     count += 1
+                    pstart = fstart
+                    plen = flen
                     fstart = pos + 2
                     flen = ln
                     pos += 3 + ln
-                if count != ndepth + 1 or pos != end:
+                if pos != end:
                     continue
-                pkey = name[: fstart - 2]
-                grp = groups.get(pkey)
-                if grp is None:
-                    grp = groups[pkey] = {}
-                grp[name[fstart : fstart + flen].decode("utf-8")] = cell
+                if count == ndepth + 1:
+                    pkey = name[: fstart - 2]
+                    grp = groups.get(pkey)
+                    if grp is None:
+                        grp = groups[pkey] = {}
+                    grp[name[fstart : fstart + flen].decode("utf-8")] = cell
+                elif have_colls and count == ndepth + 2:
+                    # collection element cell: second-to-last component
+                    # is the column name, last is the collection key
+                    pkey = name[: pstart - 2]
+                    cname = name[pstart : pstart + plen].decode("utf-8")
+                    cg = coll_groups.get(pkey)
+                    if cg is None:
+                        cg = coll_groups[pkey] = {}
+                    entries = cg.get(cname)
+                    if entries is None:
+                        entries = cg[cname] = {}
+                    entries[name[fstart : fstart + flen]] = cell
             first_cv = self.clustering[0][1]
             cpreds = self._cluster_preds
-            for prefix in sorted(groups):
+            prefixes = (
+                sorted(groups.keys() | coll_groups.keys()) if have_colls else sorted(groups)
+            )
+            for prefix in prefixes:
                 comps = decode_composite(prefix)
                 # column-slice pushdown: drop the CQL3 row before any
                 # field decode if its clustering head fails the pushed
                 # slice predicates
                 if cpreds and not _preds_ok(cpreds, first_cv.decode(comps[0])):
                     continue
-                fields = groups[prefix]
+                fields = groups.get(prefix, {})
                 row: list[Any] = [key_val]
                 row += [v.decode(raw) for (_, v), raw in zip(self.clustering, comps)]
                 for cname, cv in self.schema.columns:
                     cell = fields.get(cname)
                     row.append(cv.decode(cell.value) if cell and cell.value else None)
+                if have_colls:
+                    coll = coll_groups.get(prefix, {})
+                    for cname, kind, v1, v2 in self.collections:
+                        entries = coll.get(cname)
+                        if not entries:
+                            row.append(None)  # absent collection = NULL
+                        elif kind == "list":
+                            # list order = collection-key (position
+                            # uuid) byte order, Cassandra's semantics
+                            row.append(
+                                [
+                                    v1.decode(entries[k].value)
+                                    for k in sorted(entries)
+                                    if entries[k].value
+                                ]
+                            )
+                        elif kind == "set":
+                            # elements live in the cell NAME; the
+                            # comparator's byte order is the set order
+                            row.append([v1.decode(k) for k in sorted(entries)])
+                        else:  # map: key in name, value in cell value
+                            row.append(
+                                {
+                                    v1.decode(k): v2.decode(entries[k].value)
+                                    for k in sorted(entries)
+                                    if entries[k].value
+                                }
+                            )
                 yield tuple(row)
             return
         out: list[Any] = [key_val] if self.schema.key_in_output else []
@@ -556,10 +639,31 @@ class SSTableDataSourceReader(DataSourceReader):
                 ("cell_ts", get_validator("LongType")),
             ]
         if self.clustering:
+            import pyarrow as pa
+
+            class _CollField:
+                """Arrow-field shim for a collection column: carries the
+                nested arrow type plus the inner validator names (so the
+                TimestampType tuple-fallback check still sees them)."""
+
+                def __init__(self, names: str, arrow_type):
+                    self.name = names
+                    self.arrow_type = arrow_type
+
+            coll_fields = []
+            for cname, kind, v1, v2 in self.collections:
+                if kind == "map":
+                    at = pa.map_(v1.arrow_type, v2.arrow_type)
+                    names = f"{v1.name},{v2.name}"
+                else:
+                    at = pa.list_(v1.arrow_type)
+                    names = v1.name
+                coll_fields.append((cname, _CollField(names, at)))
             return (
                 [(self.schema.key_name, self.schema.key_validator)]
                 + list(self.clustering)
                 + list(self.schema.columns)
+                + coll_fields
             )
         fields = []
         if self.schema.key_in_output:
@@ -578,7 +682,7 @@ class SSTableDataSourceReader(DataSourceReader):
         import pyarrow as pa
 
         fields = self._arrow_fields()
-        if any(v.name in ("TimestampType",) for _, v in fields):
+        if any("TimestampType" in v.name for _, v in fields):
             yield from self._rows(partition)
             return
         arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])

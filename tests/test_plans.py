@@ -142,3 +142,26 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert "SelectedBucketsCount" in p
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_fuzzy_join_is_blocked_equi_join(q):
+    """The symmetric-delete fuzzy join must plan as a shuffled equi-join
+    on the variant hash — never a nested loop over unblocked pairs
+    (the round-1 scale-killer)."""
+    p = plan_of(q["q_fuzzy_join"])
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_cluster_by_single_exchange(q):
+    """DISTRIBUTE BY user_id feeds the row_number window partitioned on
+    the same key: Catalyst must reuse the one exchange, not stack a
+    second shuffle on top."""
+    import re
+
+    p = plan_of(q["q_cluster_by"])
+    # formatted explain prints each node twice (tree + detail); count
+    # the numbered detail headers only
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "WindowGroupLimit" in p  # rn<=3 pushed into the sort

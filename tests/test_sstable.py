@@ -663,3 +663,67 @@ def test_range_tombstone_resets_counter(tmp_path):
     w2.close()
     r = SSTableDataSourceReader({"path": str(tmp_path)}, None)
     assert _collect(r) == [(1, 3)]
+
+
+def test_wide_mode_does_not_consume_clustering_predicates(tmp_path):
+    """Regression: a snapshot whose stats declare clustering columns,
+    read with wide=true, must NOT consume clustering-column filters in
+    pushFilters — the wide emit path never applies _cluster_preds, so
+    consuming one would silently drop the predicate (wrong rows, not
+    just missed pruning). The filter has to come back to Spark."""
+    from cassowary_spark.sources.convert import write_clustered_snapshot
+    from cassowary_spark.sources.sstable_datasource import SSTableDataSourceReader
+
+    t = pa.table(
+        {
+            "pk": pa.array([1, 2], pa.int64()),
+            "ck": pa.array([10, 20], pa.int32()),
+            "val": pa.array([1.0, 2.0]),
+        }
+    )
+    d = str(tmp_path / "cql3w")
+    write_clustered_snapshot(t, d, key_col="pk", clustering_cols=["ck"], generations=1)
+
+    wide = SSTableDataSourceReader({"path": d, "wide": "true"}, None)
+    residual = list(wide.pushFilters([EqualTo(("ck",), 10)]))
+    assert len(residual) == 1 and isinstance(residual[0], EqualTo)
+    assert wide._cluster_preds == []
+
+    clustered = SSTableDataSourceReader({"path": d}, None)
+    assert list(clustered.pushFilters([EqualTo(("ck",), 10)])) == []
+    assert clustered._cluster_preds == [("eq", 10)]
+
+
+def test_collections_roundtrip_spark(spark, tmp_path):
+    """End-to-end: list/set/map columns decode through the Spark read
+    path (arrow batches with nested types) with cross-generation
+    element merge."""
+    from cassowary_spark.sources.convert import write_collections_snapshot
+
+    t = pa.table(
+        {
+            "pk": pa.array([1, 2], pa.int64()),
+            "ck": pa.array([0, 0], pa.int32()),
+            "lst": pa.array([["a", "b", "c"], []], pa.list_(pa.string())),
+            "st_": pa.array([[3, 1, 2], [7]], pa.list_(pa.int64())),
+            "mk": pa.array([[1, 2], [9]], pa.list_(pa.int32())),
+            "mv": pa.array([[1.5, 2.5], [9.5]], pa.list_(pa.float64())),
+        }
+    )
+    d = str(tmp_path / "coll")
+    write_collections_snapshot(
+        t, d, key_col="pk", clustering_cols=["ck"],
+        list_cols={"lst": "UTF8Type"},
+        set_cols={"st_": "LongType"},
+        map_cols={"mp": ("mk", "mv", "Int32Type", "DoubleType")},
+        generations=2,
+    )
+    df = read_sstable(spark, d)
+    assert df.columns == ["pk", "ck", "lst", "st_", "mp"]
+    rows = {r.pk: r for r in df.collect()}
+    assert rows[1].lst == ["a", "b", "c"]  # position order survives the split
+    assert rows[1].st_ == [1, 2, 3]  # comparator (numeric) order
+    assert rows[1].mp == {1: 1.5, 2: 2.5}
+    assert rows[2].lst is None  # empty list was never written → NULL
+    assert rows[2].st_ == [7]
+    assert rows[2].mp == {9: 9.5}

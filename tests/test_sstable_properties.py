@@ -413,3 +413,120 @@ def test_clustered_randomized_matches_model(tmp_path_factory, gens, splits):
                 assert (k, ck) not in got, "duplicate CQL3 row emitted"
                 got[(k, ck)] = {n: v for n, v in zip("ab", (a, b)) if v is not None}
     assert got == expected
+
+
+coll_write = st.fixed_dictionaries(
+    {
+        "key": st.integers(0, 8),
+        "ck": st.integers(0, 3),
+        "kind": st.sampled_from(["list", "set", "map"]),
+        "ckey": st.integers(0, 5),  # list position / set element / map key
+        "value": st.text(alphabet="pqr", min_size=1, max_size=4),
+        "ts": TS,
+    }
+)
+
+
+@given(gens=st.lists(st.lists(coll_write, max_size=10), min_size=1, max_size=4),
+       splits=st.integers(1, 4))
+@settings(max_examples=100, deadline=None)
+def test_collections_randomized_matches_model(tmp_path_factory, gens, splits):
+    """CQL3 collections: element cells (composite name = ck, column,
+    collection-key) reconcile per element across generations — list
+    positions and map keys LWW independently, set membership is cell
+    presence — and reassemble into array/array/map output columns."""
+    import struct as _struct
+
+    tmp = str(tmp_path_factory.mktemp("collprop"))
+    kenc = get_validator("LongType").encode
+    ckv = get_validator("Int32Type")
+    i32 = get_validator("Int32Type")
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [],
+        "clustering": [["ck", "Int32Type"]],
+        "collections": [
+            ["lst", "list", "UTF8Type"],
+            ["st_", "set", "Int32Type"],
+            ["mp", "map", "Int32Type", "UTF8Type"],
+        ],
+    }
+    colname = {"list": b"lst", "set": b"st_", "map": b"mp"}
+
+    def coll_key(kind: str, ckey: int) -> bytes:
+        if kind == "list":
+            return _struct.pack(">QQ", 0, ckey)  # position uuid stand-in
+        return i32.encode(ckey)
+
+    for g, writes in enumerate(gens, start=1):
+        by_key: dict[int, list[Cell]] = {}
+        for w_ in writes:
+            prefix = [ckv.encode(w_["ck"])]
+            cells = by_key.setdefault(w_["key"], [])
+            cells.append(Cell(encode_composite(prefix + [b""]), b"", w_["ts"]))
+            value = b"" if w_["kind"] == "set" else w_["value"].encode()
+            cells.append(
+                Cell(
+                    encode_composite(
+                        prefix + [colname[w_["kind"]], coll_key(w_["kind"], w_["ckey"])]
+                    ),
+                    value,
+                    w_["ts"],
+                )
+            )
+        w = SSTableWriter(tmp, "ks", "collprop", g, schema, chunk_len=256)
+        for key in sorted(by_key):
+            w.append(Partition(kenc(key), cells=by_key[key]))
+        w.close()
+
+    # model: LWW per (key, ck, kind, ckey) with the (ts, tomb, value,
+    # gen) rank the cell reconciler uses
+    best: dict[tuple[int, int, str, int], tuple] = {}
+    rows: set[tuple[int, int]] = set()
+    for g, writes in enumerate(gens, start=1):
+        for w_ in writes:
+            rows.add((w_["key"], w_["ck"]))
+            kcf = (w_["key"], w_["ck"], w_["kind"], w_["ckey"])
+            value = b"" if w_["kind"] == "set" else w_["value"].encode()
+            rank = (w_["ts"], False, value, g)
+            cur = best.get(kcf)
+            if cur is None or rank > cur:
+                best[kcf] = rank
+    expected: dict[tuple[int, int], tuple] = {}
+    for k, ck in rows:
+        lst = [
+            best[(k, ck, "list", p)][2].decode()
+            for p in sorted(
+                p for (bk, bck, kind, p) in best if (bk, bck, kind) == (k, ck, "list")
+            )
+        ]
+        st_elems = sorted(
+            e for (bk, bck, kind, e) in best if (bk, bck, kind) == (k, ck, "set")
+        )
+        mp = {
+            mk: best[(k, ck, "map", mk)][2].decode()
+            for (bk, bck, kind, mk) in best
+            if (bk, bck, kind) == (k, ck, "map")
+        }
+        expected[(k, ck)] = (lst or None, st_elems or None, mp or None)
+
+    reader = SSTableDataSourceReader({"path": tmp, "splits": str(splits)}, None)
+    got: dict[tuple[int, int], tuple] = {}
+    for p in reader.partitions():
+        for item in reader.read(p):
+            rows_out = (
+                [tuple(d.values()) for d in item.to_pylist()]
+                if isinstance(item, pa.RecordBatch)
+                else [tuple(item)]
+            )
+            for k, ck, lst, st_e, mp in rows_out:
+                assert (k, ck) not in got, "duplicate CQL3 row emitted"
+                # arrow map columns surface as [(k, v), ...] pairs
+                if isinstance(mp, list):
+                    mp = dict(mp)
+                got[(k, ck)] = (
+                    list(lst) if lst is not None else None,
+                    list(st_e) if st_e is not None else None,
+                    mp,
+                )
+    assert got == expected
