@@ -72,30 +72,31 @@ def fuzzy_self_join(
     Stages (all shuffled equi-joins — Catalyst never plans a nested
     loop here):
       1. explode each row into its deletion variants, hashed to 64 bits
-         so the shuffle carries (key, hash) not the strings;
+         so the variant table is (key, hash) — strings never ride the
+         big shuffle (the same slim-rows discipline as the MinHash band
+         join in operators/dedup.py);
       2. self equi-join on the variant hash with ``key_a < key_b``;
-      3. distinct candidate pairs (a pair can share many variants);
-      4. verify with the threshold-bounded levenshtein (banded DP,
-         O(L·k) per pair, -1 past the bound).
+      3. distinct candidate KEY pairs (a close pair shares up to
+         ~L variants, so dedup before anything wide);
+      4. re-join the names for the (small) candidate set and verify
+         with the threshold-bounded levenshtein (banded DP, O(L·k)
+         per pair, -1 past the bound).
     """
     base = df.select(
         F.col(key_col).alias("k"), F.col(str_col).alias("s")
     ).filter(F.col("s").isNotNull())
     ex = base.select(
         "k",
-        "s",
         F.explode(_deletion_variants("s", k)).alias("v"),
-    ).select("k", "s", F.xxhash64("v").alias("vh"))
+    ).select("k", F.xxhash64("v").alias("vh"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.vh") == F.col("b.vh")) & (F.col("a.k") < F.col("b.k")))
-        .select(
-            F.col("a.k").alias("key_a"),
-            F.col("b.k").alias("key_b"),
-            F.col("a.s").alias("name_a"),
-            F.col("b.s").alias("name_b"),
-        )
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
         .distinct()
     )
+    names_a = base.select(F.col("k").alias("key_a"), F.col("s").alias("name_a"))
+    names_b = base.select(F.col("k").alias("key_b"), F.col("s").alias("name_b"))
+    pairs = cand.join(names_a, "key_a").join(names_b, "key_b")
     lev = F.levenshtein(F.col("name_a"), F.col("name_b"), k)
-    return cand.filter(lev >= 0).withColumn("distance", lev)
+    return pairs.filter(lev >= 0).withColumn("distance", lev)

@@ -89,17 +89,31 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable margin, and B16 now contributes a hard driver signal.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.count("*").alias("n_rows"),
-        (
-            F.abs(
-                F.approx_count_distinct("l_partkey", 0.02).cast("double")
-                - F.countDistinct("l_partkey").cast("double")
-            )
-            / F.countDistinct("l_partkey").cast("double")
-            <= 0.05
-        ).alias("approx_within_5pct"),
+    # Two-level agg instead of COUNT(DISTINCT)-plus-approx in one pass:
+    # mixing a distinct agg with other aggs makes Catalyst Expand every
+    # input row through two agg paths (~3× runtime measured). Here the
+    # first groupBy dedups (flag, partkey) with map-side combine, and
+    # the second computes exact NDV (= count), total rows (= sum), and
+    # the HLL sketch over already-distinct keys — identical estimate,
+    # no Expand, both shuffles carry partial-agg'd slim rows.
+    per_part = li.groupBy("l_returnflag", "l_partkey").agg(F.count("*").alias("n"))
+    return (
+        per_part.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("exact_parts"),
+            F.sum("n").alias("n_rows"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_approx").cast("double") - F.col("exact_parts").cast("double"))
+                / F.col("exact_parts").cast("double")
+                <= 0.05
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
