@@ -230,3 +230,65 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    ``(id_col, cluster_id)`` with cluster_id = min vertex id in the
+    component — the step that turns pairwise dedup output into "keep
+    one doc per cluster".
+
+    Min-label propagation: each round every vertex takes the min of
+    its own label and its neighbors' labels; converges in diameter(G)
+    rounds (near-dup clusters are shallow — pairs/stars — so this is
+    2-4 rounds in practice, bounded by ``max_iter``). The per-round
+    work is one equi-join + groupBy on the edge list: all shuffled
+    hash operations, no driver data. The driver sees only a one-row
+    convergence count per round (orchestration, not data collect).
+    At extreme scale swap the loop body for the large-star/small-star
+    alternation — same join shape, fewer rounds on high-diameter
+    graphs; near-dup graphs don't have high diameter.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = vertices.select(F.col(id_col).alias("__v"), F.col(id_col).alias("__label"))
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym.dst == labels["__v"])
+            .groupBy("src")
+            .agg(F.min("__label").alias("__nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["__v"] == nb_min.src, "left")
+            .select(
+                "__v",
+                F.least(
+                    F.col("__label"), F.coalesce(F.col("__nb_min"), F.col("__label"))
+                ).alias("__label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "__v")
+            .filter(F.col("n.__label") != F.col("o.__label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("__v").alias(id_col), F.col("__label").alias("cluster_id"))

@@ -542,3 +542,58 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS ({_DOCS_TWINS_SQL}),
+    sh AS (
+        SELECT doc_id, unnest({_duck_shingles(5)}) AS shingle FROM docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters (C2 final stage): connected
+    components over the exact 5-gram-Jaccard pair graph, cluster_id =
+    min doc_id per component — what a training pipeline keys on to
+    keep one representative per duplicate cluster.
+
+    Spark side: iterative min-label propagation (operators/dedup.py
+    ``connected_components``), all joins/groupBys, converging in
+    diameter rounds. Oracle: DuckDB recursive CTE computing the
+    transitive closure over the same deterministic edge set and
+    taking min reachable id — engine-independent because the 5-gram
+    Jaccard pairs (not MinHash) define the graph.
+    """
+    from cassowary_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    corpus = _docs_with_twins(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=5, threshold=0.5)
+    return connected_components(
+        corpus.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )

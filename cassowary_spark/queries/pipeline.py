@@ -370,3 +370,65 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.last("avg_r", ignorenulls=True).over(w).alias("locf_avg"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS k,
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    source AS (
+        SELECT k, spend FROM spend
+        UNION ALL
+        SELECT k + 1000000 AS k, spend FROM spend WHERE k <= 50
+    )
+    SELECT coalesce(c.c_custkey, s.k)                          AS c_custkey,
+           coalesce(c.c_name, 'Customer#new' || CAST(s.k AS VARCHAR)) AS c_name,
+           floor((coalesce(c.c_acctbal, 0.0) + coalesce(s.spend, 0.0) * 0.0001) * 10000.0 + 0.5) / 10000.0 AS new_acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN s.k IS NULL        THEN 'keep'
+                ELSE 'update' END                              AS action
+    FROM customer c FULL JOIN source s ON c.c_custkey = s.k
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert (Hive's INSERT OVERWRITE-era upsert surface,
+    SCD-style): apply a change-set to a dimension — matched rows
+    update (balance += spend-derived delta), unmatched source rows
+    insert (synthetic new customers), unmatched target rows pass
+    through — with an action tag per row.
+
+    Expressed as one full outer join + coalesce projection: exactly
+    the plan a v2 MERGE INTO executes (join on the merge key, branch
+    per match case), minus the table-format commit. Both sides
+    shuffle once on the key; at 100 TB the change-set side is usually
+    small → AQE broadcast-converts and the dimension never shuffles.
+    The spend delta is rounded BEFORE the add on both engines so the
+    update arithmetic is bit-identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        srnd(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    source = spend.unionByName(
+        spend.filter(F.col("k") <= 50).select((F.col("k") + 1000000).alias("k"), "spend")
+    )
+    merged = c.join(source, c.c_custkey == source.k, "full")
+    return merged.select(
+        F.coalesce(c.c_custkey, source.k).alias("c_custkey"),
+        F.coalesce(
+            c.c_name, F.concat(F.lit("Customer#new"), source.k.cast("string"))
+        ).alias("c_name"),
+        srnd(
+            F.coalesce(c.c_acctbal, F.lit(0.0)) + F.coalesce(source.spend, F.lit(0.0)) * 0.0001,
+            4,
+        ).alias("new_acctbal"),
+        F.when(c.c_custkey.isNull(), "insert")
+        .when(source.k.isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
