@@ -263,31 +263,34 @@ def connected_components(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = vertices.select(F.col(id_col).alias("__v"), F.col(id_col).alias("__label"))
+    prev_cached = None
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels, sym.dst == labels["__v"])
             .groupBy("src")
             .agg(F.min("__label").alias("__nb_min"))
         )
-        new_labels = (
+        # carry the "did this row's label drop" flag through the same
+        # pass, so convergence is a filter on the persisted frame — no
+        # extra old-vs-new join per round
+        stepped = (
             labels.join(nb_min, labels["__v"] == nb_min.src, "left")
             .select(
                 "__v",
                 F.least(
                     F.col("__label"), F.coalesce(F.col("__nb_min"), F.col("__label"))
                 ).alias("__label"),
+                (F.coalesce(F.col("__nb_min"), F.col("__label")) < F.col("__label")).alias(
+                    "__chg"
+                ),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "__v")
-            .filter(F.col("n.__label") != F.col("o.__label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter("__chg").limit(1).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = stepped
+        labels = stepped.select("__v", "__label")
         if changed == 0:
             break
     sym.unpersist()
