@@ -350,9 +350,13 @@ def q_sstable_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sstable_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-slice read (Cassandra's clustering-range query).
 
-    The clustering predicate pushes into the source and drops CQL3
-    rows cell-side before any field decode — the within-partition
-    slice Cassandra serves from its promoted index. The partition-key
+    The clustering predicate pushes into the source at two levels:
+    large partitions are read through the promoted per-partition
+    column index (ColumnIndex.db — only cell blocks overlapping the
+    slice hit the decompressor, Cassandra's promoted-index read), and
+    surviving CQL3 rows are still dropped cell-side before any field
+    decode. Fixture partitions are small, so here the win is the
+    decode-side drop; the I/O-level path is property- and e2e-tested. The partition-key
     range on a signed LongType key stays Spark-side (BE byte order
     isn't value order across the sign; UTF8/ascii/bytes keys get index
     pruning — see tests/test_sstable.py range-pruning test).

@@ -74,6 +74,7 @@ from cassowary_spark.sources.sstable_format import (
     SSTableWriter,
     decode_composite,
     discover_sstables,
+    encode_composite,
     live_unmerged,
     rt_floor,
 )
@@ -228,6 +229,11 @@ class SSTablePartition(InputPartition):
     ranges: tuple[tuple[str, int, int], ...] = ()
     # point lookups: ((key, ((prefix, start_off, end_off), ...)), ...)
     exact: tuple[tuple[bytes, tuple[tuple[str, int, int], ...]], ...] | None = None
+    # cell-name bounds from pushed clustering-slice predicates: large
+    # partitions are read through the promoted column index and only
+    # blocks overlapping [name_lo, name_hi] hit the decompressor
+    name_lo: bytes | None = None
+    name_hi: bytes | None = None
 
 
 class SSTableDataSourceReader(DataSourceReader):
@@ -369,8 +375,47 @@ class SSTableDataSourceReader(DataSourceReader):
 
     # -- planning ------------------------------------------------------
 
+    def _name_bounds(self) -> tuple[bytes | None, bytes | None]:
+        """Composite cell-name bounds for pushed clustering-slice preds
+        (I/O-level pushdown via the promoted column index).
+
+        Conservative: only when the first clustering validator is
+        order-preserving in its raw bytes (UTF8/ascii/bytes — signed BE
+        numerics are not, across the sign); bounds may be loose, the
+        decode-time exact filter downstream still decides membership.
+        """
+        if not self._cluster_preds or not self.clustering:
+            return None, None
+        cv = self.clustering[0][1]
+        if not cv.order_preserving:
+            return None, None
+        lo = hi = None
+        for op, v in self._cluster_preds:
+            try:
+                p = encode_composite([cv.encode(v)])
+            except Exception:
+                continue
+            if op == "eq":
+                cand = (p, p + b"\xff")
+            elif op == "ge":
+                cand = (p, None)
+            elif op == "gt":
+                cand = (p + b"\xff", None)
+            elif op == "le":
+                cand = (None, p + b"\xff")
+            elif op == "lt":
+                cand = (None, p)
+            else:
+                continue
+            if cand[0] is not None and (lo is None or cand[0] > lo):
+                lo = cand[0]
+            if cand[1] is not None and (hi is None or cand[1] < hi):
+                hi = cand[1]
+        return lo, hi
+
     def partitions(self) -> list[InputPartition]:
         readers = {p: SSTableReader(p) for p in self._prefixes}
+        name_lo, name_hi = self._name_bounds()
 
         if self._eq_keys is not None:  # point lookups: bloom-pruned
             exact = []
@@ -384,7 +429,7 @@ class SSTableDataSourceReader(DataSourceReader):
                 )
                 if ranges:
                     exact.append((k, ranges))
-            return [SSTablePartition(exact=tuple(exact))]
+            return [SSTablePartition(exact=tuple(exact), name_lo=name_lo, name_hi=name_hi)]
 
         lo = self._lo[0] if self._lo else None
         if self._lo and not self._lo[1]:
@@ -419,7 +464,7 @@ class SSTableDataSourceReader(DataSourceReader):
                 for so, eo in [r.data_range_for_keys(s, e)]
                 if eo > so
             )
-            parts.append(SSTablePartition(ranges=ranges))
+            parts.append(SSTablePartition(ranges=ranges, name_lo=name_lo, name_hi=name_hi))
         return [p for p in parts if p.ranges] or [SSTablePartition()]
 
     # -- execution -----------------------------------------------------
@@ -572,9 +617,17 @@ class SSTableDataSourceReader(DataSourceReader):
         yield tuple(out)
 
     def _scan_ranges(
-        self, slices: list[tuple[SSTableReader, int, int]]
+        self,
+        slices: list[tuple[SSTableReader, int, int]],
+        name_lo: bytes | None = None,
+        name_hi: bytes | None = None,
     ) -> Iterator[tuple]:
-        """Merge-scan [(reader, start_off, end_off), ...] byte slices."""
+        """Merge-scan [(reader, start_off, end_off), ...] byte slices.
+
+        When clustering-slice name bounds are set, each reader serves
+        the range through its promoted column index (scan_slices):
+        large partitions decompress only the covering cell blocks.
+        """
         if self.merge:
 
             def stream(reader: SSTableReader, so: int, eo: int):
@@ -583,7 +636,7 @@ class SSTableDataSourceReader(DataSourceReader):
                 # reader's generation, silently breaking the LWW
                 # generation tiebreak (caught by the property tests)
                 gen = reader.generation
-                for part in reader.scan_offsets(so, eo):
+                for part in reader.scan_slices(so, eo, name_lo, name_hi):
                     yield (part.key, gen, part)
 
             merged = heapq.merge(
@@ -608,7 +661,7 @@ class SSTableDataSourceReader(DataSourceReader):
             # (cassowary's InputFormat emitted per-sstable rows and left
             # reconciliation to the query layer — cf. q_latest_version).
             for r, so, eo in slices:
-                for part in r.scan_offsets(so, eo):
+                for part in r.scan_slices(so, eo, name_lo, name_hi):
                     live = live_unmerged(part, self.read_ts)
                     if live:
                         yield from self._emit(part.key, live)
@@ -624,11 +677,12 @@ class SSTableDataSourceReader(DataSourceReader):
         return out
 
     def _rows(self, partition: SSTablePartition) -> Iterator[tuple]:
+        lo, hi = partition.name_lo, partition.name_hi
         if partition.exact is not None:
             for _key, ranges in partition.exact:
-                yield from self._scan_ranges(self._slices(ranges))
+                yield from self._scan_ranges(self._slices(ranges), lo, hi)
         elif partition.ranges:
-            yield from self._scan_ranges(self._slices(partition.ranges))
+            yield from self._scan_ranges(self._slices(partition.ranges), lo, hi)
 
     def _arrow_fields(self):
         if self.wide:

@@ -99,6 +99,7 @@ class _ProcessLocalCache(dict):
 # immutable, so each process (driver during planning; a reused Python
 # worker for streaming scans) parses a generation's index once.
 _INDEX_CACHE: dict[tuple, list] = _ProcessLocalCache()
+_CINDEX_CACHE: dict[tuple, dict] = _ProcessLocalCache()
 
 
 # ---------------------------------------------------------------- model
@@ -231,6 +232,7 @@ class SSTableWriter:
     COMPONENTS = (
         "Data.db",
         "Index.db",
+        "ColumnIndex.db",
         "Filter.db",
         "Statistics.db",
         "TOC.txt",
@@ -247,6 +249,7 @@ class SSTableWriter:
         chunk_len: int = DEFAULT_CHUNK_LEN,
         bloom_fp: float = 0.01,
         expected_keys: int = 1024,
+        column_index_len: int = 4096,
     ) -> None:
         if compression not in (None, "deflate"):
             raise ValueError(f"unsupported compression {compression!r}")
@@ -255,8 +258,16 @@ class SSTableWriter:
         self.schema = schema
         self.compression = compression
         self.chunk_len = chunk_len
+        self.column_index_len = column_index_len
         self._data = io.BytesIO()
         self._index: list[tuple[bytes, int]] = []
+        # promoted per-partition column index (Cassandra's ColumnIndex,
+        # here a separate component): per partition, the uncompressed
+        # offset + first cell name of each ~column_index_len-byte block
+        # of the cell stream, plus whether the partition carries range
+        # tombstones (which force full-partition reads — an RT's start
+        # bound can sort before a slice it covers).
+        self._cindex: list[tuple[int, int, bool, list[tuple[int, bytes]]]] = []
         self._bloom = BloomFilter.sized(expected_keys, bloom_fp)
         self._last_key: bytes | None = None
         self._min_ts: int | None = None
@@ -270,13 +281,23 @@ class SSTableWriter:
         self._index.append((part.key, self._data.tell()))
         self._bloom.add(part.key)
 
+        part_off = self._data.tell()
         w = self._data.write
         w(struct.pack(">H", len(part.key)))
         w(part.key)
         w(struct.pack(">Iq", part.local_deletion_time, part.marked_for_delete_at))
+        blocks: list[tuple[int, bytes]] = []
+        block_start = -1
+        has_rt = False
         for cell in sorted(part.cells, key=lambda c: c.name):
             if not cell.name:
                 raise ValueError("cell names must be non-empty")
+            cell_off = self._data.tell()
+            if block_start < 0 or cell_off - block_start >= self.column_index_len:
+                blocks.append((cell_off, cell.name))
+                block_start = cell_off
+            if cell.flags & FLAG_RANGE:
+                has_rt = True
             w(struct.pack(">H", len(cell.name)))
             w(cell.name)
             w(struct.pack(">B", cell.flags))
@@ -294,6 +315,7 @@ class SSTableWriter:
             self._min_ts = ts if self._min_ts is None else min(self._min_ts, ts)
             self._max_ts = ts if self._max_ts is None else max(self._max_ts, ts)
         w(b"\x00\x00")  # end-of-partition
+        self._cindex.append((part_off, self._data.tell(), has_rt, blocks))
 
     def _component(self, name: str) -> str:
         return os.path.join(self.directory, self.prefix + name)
@@ -329,6 +351,12 @@ class SSTableWriter:
         with open(self._component("Index.db"), "wb") as f:
             for key, pos in self._index:
                 f.write(struct.pack(">H", len(key)) + key + struct.pack(">Q", pos))
+
+        with open(self._component("ColumnIndex.db"), "wb") as f:
+            for part_off, part_end, has_rt, blocks in self._cindex:
+                f.write(struct.pack(">QQBI", part_off, part_end, int(has_rt), len(blocks)))
+                for off, name in blocks:
+                    f.write(struct.pack(">QH", off, len(name)) + name)
 
         with open(self._component("Filter.db"), "wb") as f:
             f.write(self._bloom.dump())
@@ -461,6 +489,45 @@ class SSTableReader:
             self._index = entries
         return self._index
 
+    def column_index(self) -> dict[int, tuple[int, bool, list[int], list[bytes]]] | None:
+        """Promoted per-partition column index, or None for snapshots
+        written before the component existed.
+
+        Maps partition data offset → (part_end, has_rt, block_offsets,
+        block_first_names); block lists are parallel arrays so the
+        reader can bisect first names directly.
+        """
+        path = self.prefix + "-ColumnIndex.db"
+        if not os.path.exists(path):
+            return None
+        st = os.stat(path)
+        cache_key = (path, st.st_mtime_ns, st.st_size)
+        cached = _CINDEX_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
+        with open(path, "rb") as f:
+            raw = f.read()
+        out: dict[int, tuple[int, bool, list[int], list[bytes]]] = {}
+        pos = 0
+        n = len(raw)
+        unpack = struct.unpack_from
+        while pos < n:
+            part_off, part_end, has_rt, n_blocks = unpack(">QQBI", raw, pos)
+            pos += 21
+            offs: list[int] = []
+            names: list[bytes] = []
+            for _ in range(n_blocks):
+                off, nlen = unpack(">QH", raw, pos)
+                pos += 10
+                names.append(raw[pos : pos + nlen])
+                offs.append(off)
+                pos += nlen
+            out[part_off] = (part_end, bool(has_rt), offs, names)
+        if len(_CINDEX_CACHE) > 64:
+            _CINDEX_CACHE.clear()
+        _CINDEX_CACHE[cache_key] = out
+        return out
+
     def bloom(self) -> BloomFilter:
         if self._bloom is None:
             with open(self.prefix + "-Filter.db", "rb") as f:
@@ -543,6 +610,87 @@ class SSTableReader:
                 pos += vlen
                 append(Cell(name, value, ts, flags, ttl, lexp))
             yield Partition(key, ldt, mfda, cells)
+
+    # Partitions smaller than this read sequentially even under a name
+    # slice — per-partition random reads would re-decompress chunks for
+    # no byte savings. Only genuinely large partitions block-skip.
+    SLICE_MIN_PARTITION_BYTES = 65536
+
+    def scan_slices(self, start: int, end: int, name_lo: bytes | None, name_hi: bytes | None):
+        """Like scan_offsets, but for large partitions use the promoted
+        column index to read only the cell blocks that can contain
+        names in [name_lo, name_hi] — Cassandra's clustering-slice read
+        served from its per-partition index (I/O-level pushdown; the
+        decode-time exact filter still applies downstream, so sloppy
+        bounds are safe, dropped cells are never needed).
+
+        Conservative fallbacks: no ColumnIndex.db component → full
+        scan; partition carries range tombstones → full partition (an
+        RT's start bound can sort before the slice it covers); small
+        partitions → sequential scan of the contiguous run (no byte
+        savings to be had).
+        """
+        ci = self.column_index()
+        if ci is None or (name_lo is None and name_hi is None):
+            yield from self.scan_offsets(start, end)
+            return
+        offs = [off for _, off in self.index() if start <= off < end]
+        run_start: int | None = None  # pending sequential run of small partitions
+        for off in offs:
+            ent = ci.get(off)
+            big = ent is not None and ent[0] - off >= self.SLICE_MIN_PARTITION_BYTES
+            if not big:
+                if run_start is None:
+                    run_start = off
+                continue
+            if run_start is not None:
+                yield from self.scan_offsets(run_start, off)
+                run_start = None
+            part_end, has_rt, boffs, bnames = ent
+            cells_start = boffs[0] if boffs else part_end - 2
+            hdr = self._data.read_range(off, cells_start)
+            klen = (hdr[0] << 8) | hdr[1]
+            key = hdr[2 : 2 + klen]
+            ldt, mfda = struct.unpack_from(">Iq", hdr, 2 + klen)
+            if has_rt or not boffs:
+                lo_i, hi_i = 0, len(boffs) - 1
+            else:
+                lo_i = 0 if name_lo is None else max(bisect_right(bnames, name_lo) - 1, 0)
+                hi_i = len(bnames) - 1 if name_hi is None else bisect_right(bnames, name_hi) - 1
+            if hi_i < lo_i or not boffs:
+                # no candidate cells; the header still matters (a row
+                # tombstone here must reconcile against other files)
+                yield Partition(key, ldt, mfda, [])
+                continue
+            region_start = boffs[lo_i]
+            region_end = boffs[hi_i + 1] if hi_i + 1 < len(boffs) else part_end - 2
+            buf = self._data.read_range(region_start, region_end)
+            cells: list[Cell] = []
+            append = cells.append
+            pos = 0
+            n = len(buf)
+            unpack_from = struct.unpack_from
+            expiring = FLAG_EXPIRING
+            no_expiry = NO_EXPIRY
+            while pos < n:
+                nlen = (buf[pos] << 8) | buf[pos + 1]
+                pos += 2
+                name = buf[pos : pos + nlen]
+                pos += nlen
+                flags = buf[pos]
+                pos += 1
+                ttl, lexp = 0, no_expiry
+                if flags & expiring:
+                    ttl, lexp = unpack_from(">II", buf, pos)
+                    pos += 8
+                ts, vlen = unpack_from(">qi", buf, pos)
+                pos += 12
+                value = buf[pos : pos + vlen]
+                pos += vlen
+                append(Cell(name, value, ts, flags, ttl, lexp))
+            yield Partition(key, ldt, mfda, cells)
+        if run_start is not None:
+            yield from self.scan_offsets(run_start, end)
 
 
 def discover_sstables(directory: str) -> list[SSTableReader]:

@@ -727,3 +727,32 @@ def test_collections_roundtrip_spark(spark, tmp_path):
     assert rows[2].lst is None  # empty list was never written → NULL
     assert rows[2].st_ == [7]
     assert rows[2].mp == {9: 9.5}
+
+
+def test_clustering_slice_promoted_index_io(spark, tmp_path, monkeypatch):
+    """End-to-end: a pushed clustering slice on a large UTF8-clustered
+    partition reads through the promoted column index (block-skip path
+    forced via the size gate) and returns exactly the rows the full
+    scan would after filtering."""
+    from cassowary_spark.sources.convert import write_clustered_snapshot
+    from cassowary_spark.sources import sstable_format
+
+    monkeypatch.setattr(sstable_format.SSTableReader, "SLICE_MIN_PARTITION_BYTES", 0)
+
+    n = 400
+    t = pa.table(
+        {
+            "pk": pa.array([1] * n + [2] * n, pa.int64()),
+            "ck": pa.array([f"k{i:04d}" for i in range(n)] * 2, pa.string()),
+            "val": pa.array([float(i) for i in range(n)] * 2),
+        }
+    )
+    d = str(tmp_path / "cql3slice")
+    write_clustered_snapshot(
+        t, d, key_col="pk", clustering_cols=["ck"], generations=2
+    )
+    df = read_sstable(spark, d)
+    got = df.filter((F.col("ck") >= "k0100") & (F.col("ck") < "k0200")).collect()
+    assert len(got) == 200
+    assert {r.ck for r in got} == {f"k{i:04d}" for i in range(100, 200)}
+    assert all(r.val == float(int(r.ck[1:])) for r in got)

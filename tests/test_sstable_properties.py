@@ -530,3 +530,115 @@ def test_collections_randomized_matches_model(tmp_path_factory, gens, splits):
                     mp,
                 )
     assert got == expected
+
+
+slice_gen = st.lists(
+    st.fixed_dictionaries(
+        {
+            "key": st.integers(0, 5),
+            "ck": st.text(alphabet="abcdef", min_size=1, max_size=3),
+            "col": st.sampled_from(["x", "y"]),
+            "value": st.text(alphabet="uvw", min_size=1, max_size=6),
+            "ts": TS,
+        }
+    ),
+    max_size=20,
+)
+
+
+@given(
+    gens=st.lists(slice_gen, min_size=1, max_size=3),
+    lo=st.one_of(st.none(), st.text(alphabet="abcdef", min_size=1, max_size=2)),
+    hi=st.one_of(st.none(), st.text(alphabet="abcdef", min_size=1, max_size=2)),
+    add_rt=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_scan_slices_matches_full_scan_within_bounds(tmp_path_factory, gens, lo, hi, add_rt):
+    """Promoted-column-index sliced reads must return exactly the full
+    scan's cells restricted to the name bounds, plus identical partition
+    headers — for every partition, including range-tombstone carriers
+    (which fall back to full-partition reads)."""
+    from cassowary_spark.sources.sstable_format import SSTableReader as R
+
+    tmp = str(tmp_path_factory.mktemp("slice"))
+    kenc = get_validator("LongType").encode
+    ckv = get_validator("UTF8Type")
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [["x", "UTF8Type"], ["y", "UTF8Type"]],
+        "clustering": [["ck", "UTF8Type"]],
+    }
+    for g, writes in enumerate(gens, start=1):
+        by_key: dict[int, list[Cell]] = {}
+        for w_ in writes:
+            prefix = [ckv.encode(w_["ck"])]
+            cells = by_key.setdefault(w_["key"], [])
+            cells.append(Cell(encode_composite(prefix + [b""]), b"", w_["ts"]))
+            cells.append(
+                Cell(
+                    encode_composite(prefix + [w_["col"].encode()]),
+                    w_["value"].encode(),
+                    w_["ts"],
+                )
+            )
+        if add_rt and by_key:
+            first = sorted(by_key)[0]
+            by_key[first].append(
+                range_tombstone(
+                    encode_composite([ckv.encode("b")]),
+                    encode_composite([ckv.encode("c")]) + b"\xff",
+                    3,
+                )
+            )
+        # dedupe same-name cells within a generation (memtable invariant)
+        w = SSTableWriter(tmp, "ks", "slice", g, schema, chunk_len=128, column_index_len=32)
+        for key in sorted(by_key):
+            named: dict[bytes, Cell] = {}
+            for c in by_key[key]:
+                cur = named.get(c.name)
+                if cur is None or (c.timestamp, c.value) > (cur.timestamp, cur.value):
+                    named[c.name] = c
+            w.append(Partition(kenc(key), cells=list(named.values())))
+        w.close()
+
+    name_lo = encode_composite([ckv.encode(lo)]) if lo is not None else None
+    name_hi = (encode_composite([ckv.encode(hi)]) + b"\xff") if hi is not None else None
+
+    def within(name: bytes) -> bool:
+        if name_lo is not None and name < name_lo:
+            return False
+        if name_hi is not None and name > name_hi:
+            return False
+        return True
+
+    from cassowary_spark.sources.sstable_format import discover_sstables
+
+    for r in discover_sstables(tmp):
+        r.SLICE_MIN_PARTITION_BYTES = 0  # force the block-skip path
+        full = {
+            p.key: (p.local_deletion_time, p.marked_for_delete_at,
+                    {c.name: (c.value, c.timestamp, c.flags) for c in p.cells})
+            for p in r.scan_offsets(0, r._data.total)
+        }
+        sliced = {
+            p.key: (p.local_deletion_time, p.marked_for_delete_at,
+                    {c.name: (c.value, c.timestamp, c.flags) for c in p.cells})
+            for p in r.scan_slices(0, r._data.total, name_lo, name_hi)
+        }
+        assert set(sliced) == set(full)
+        for k in full:
+            f_ldt, f_mfda, f_cells = full[k]
+            s_ldt, s_mfda, s_cells = sliced[k]
+            assert (s_ldt, s_mfda) == (f_ldt, f_mfda)
+            has_rt = any(fl & 0x08 for _, _, fl in f_cells.values())
+            want = (
+                f_cells
+                if has_rt
+                else {n: c for n, c in f_cells.items() if within(n)}
+            )
+            # sliced may include extra cells from partially-covered
+            # blocks — must be a superset of in-bounds, subset of full
+            for n, c in want.items():
+                assert s_cells.get(n) == c, (k, n)
+            for n in s_cells:
+                assert n in f_cells
