@@ -694,11 +694,18 @@ class SSTableReader:
 
 
 def discover_sstables(directory: str) -> list[SSTableReader]:
-    """All sstables in a snapshot dir, oldest generation first."""
+    """All sstables in a snapshot dir, oldest generation first.
+
+    A generation only counts once its TOC.txt exists — the writer's
+    last component, i.e. the commit marker. Streaming readers poll the
+    directory while writers flush, and keying on Data.db alone races a
+    half-written generation (Statistics.db not yet on disk → reader
+    crash; seen as a flaky micro-batch test under load)."""
     prefixes = sorted(
         os.path.join(directory, f[: -len("-Data.db")])
         for f in os.listdir(directory)
         if f.endswith("-Data.db")
+        and os.path.exists(os.path.join(directory, f[: -len("-Data.db")] + "-TOC.txt"))
     )
     readers = [SSTableReader(p) for p in prefixes]
     readers.sort(key=lambda r: r.generation)
