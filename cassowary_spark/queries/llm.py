@@ -597,3 +597,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         corpus.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
     )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM t
+    ),
+    per AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS BIGINT) AS top_cnt,
+           floor((CAST(max(c) AS DOUBLE) / sum(c)) * 10000.0 + 0.5) / 10000.0 AS top_frac,
+           floor((1 - CAST(count(*) AS DOUBLE) / sum(c)) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (C4/Gopher-style quality
+    rule, distinct from q_quality_score's surface stats): top-bigram
+    fraction and duplicate-bigram fraction per document — the signals
+    used to drop boilerplate/spam before pretraining.
+
+    Row-local explode + two partial-agg groupBys keyed by doc_id; at
+    100 TB the bigram shuffle is the only wide op and carries
+    (doc_id, 64-bit-hashable bigram, count) rows with map-side
+    combine. No UDFs — all JVM exprs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d2 = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = d2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    per = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_cnt"),
+        srnd(F.max("c").cast("double") / F.sum("c"), 4).alias("top_frac"),
+        srnd(F.lit(1.0) - F.count("*").cast("double") / F.sum("c"), 4).alias("dup_frac"),
+    )
