@@ -10,7 +10,7 @@ prescribes. All twin construction happens identically in the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassowary_spark.multimodal.decode import attach_binary, image_meta
@@ -650,4 +650,38 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_cnt"),
         srnd(F.max("c").cast("double") / F.sum("c"), 4).alias("top_frac"),
         srnd(F.lit(1.0) - F.count("*").cast("double") / F.sum("c"), 4).alias("dup_frac"),
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS ({_DOCS_TWINS_SQL}),
+    old AS (SELECT * FROM corpus WHERE doc_id % 4 <> 0),
+    new AS (SELECT * FROM corpus WHERE doc_id % 4 = 0)
+    SELECT n.doc_id, md5(n.text) AS content_hash
+    FROM new n
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
+      AND n.doc_id = (SELECT min(n2.doc_id) FROM new n2 WHERE md5(n2.text) = md5(n.text))
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (C1 at steady state): screen an arriving
+    batch against the existing corpus by content hash — keep only new
+    docs whose content is unseen, deduping within the batch too (min
+    doc_id wins). The shape every production corpus uses: the corpus
+    side is just its hash column (at 100 TB, a pre-computed slim hash
+    table), the batch anti-joins against it on the hash — one shuffle
+    of hashes, never of text — then a keyed min dedups the batch.
+    """
+    corpus = _docs_with_twins(spark, sf_dir)
+    hashed = corpus.select("doc_id", F.md5("text").alias("content_hash"))
+    old = hashed.filter(F.col("doc_id") % 4 != 0).select("content_hash")
+    new = hashed.filter(F.col("doc_id") % 4 == 0)
+    unseen = new.join(old, "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash")
+    return (
+        unseen.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .select("doc_id", "content_hash")
     )
