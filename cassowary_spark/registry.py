@@ -46,11 +46,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # repaired / reshaped this round — need fresh driver rows
     "q_fn_math", "q_sql_report", "q_join_anti", "q_except",
     "q_agg_approx", "q_fuzzy_join",
-    # new operators this round
+    # new operators this round (all need their first driver row)
     "q_cluster_by", "q_sstable_collections", "q_sstable_sink",
-    # high-value re-confirmations (green in round 1)
-    "q_flagship", "q_scan", "q_sstable_scan", "q_join_inner",
-    "q_join_asof", "q_agg_basic",
+    "q_dedup_clusters", "q_merge_upsert", "q_repetition",
+    "q_dedup_incremental",
+    # high-value re-confirmations (green in round 1; the other round-1
+    # greens keep their CORRECTNESS_r01 rows as the judge's prior)
+    "q_flagship", "q_scan",
 )
 
 
