@@ -685,3 +685,48 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__min_id"))
         .select("doc_id", "content_hash")
     )
+
+
+@query(
+    "q_ann_quantized",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q8 AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(
+                   x / (greatest(list_aggregate(list_transform(v, y -> abs(y)), 'max'),
+                                 1e-30) / 127.0) + 0.5) AS BIGINT)) AS q
+        FROM base
+    ),
+    qq AS (SELECT q AS qv FROM q8 WHERE vec_id = 0),
+    scored AS (
+        SELECT q8.vec_id,
+               CAST(list_dot_product(CAST(q8.q AS DOUBLE[]), CAST(qq.qv AS DOUBLE[])) AS DOUBLE) /
+               (sqrt(list_dot_product(CAST(q8.q AS DOUBLE[]), CAST(q8.q AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(qq.qv AS DOUBLE[])))) AS cos_q
+        FROM q8, qq WHERE q8.vec_id <> 0
+    )
+    SELECT vec_id, floor(cos_q * 10000.0 + 0.5) / 10000.0 AS cos_q
+    FROM scored ORDER BY scored.cos_q DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-10 (C3's memory path): per-vector
+    scalar quantization (scale = max|x|/127, floor(x/scale+0.5)), then
+    integer dot products — 4× smaller vectors for candidate scoring at
+    100 TB, exact int64 arithmetic so the score is bit-identical
+    across engines (sort key is the unrounded ratio; floor-rounded
+    only for display). Scales cancel in cosine, so this IS the cosine
+    of the int8 vectors.
+    """
+    from cassowary_spark.operators.similarity import int8_quantize, quantized_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = int8_quantize(e, "embedding", "q8")
+    qdf = q8.filter(F.col("vec_id") == 0).select(F.col("q8").alias("qq8"))
+    topk = quantized_cosine_topk(
+        q8.filter(F.col("vec_id") != 0), qdf, "vec_id", "q8", "qq8", k=10
+    )
+    return topk.select("vec_id", srnd("cos_q", 4).alias("cos_q"))
