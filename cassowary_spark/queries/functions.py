@@ -300,3 +300,35 @@ def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("lang") == "en").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                          AS k_and,
+           o_orderkey | 4096                         AS k_or,
+           xor(o_orderkey, 1365)                     AS k_xor,
+           ~o_orderkey                               AS k_not,
+           o_orderkey << 2                           AS k_shl,
+           o_orderkey >> 3                           AS k_shr,
+           CAST(bit_count(o_orderkey) AS INT)        AS k_popcount
+    FROM orders
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery (B35-adjacent): and/or/xor/not, shifts, and
+    popcount — the bit-twiddling surface hash-bucketing and bloom/
+    minhash code leans on. All int64 JVM exprs, engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("k_xor"),
+        F.bitwise_not(k).alias("k_not"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.bit_count(k).alias("k_popcount"),
+    )

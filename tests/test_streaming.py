@@ -219,3 +219,51 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream_dir):
     assert {(r.view_id, r.click_id) for r in got} == {
         (r.view_id, r.click_id) for r in batch
     }
+
+
+def test_stream_foreachbatch_to_sstable_sink(spark, sf_dir, events_stream_dir):
+    """Streaming ingest INTO the cassowary-native format (S + A6):
+    each micro-batch lands as sstable generations via foreachBatch +
+    the staged-commit sink, and the merged batch read of the snapshot
+    reconciles to exactly the streamed rows — the write half of the
+    snapshot lifecycle, driven from Structured Streaming."""
+    import tempfile
+
+    from cassowary_spark.sources.sstable_datasource import read_sstable, write_sstable
+    from cassowary_spark.streaming import jobs
+
+    snap = tempfile.mkdtemp(prefix="sst_stream_sink_")
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    agg = (
+        stream.withWatermark("ts", "100 days")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+    def sink_batch(df, epoch_id):
+        # append mode: one staged-commit generation set per epoch; the
+        # per-user rows of later epochs supersede earlier ones by
+        # write_ts = epoch so LWW merge keeps the newest count
+        write_sstable(
+            df.repartition(2, "user_id"), snap, key="user_id",
+            mode="append", write_ts=int(epoch_id) + 1,
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.user_id: r.n_events for r in read_sstable(spark, snap).collect()}
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
