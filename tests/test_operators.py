@@ -228,3 +228,51 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert left.filter("s_suppkey IS NULL").count() == 1
     with _pytest.raises(ValueError):
         salted_join(li, s, "l_suppkey", "s_suppkey", how="full")
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP) for the fuzzy-join recall test."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_fuzzy_self_join_recall_lossless_random(spark, seed):
+    """The symmetric-delete blocking must find EVERY pair with edit
+    distance <= 2 on adversarial random strings — repeated chars,
+    near-empty strings, pure insert/delete shifts — not just the
+    fixed-length fixture names. Verified against a brute-force DP."""
+    import random
+
+    from cassowary_spark.operators.fuzzy import fuzzy_self_join
+
+    rng = random.Random(seed)
+    alphabet = "abc"  # tiny alphabet → dense near-pairs and repeats
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "k long, s string"
+    )
+    got = {
+        (r.key_a, r.key_b): r.distance
+        for r in fuzzy_self_join(df, "k", "s", k=2).collect()
+    }
+    want = {}
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            d = _lev(strings[i], strings[j])
+            if d <= 2:
+                want[(i, j)] = d
+    assert got == want
