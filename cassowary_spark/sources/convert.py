@@ -497,3 +497,72 @@ def write_collections_snapshot(
             w.append(Partition(key, cells=by_key[key]))
         w.close()
     return out_dir
+
+
+def compact_snapshot(path: str, delete_inputs: bool = True) -> str:
+    """Full (major) compaction: merge every generation in ``path`` into
+    one new sstable and (optionally) delete the inputs.
+
+    Semantics are Cassandra's major compaction with gc_grace elapsed:
+    cells shadowed by newer writes, cell/row/range tombstones are
+    dropped AND the tombstones themselves are garbage-collected — safe
+    precisely because no older sstable survives for them to cover.
+    TTL'd cells are kept with their expiry metadata (expiry is decided
+    at read time); counter deltas collapse into one summed delta cell.
+    Reads at any read_ts give identical results before and after
+    (asserted in tests).
+
+    This is the single-node in-place tool (one writer, sorted k-way
+    heap merge — memory is one partition's cells at a time plus the
+    output buffer). The distributed form of the same operation is
+    ``read_sstable(spark, path)`` → ``write_sstable(df, new_path)``
+    with a range repartition. Don't compact a directory a streaming
+    reader is tailing — the new generation would re-emit as a delta.
+    """
+    import heapq
+
+    from cassowary_spark.sources.sstable_datasource import reconcile
+    from cassowary_spark.sources.sstable_format import SSTableReader, discover_sstables
+
+    readers = discover_sstables(path)
+    if len(readers) <= 1:
+        return path
+    base = os.path.basename(readers[-1].prefix)
+    ks, tbl, _fmt, last_gen = base.rsplit("-", 3)
+    schema = readers[-1].schema
+    out_gen = int(last_gen) + 1
+
+    def stream(r: SSTableReader):
+        gen = r.generation
+        for part in r.scan(None, None):
+            yield (part.key, gen, part)
+
+    merged = heapq.merge(*(stream(r) for r in readers), key=lambda t: (t[0], t[1]))
+    w = SSTableWriter(
+        path, ks, tbl, out_gen, schema,
+        expected_keys=max(1, sum(r.stats["rows"] for r in readers)),
+    )
+    group: list[tuple[int, Partition]] = []
+    group_key: bytes | None = None
+
+    def flush() -> None:
+        cells = reconcile(group, 0)  # read_ts=0: TTL cells stay live
+        if cells:
+            w.append(Partition(group_key, cells=list(cells.values())))
+
+    for key, gen, part in merged:
+        if key != group_key and group:
+            flush()
+            group = []
+        group_key = key
+        group.append((gen, part))
+    if group:
+        flush()
+    w.close()
+    if delete_inputs:
+        for r in readers:
+            for f in os.listdir(path):
+                full = os.path.join(path, f)
+                if full.startswith(r.prefix + "-"):
+                    os.remove(full)
+    return path

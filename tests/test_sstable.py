@@ -756,3 +756,85 @@ def test_clustering_slice_promoted_index_io(spark, tmp_path, monkeypatch):
     assert len(got) == 200
     assert {r.ck for r in got} == {f"k{i:04d}" for i in range(100, 200)}
     assert all(r.val == float(int(r.ck[1:])) for r in got)
+
+
+def test_compaction_preserves_merged_reads(spark, tmp_path):
+    """Major compaction: N generations (updates + cell/row tombstones +
+    TTL + counter deltas) collapse into one sstable whose reads equal
+    the pre-compaction merged reads, with tombstones GC'd."""
+    from cassowary_spark.sources.convert import compact_snapshot
+    from cassowary_spark.sources.sstable_format import (
+        FLAG_COUNTER,
+        FLAG_TOMBSTONE,
+        discover_sstables,
+    )
+
+    d = str(tmp_path / "compact")
+    enc_k = get_validator("LongType").encode
+    enc_s = get_validator("UTF8Type").encode
+    schema = {
+        "key": ["id", "LongType"],
+        "columns": [["name", "UTF8Type"], ["ctr", "LongType"]],
+    }
+    import struct as _s
+
+    w1 = SSTableWriter(d, "ks", "cf", 1, schema)
+    w1.append(Partition(enc_k(1), cells=[
+        Cell(b"name", enc_s("v1"), 100),
+        Cell(b"ctr", _s.pack(">q", 5), 100, FLAG_COUNTER),
+    ]))
+    w1.append(Partition(enc_k(2), cells=[Cell(b"name", enc_s("gone"), 100)]))
+    w1.append(Partition(enc_k(3), cells=[Cell(b"name", enc_s("keep"), 100)]))
+    w1.close()
+    w2 = SSTableWriter(d, "ks", "cf", 2, schema)
+    w2.append(Partition(enc_k(1), cells=[
+        Cell(b"name", enc_s("v2"), 200),  # update wins
+        Cell(b"ctr", _s.pack(">q", 7), 200, FLAG_COUNTER),  # delta sums
+    ]))
+    w2.append(Partition(enc_k(2), cells=[Cell(b"name", b"", 300, FLAG_TOMBSTONE)]))
+    w2.close()
+
+    before = {(r.id, r.name, r.ctr) for r in read_sstable(spark, d).collect()}
+    compact_snapshot(d)
+    assert len(discover_sstables(d)) == 1  # one surviving generation
+    after = {(r.id, r.name, r.ctr) for r in read_sstable(spark, d).collect()}
+    assert after == before
+    assert (1, "v2", 12) in after  # LWW + counter sum survived
+    assert not any(t[0] == 2 and t[1] is not None for t in after)
+
+
+def test_compaction_applies_range_tombstones(spark, tmp_path):
+    """Compacting a clustered snapshot with slice deletes drops the
+    covered CQL3 rows and GCs the range tombstones; reads unchanged."""
+    from cassowary_spark.sources.convert import (
+        compact_snapshot,
+        composite_slice_bounds,
+        write_clustered_snapshot,
+        write_range_tombstone_generation,
+    )
+    from cassowary_spark.sources.sstable_format import discover_sstables
+
+    t = pa.table(
+        {
+            "pk": pa.array([1] * 6 + [2] * 6, pa.int64()),
+            "ck": pa.array(list(range(6)) * 2, pa.int32()),
+            "val": pa.array([float(i) for i in range(12)]),
+        }
+    )
+    d = str(tmp_path / "rtcompact")
+    write_clustered_snapshot(t, d, key_col="pk", clustering_cols=["ck"], generations=2)
+    schema = {
+        "key": ["pk", "LongType"],
+        "columns": [["val", "DoubleType"]],
+        "clustering": [["ck", "Int32Type"]],
+    }
+    lo, hi = composite_slice_bounds(schema, [2], [4])
+    write_range_tombstone_generation(
+        d, schema, [(1, lo, hi)], generation=3, timestamp=10_000
+    )
+    before = {(r.pk, r.ck): r.val for r in read_sstable(spark, d).collect()}
+    assert all(not (pk == 1 and 2 <= ck <= 4) for pk, ck in before)
+    compact_snapshot(d)
+    assert len(discover_sstables(d)) == 1
+    after = {(r.pk, r.ck): r.val for r in read_sstable(spark, d).collect()}
+    assert after == before
