@@ -618,3 +618,44 @@ def q_sstable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "s_nationkey",
         srnd(F.col("s_acctbal"), 4).alias("s_acctbal"),
     )
+
+
+@query(
+    "q_file_formats",
+    oracle="""
+    SELECT fmt, lang, count(*) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS chars
+    FROM (
+        SELECT 'csv' AS fmt, lang, text FROM documents
+        UNION ALL
+        SELECT 'json' AS fmt, lang, text FROM documents
+    ) GROUP BY fmt, lang
+    """,
+)
+def q_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format connectors (A7): round-trip the documents table
+    through BOTH the json-lines and csv sinks/sources and aggregate
+    the union — proving write→read fidelity for the two Hive-era
+    interchange formats on real text (quoting, commas) against the
+    parquet-backed oracle. Format caches are written once per sf dir.
+    """
+    import os as _os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cache = os.path.join(repo_root, ".file_cache", os.path.basename(sf_dir.rstrip("/")))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    paths = {}
+    for fmt in ("json", "csv"):
+        p = os.path.join(cache, f"documents_{fmt}")
+        if not _os.path.exists(_os.path.join(p, "_SUCCESS")):
+            w = d.coalesce(4).write.mode("overwrite")
+            (w.option("header", "true").csv(p) if fmt == "csv" else w.json(p))
+        paths[fmt] = p
+    ddl = "doc_id bigint, lang string, text string"
+    jdf = spark.read.schema(ddl).json(paths["json"])
+    cdf = spark.read.schema(ddl).option("header", "true").csv(paths["csv"])
+    u = cdf.withColumn("fmt", F.lit("csv")).unionByName(jdf.withColumn("fmt", F.lit("json")))
+    return u.groupBy("fmt", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("chars"),
+    )
