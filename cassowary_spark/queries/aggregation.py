@@ -271,3 +271,35 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             srnd(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls,
+           count(*) AS n_rows,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (B19's general form — an arbitrary set
+    list rather than CUBE's powerset): detail, per-flag subtotal, and
+    grand total in one Expand + single agg pass, with grouping()
+    indicators disambiguating NULL-as-subtotal from NULL data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n_rows,
+               CAST(floor((sum(l_extendedprice)) * 100.0 + 0.5) AS DOUBLE) / 100.0 AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -151,3 +151,33 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
     ).select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_below,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near,
+           floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)) * 100.0 + 0.5) / 100.0 AS near_sum
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frames (B25's value-based form): the frame is every
+    peer within ±10000 of the current ORDER BY VALUE, not a row count —
+    deterministic regardless of tie order, which is exactly why it
+    complements the ROWS battery. Same single shuffle + sort per
+    partition key as any window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w.rangeBetween(-10000, 0)).alias("n_below"),
+        F.count("*").over(w.rangeBetween(-10000, 10000)).alias("n_near"),
+        srnd(F.sum("o_totalprice").over(w.rangeBetween(-10000, 10000)), 2).alias("near_sum"),
+    )
