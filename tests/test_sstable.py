@@ -838,3 +838,38 @@ def test_compaction_applies_range_tombstones(spark, tmp_path):
     assert len(discover_sstables(d)) == 1
     after = {(r.pk, r.ck): r.val for r in read_sstable(spark, d).collect()}
     assert after == before
+
+
+def test_sink_roundtrip_mixed_types_and_nulls(spark, tmp_path):
+    """df.write sstable → read back, across the validator type map
+    (string/long/int/boolean/float/double/binary) with NULLs: None
+    columns are simply absent cells and must come back as NULL; all
+    non-null values must round-trip exactly (incl. float32 identity)."""
+    import math
+
+    from cassowary_spark.sources.sstable_datasource import write_sstable
+
+    rows = [
+        (1, "alpha", 7, True, 1.5, 2.25, bytearray(b"\x00\xff")),
+        (2, None, None, False, None, -0.0, None),
+        (3, "", -2**31, None, float("inf"), 1e-300, bytearray(b"")),
+        (4, "unicode-é中", 2**31 - 1, True, -3.5, math.pi, bytearray(b"xyz")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, s string, i int, b boolean, f float, d double, raw binary",
+    )
+    d = str(tmp_path / "sinkmix")
+    write_sstable(df.repartition(2, "id"), d, key="id")
+    got = {r.id: r for r in read_sstable(spark, d).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].s, got[1].i, got[1].b, got[1].f, got[1].d, bytes(got[1].raw)) == (
+        "alpha", 7, True, 1.5, 2.25, b"\x00\xff")
+    assert got[2].s is None and got[2].i is None and got[2].f is None and got[2].raw is None
+    assert got[2].b is False and got[2].d == 0.0
+    # empty string and empty bytes encode to empty cell values, which
+    # Cassandra/Hive convention decodes as NULL — document, not data loss
+    assert got[3].s is None and got[3].raw is None
+    assert got[3].i == -2**31 and got[3].f == float("inf")
+    assert got[4].s == "unicode-é中" and got[4].i == 2**31 - 1
+    assert abs(got[4].d - math.pi) < 1e-15 and got[4].f == -3.5
