@@ -379,37 +379,34 @@ class SSTableDataSourceReader(DataSourceReader):
         """Composite cell-name bounds for pushed clustering-slice preds
         (I/O-level pushdown via the promoted column index).
 
-        Conservative: only when the first clustering validator is
-        order-preserving in its raw bytes (UTF8/ascii/bytes — signed BE
-        numerics are not, across the sign); bounds may be loose, the
-        decode-time exact filter downstream still decides membership.
+        Only EQ predicates contribute bounds. The composite encoding
+        length-prefixes every component (``>H len | bytes | eoc``), so
+        raw-byte order diverges from value order across lengths for
+        every variable-length validator — e.g. enc('b') = 00 01 62 00
+        sorts BELOW enc('ab') = 00 02 61 62 00 although 'b' > 'ab'.
+        Since the only order-preserving validators (UTF8/ascii/bytes)
+        are all variable-length, gt/ge/lt/le byte bounds would make
+        scan_slices block-skipping drop matching rows. EQ is safe: all
+        names sharing a first component share the exact length-prefixed
+        byte prefix, so [p, p+0xff] is byte-contiguous and complete.
+        Range predicates still apply exactly at decode time via
+        ``_cluster_preds`` — they just read more blocks.
         """
         if not self._cluster_preds or not self.clustering:
             return None, None
         cv = self.clustering[0][1]
-        if not cv.order_preserving:
-            return None, None
         lo = hi = None
         for op, v in self._cluster_preds:
+            if op != "eq":
+                continue
             try:
                 p = encode_composite([cv.encode(v)])
             except Exception:
                 continue
-            if op == "eq":
-                cand = (p, p + b"\xff")
-            elif op == "ge":
-                cand = (p, None)
-            elif op == "gt":
-                cand = (p + b"\xff", None)
-            elif op == "le":
-                cand = (None, p + b"\xff")
-            elif op == "lt":
-                cand = (None, p)
-            else:
-                continue
-            if cand[0] is not None and (lo is None or cand[0] > lo):
+            cand = (p, p + b"\xff")
+            if lo is None or cand[0] > lo:
                 lo = cand[0]
-            if cand[1] is not None and (hi is None or cand[1] < hi):
+            if hi is None or cand[1] < hi:
                 hi = cand[1]
         return lo, hi
 
@@ -585,13 +582,13 @@ class SSTableDataSourceReader(DataSourceReader):
                             row.append(None)  # absent collection = NULL
                         elif kind == "list":
                             # list order = collection-key (position
-                            # uuid) byte order, Cassandra's semantics
+                            # uuid) byte order, Cassandra's semantics.
+                            # Cells here are live (tombstones dropped
+                            # in reconcile/live_unmerged), so an empty
+                            # value is a real element ('' is legal) —
+                            # no truthiness filter.
                             row.append(
-                                [
-                                    v1.decode(entries[k].value)
-                                    for k in sorted(entries)
-                                    if entries[k].value
-                                ]
+                                [v1.decode(entries[k].value) for k in sorted(entries)]
                             )
                         elif kind == "set":
                             # elements live in the cell NAME; the
@@ -602,7 +599,6 @@ class SSTableDataSourceReader(DataSourceReader):
                                 {
                                     v1.decode(k): v2.decode(entries[k].value)
                                     for k in sorted(entries)
-                                    if entries[k].value
                                 }
                             )
                 yield tuple(row)

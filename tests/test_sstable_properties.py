@@ -421,7 +421,10 @@ coll_write = st.fixed_dictionaries(
         "ck": st.integers(0, 3),
         "kind": st.sampled_from(["list", "set", "map"]),
         "ckey": st.integers(0, 5),  # list position / set element / map key
-        "value": st.text(alphabet="pqr", min_size=1, max_size=4),
+        # min_size=0: live empty values are real list elements / map
+        # values and must survive decode (regression: truthiness filter
+        # used to drop them)
+        "value": st.text(alphabet="pqr", min_size=0, max_size=4),
         "ts": TS,
     }
 )
@@ -642,3 +645,102 @@ def test_scan_slices_matches_full_scan_within_bounds(tmp_path_factory, gens, lo,
                 assert s_cells.get(n) == c, (k, n)
             for n in s_cells:
                 assert n in f_cells
+
+
+# ------------------------------------------- value-level slice pushdown
+
+# Variable-length clustering values whose byte-encoded composites sort
+# DIFFERENTLY from their string values across lengths (enc('b') <
+# enc('ab') byte-wise although 'b' > 'ab') — the exact shape that made
+# range-derived name bounds drop rows before bounds were restricted to
+# EQ predicates.
+_CK_VALUES = [
+    a + b + c + d
+    for a in "ab"
+    for b in ["", "a", "b"]
+    for c in ["", "a", "b"]
+    for d in ["", "a", "b"]
+]
+
+_pred = st.tuples(
+    st.sampled_from(["eq", "gt", "ge", "lt", "le"]),
+    st.text(alphabet="ab", min_size=0, max_size=4),
+)
+
+
+@given(preds=st.lists(_pred, min_size=1, max_size=2))
+@settings(max_examples=60, deadline=None)
+def test_cluster_slice_predicates_value_exact(tmp_path_factory, preds):
+    """Value-level gt/ge/lt/le/eq clustering predicates pushed through
+    the DataSourceReader must return EXACTLY the rows whose decoded
+    clustering value satisfies them — including with partitions forced
+    onto the promoted-index block-skip path, where any name-byte bound
+    derived from a range predicate over a variable-length validator
+    would silently drop matching blocks."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from cassowary_spark.sources.sstable_format import SSTableReader as R
+
+    tmp = str(tmp_path_factory.mktemp("valslice"))
+    kenc = get_validator("LongType").encode
+    ckv = get_validator("UTF8Type")
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [["x", "UTF8Type"]],
+        "clustering": [["ck", "UTF8Type"]],
+    }
+    cells = []
+    for i, ck in enumerate(sorted(_CK_VALUES)):
+        prefix = [ckv.encode(ck)]
+        cells.append(Cell(encode_composite(prefix + [b""]), b"", 1))
+        cells.append(Cell(encode_composite(prefix + [b"x"]), f"v{i}".encode(), 1))
+    w = SSTableWriter(tmp, "ks", "valslice", 1, schema, chunk_len=128, column_index_len=32)
+    w.append(Partition(kenc(7), cells=cells))
+    w.close()
+
+    _FCLS = {
+        "eq": EqualTo,
+        "gt": GreaterThan,
+        "ge": GreaterThanOrEqual,
+        "lt": LessThan,
+        "le": LessThanOrEqual,
+    }
+    _PYOPS = {
+        "eq": lambda a, b: a == b,
+        "gt": lambda a, b: a > b,
+        "ge": lambda a, b: a >= b,
+        "lt": lambda a, b: a < b,
+        "le": lambda a, b: a <= b,
+    }
+    expected = {
+        ck for ck in _CK_VALUES if all(_PYOPS[op](ck, v) for op, v in preds)
+    }
+
+    saved = R.SLICE_MIN_PARTITION_BYTES
+    R.SLICE_MIN_PARTITION_BYTES = 0  # every partition block-skips
+    try:
+        reader = SSTableDataSourceReader({"path": tmp}, None)
+        leftover = list(
+            reader.pushFilters([_FCLS[op](("ck",), v) for op, v in preds])
+        )
+        assert leftover == [], "clustering predicates must be fully consumed"
+        got = set()
+        for p in reader.partitions():
+            for item in reader.read(p):
+                rows_out = (
+                    [tuple(d.values()) for d in item.to_pylist()]
+                    if isinstance(item, pa.RecordBatch)
+                    else [tuple(item)]
+                )
+                for _k, ck, _x in rows_out:
+                    assert ck not in got, "duplicate row emitted"
+                    got.add(ck)
+    finally:
+        R.SLICE_MIN_PARTITION_BYTES = saved
+    assert got == expected
