@@ -264,7 +264,8 @@ def connected_components(
     ).persist()
     labels = vertices.select(F.col(id_col).alias("__v"), F.col(id_col).alias("__label"))
     prev_cached = None
-    for _ in range(max_iter):
+    converged = False
+    for it in range(1, max_iter + 1):
         nb_min = (
             sym.join(labels, sym.dst == labels["__v"])
             .groupBy("src")
@@ -292,6 +293,29 @@ def connected_components(
         prev_cached = stepped
         labels = stepped.select("__v", "__label")
         if changed == 0:
+            converged = True
             break
+        # every 5 rounds, truncate lineage (high-diameter graphs would
+        # otherwise stack 5 joins per round into one growing plan) and
+        # release the cache backing it
+        if it % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
+            prev_cached.unpersist()
+            prev_cached = None
     sym.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted before "
+            "convergence — labels are an over-segmented upper bound "
+            "(raise max_iter for high-diameter graphs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if prev_cached is not None:
+        # materialize the result off the cached frame so the cache can
+        # be dropped now instead of leaking until clearCache
+        labels = labels.localCheckpoint(eager=True)
+        prev_cached.unpersist()
     return labels.select(F.col("__v").alias(id_col), F.col("__label").alias("cluster_id"))

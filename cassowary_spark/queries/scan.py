@@ -642,18 +642,38 @@ def q_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cache = os.path.join(repo_root, ".file_cache", os.path.basename(sf_dir.rstrip("/")))
+    # v2: cache written with RFC4180 quote/escape — older caches used
+    # backslash-escape and would mis-parse under the new reader options
+    cache = os.path.join(repo_root, ".file_cache", "v2", os.path.basename(sf_dir.rstrip("/")))
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     paths = {}
     for fmt in ("json", "csv"):
         p = os.path.join(cache, f"documents_{fmt}")
         if not _os.path.exists(_os.path.join(p, "_SUCCESS")):
             w = d.coalesce(4).write.mode("overwrite")
-            (w.option("header", "true").csv(p) if fmt == "csv" else w.json(p))
+            if fmt == "csv":
+                # RFC4180 quoting (escape = doubled quote) so the
+                # multiLine reader below reassembles embedded newlines
+                w.option("header", "true").option("quote", '"').option(
+                    "escape", '"'
+                ).csv(p)
+            else:
+                w.json(p)
         paths[fmt] = p
     ddl = "doc_id bigint, lang string, text string"
     jdf = spark.read.schema(ddl).json(paths["json"])
-    cdf = spark.read.schema(ddl).option("header", "true").csv(paths["csv"])
+    # multiLine + explicit quote/escape: text containing embedded
+    # newlines must survive the CSV round-trip as ONE record (the
+    # writer quotes it; without multiLine the reader would split the
+    # quoted field into corrupt rows while the oracle reads parquet)
+    cdf = (
+        spark.read.schema(ddl)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(paths["csv"])
+    )
     u = cdf.withColumn("fmt", F.lit("csv")).unionByName(jdf.withColumn("fmt", F.lit("json")))
     return u.groupBy("fmt", "lang").agg(
         F.count("*").alias("n_docs"),

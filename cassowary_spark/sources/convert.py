@@ -499,9 +499,19 @@ def write_collections_snapshot(
     return out_dir
 
 
-def compact_snapshot(path: str, delete_inputs: bool = True) -> str:
+def compact_snapshot(
+    path: str, delete_inputs: bool = True, out_dir: str | None = None
+) -> str:
     """Full (major) compaction: merge every generation in ``path`` into
-    one new sstable and (optionally) delete the inputs.
+    one new sstable and (optionally) delete the inputs. Returns the
+    directory holding the compacted snapshot.
+
+    When ``delete_inputs=False`` the compacted generation is written to
+    a FRESH directory (``out_dir``, default ``path + "-compacted"``):
+    counter deltas collapse into one summed cell at the max input
+    timestamp, so leaving that cell beside the original delta cells in
+    the same directory would make a merged read feed both into
+    reconcile's counter sum and double-count.
 
     Semantics are Cassandra's major compaction with gc_grace elapsed:
     cells shadowed by newer writes, cell/row/range tombstones are
@@ -531,6 +541,11 @@ def compact_snapshot(path: str, delete_inputs: bool = True) -> str:
     ks, tbl, _fmt, last_gen = base.rsplit("-", 3)
     schema = readers[-1].schema
     out_gen = int(last_gen) + 1
+    if delete_inputs:
+        dest = path
+    else:
+        dest = out_dir or (path.rstrip("/") + "-compacted")
+        os.makedirs(dest, exist_ok=True)
 
     def stream(r: SSTableReader):
         gen = r.generation
@@ -539,7 +554,7 @@ def compact_snapshot(path: str, delete_inputs: bool = True) -> str:
 
     merged = heapq.merge(*(stream(r) for r in readers), key=lambda t: (t[0], t[1]))
     w = SSTableWriter(
-        path, ks, tbl, out_gen, schema,
+        dest, ks, tbl, out_gen, schema,
         expected_keys=max(1, sum(r.stats["rows"] for r in readers)),
     )
     group: list[tuple[int, Partition]] = []
@@ -565,4 +580,4 @@ def compact_snapshot(path: str, delete_inputs: bool = True) -> str:
                 full = os.path.join(path, f)
                 if full.startswith(r.prefix + "-"):
                     os.remove(full)
-    return path
+    return dest

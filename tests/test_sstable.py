@@ -803,6 +803,33 @@ def test_compaction_preserves_merged_reads(spark, tmp_path):
     assert not any(t[0] == 2 and t[1] is not None for t in after)
 
 
+def test_compaction_keep_inputs_writes_fresh_dir(spark, tmp_path):
+    """delete_inputs=False must land the compacted generation in a
+    FRESH directory: the summed counter cell beside the original delta
+    cells would double-count in a merged read of one directory."""
+    import struct as _s
+
+    from cassowary_spark.sources.convert import compact_snapshot
+    from cassowary_spark.sources.sstable_format import FLAG_COUNTER, discover_sstables
+
+    d = str(tmp_path / "keep")
+    enc_k = get_validator("LongType").encode
+    schema = {"key": ["id", "LongType"], "columns": [["ctr", "LongType"]]}
+    for g, delta in ((1, 5), (2, 7)):
+        w = SSTableWriter(d, "ks", "cf", g, schema)
+        w.append(Partition(enc_k(1), cells=[Cell(b"ctr", _s.pack(">q", delta), g * 100, FLAG_COUNTER)]))
+        w.close()
+
+    before = {(r.id, r.ctr) for r in read_sstable(spark, d).collect()}
+    assert before == {(1, 12)}
+    out = compact_snapshot(d, delete_inputs=False)
+    assert out != d
+    assert len(discover_sstables(d)) == 2  # inputs untouched
+    assert len(discover_sstables(out)) == 1
+    assert {(r.id, r.ctr) for r in read_sstable(spark, out).collect()} == before
+    assert {(r.id, r.ctr) for r in read_sstable(spark, d).collect()} == before
+
+
 def test_compaction_applies_range_tombstones(spark, tmp_path):
     """Compacting a clustered snapshot with slice deletes drops the
     covered CQL3 rows and GCs the range tombstones; reads unchanged."""
