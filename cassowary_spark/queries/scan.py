@@ -679,3 +679,72 @@ def q_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("chars"),
     )
+
+
+@query(
+    "q_sstable_compact",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def q_sstable_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major compaction (A8): collapse the 4-generation supplier
+    snapshot (3 overlapping data generations + a row-tombstone
+    generation) into ONE sstable in a fresh directory, then scan it.
+
+    The oracle is the UNCOMPACTED read's SQL — compaction must be
+    read-invariant: LWW resolves multi-version rows, the phantom rows
+    deleted by generation 4's tombstones are dropped AND the tombstones
+    themselves are GC'd, so the single surviving generation reproduces
+    the parquet table exactly. Compaction runs once per sf_dir (the
+    output is cached beside the snapshot, keyed by its TOC)."""
+    from cassowary_spark.sources.convert import compact_snapshot
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_sstable_snapshot(sf_dir)
+    out = snap + "-compacted"
+    if not os.path.exists(os.path.join(out, "ks-supplier-jb-5-TOC.txt")):
+        compact_snapshot(snap, delete_inputs=False, out_dir=out)
+    return read_sstable(spark, out)
+
+
+@query(
+    "q_sstable_stream",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    UNION ALL
+    SELECT CAST(10000001 + i AS BIGINT)                    AS s_suppkey,
+           'Phantom#' || CAST(10000001 + i AS VARCHAR)     AS s_name,
+           CAST(0 AS INTEGER)                              AS s_nationkey,
+           CAST(0.0 AS DOUBLE)                             AS s_acctbal
+    FROM range(5) t(i)
+    """,
+)
+def q_sstable_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSTable generation-replay (S8) — batch twin of the stream
+    source's offset semantics: each generation is read UNMERGED as its
+    own delta batch (``min_gen``/``max_gen`` = the stream's
+    ``readBetweenOffsets``), the batches union, and the query layer
+    folds them last-write-wins per key — exactly the downstream
+    reconcile the stream leaves to `latest_version`/stateful dedup.
+
+    The oracle spells out the stream's delta semantics: generation 4 is
+    row tombstones ONLY, and a delta stream emits nothing for a delete,
+    so the folded replay still contains the 5 phantom rows (known
+    synthetic values) on top of the supplier table — unlike the merged
+    batch read, which suppresses them. Scale: per-generation reads are
+    parallel scans; the fold is one hash shuffle on the key."""
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_sstable_snapshot(sf_dir)
+    batches = [
+        read_sstable(spark, snap, min_gen=str(g), max_gen=str(g)).withColumn(
+            "__gen", F.lit(g)
+        )
+        for g in (1, 2, 3)  # gen 4 (tombstones only) emits no delta rows
+    ]
+    replay = batches[0]
+    for b in batches[1:]:
+        replay = replay.unionByName(b)
+    return latest_version(replay, ["s_suppkey"], "__gen").drop("__gen")

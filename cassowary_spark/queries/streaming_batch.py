@@ -211,3 +211,69 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.ts").alias("view_ts"),
         F.col("c.ts").alias("click_ts"),
     )
+
+
+@query(
+    "q_stream_late_data",
+    oracle="""
+    WITH ev AS (
+        SELECT *, event_id % 4 AS batch_id FROM events
+    ),
+    bmax AS (
+        SELECT batch_id, max(ts) AS bm FROM ev GROUP BY batch_id
+    ),
+    wm AS (
+        SELECT batch_id,
+               max(bm) OVER (ORDER BY batch_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 - INTERVAL '6 hours' AS wm_ts
+        FROM bmax
+    ),
+    kept AS (
+        SELECT ev.* FROM ev JOIN wm USING (batch_id)
+        WHERE wm_ts IS NULL OR ts >= wm_ts
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*)                                      AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM kept
+    GROUP BY 1
+    """,
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop (S4) — deterministic batch twin.
+
+    Models Structured Streaming's trigger semantics exactly: arrival
+    is micro-batched (batch = event_id % 4 — a STRIPED order, so every
+    batch spans the full time range and later batches genuinely carry
+    late events), the watermark before batch b is max event-time of
+    all PRIOR batches minus the 6h delay, and a row is dropped iff it
+    arrives below that watermark. The kept rows (batch 0 entirely +
+    each later batch's tail above the watermark — ~26% at sf0.01)
+    aggregate into the tumbling 1h windows of S1. The streaming form
+    is `jobs.tumbling_counts` (withWatermark('ts','6 hours')),
+    equivalence-tested in tests/test_streaming.py.
+
+    Scale: the only ordered window runs over #batches rows (4), the
+    per-batch maxes are a map-side partial agg, and the watermark
+    table broadcast-joins back — no global per-row ordering anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "batch_id", F.col("event_id") % 4
+    )
+    bmax = ev.groupBy("batch_id").agg(F.max("ts").alias("bm"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "batch_id",
+        (F.max("bm").over(w) - F.expr("INTERVAL 6 HOURS")).alias("wm_ts"),
+    )
+    kept = ev.join(F.broadcast(wm), "batch_id").filter(
+        F.col("wm_ts").isNull() | (F.col("ts") >= F.col("wm_ts"))
+    )
+    return (
+        kept.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), srnd(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )

@@ -250,6 +250,18 @@ class SSTableDataSourceReader(DataSourceReader):
         self.merge = str(options.get("merge", "true")).lower() != "false"
         self.read_ts = int(options.get("read_ts", FAR_FUTURE_TS))
         readers = discover_sstables(self.path)
+        # Generation-range reads (incremental / stream-replay twin):
+        # restrict the merge to generations in [min_gen, max_gen] —
+        # the batch equivalent of the stream reader's offset range.
+        min_gen = int(options.get("min_gen", 0))
+        max_gen = int(options["max_gen"]) if options.get("max_gen") else None
+        if min_gen or max_gen is not None:
+            readers = [
+                r
+                for r in readers
+                if r.generation >= min_gen
+                and (max_gen is None or r.generation <= max_gen)
+            ]
         if not readers:
             raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
         stats_schema = readers[0].schema
