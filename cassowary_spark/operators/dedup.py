@@ -91,6 +91,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH (C2).
 
@@ -98,6 +99,17 @@ def minhash_lsh_pairs(
     signatures, with est_jaccard = fraction of agreeing minhashes.
     At 100 TB: the only joins are equi-joins on (band, band_sig) and on
     id — LSH guarantees the bucket join touches candidate pairs only.
+
+    ``bucket_cap`` bounds bucket width: the self-join is all-pairs
+    WITHIN a bucket, so one degenerate band signature (empty or
+    boilerplate docs hashing identically) would otherwise go quadratic
+    on real corpora — at 100 TB that mega-bucket IS the job. Buckets
+    wider than the cap are dropped before the join (standard MinHash
+    hygiene): their members still pair through their other, more
+    selective bands, and docs identical enough to flood EVERY band
+    belong to exact dedup (C1), which catches them by content hash.
+    Candidate work is thus O(n_buckets · cap²) worst-case instead of
+    unbounded. None disables the cap.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
@@ -117,6 +129,17 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     )
+    if bucket_cap is not None:
+        # hot buckets only (≤ n/cap rows by construction) — AQE
+        # broadcasts the anti-join side when it is small, which it is
+        # whenever the cap is doing its job
+        hot = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > bucket_cap)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(hot, ["band", "band_sig"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -153,12 +176,23 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via shingle equi-join.
 
     Exact but quadratic in the worst case (all docs sharing shingles);
     at scale it runs AFTER an LSH prefilter. The join is on the shingle
     value, so disjoint docs never meet.
+
+    ``max_shingle_df`` drops stop-shingles — shingles appearing in more
+    than that many documents — from the shingle SPACE (both the
+    intersection and the size counts, so the quotient stays a true
+    Jaccard over the filtered space). A shingle like "of the and" in
+    millions of docs pushes ~df²/2 pairs through one join key while
+    contributing ~0 discrimination; capping df bounds the join fanout
+    at df_max² per shingle. Jaccard over the filtered space is the
+    standard corpus-dedup estimator; None (default) keeps exact
+    full-space semantics.
 
     Perf: shingles are computed once per doc (tokens materialized
     first), persisted so the self-join's two sides and the size table
@@ -173,6 +207,17 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
         .persist()
     )
+    if max_shingle_df is not None:
+        # shingles are distinct per doc, so count(*) per hash = df.
+        # The anti-join recomputes off the persisted frame; the hot
+        # set is ≤ n_rows/df_max entries and AQE broadcasts it.
+        hot = (
+            sh.groupBy("sh_h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh_h")
+        )
+        sh = sh.join(hot, "sh_h", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -139,8 +139,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     oracle=f"""
     WITH docs AS ({_DOCS_TWINS_SQL}),
-    sh AS (
+    sh0 AS (
         SELECT doc_id, unnest({_duck_shingles(5)}) AS shingle FROM docs
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0
+        ) WHERE df <= 1000
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -165,7 +171,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpus dedup turns.
     """
     corpus = _docs_with_twins(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=5, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_k=5, threshold=0.5, max_shingle_df=1000
+    )
     return pairs.select("id_a", "id_b", srnd("jaccard", 4).alias("jaccard"))
 
 

@@ -60,6 +60,56 @@ def test_minhash_lsh_finds_all_twins(spark, sf_dir):
     assert len(missing) <= len(expected) * 0.02, f"missed {len(missing)} twin pairs"
 
 
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A planted mega-bucket (many identical docs → every band
+    signature identical) must not go quadratic: with bucket_cap below
+    the clone count the clone pairs are excluded from the candidate
+    join entirely, while a normal near-dup pair elsewhere (bucket
+    width 2 ≤ cap) still surfaces."""
+    clones = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same boilerplate text repeated verbatim everywhere").alias("text"),
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    pair = spark.createDataFrame(
+        [(100_000, base), (100_001, base + " tail")], ["doc_id", "text"]
+    )
+    corpus = clones.unionByName(pair)
+    capped = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.0, bucket_cap=100)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100_000, 100_001) in got, "normal near-dup pair must survive the cap"
+    assert not any(a < 300 and b < 300 for a, b in got), "mega-bucket pairs must be dropped"
+    # uncapped control: the clone block floods the join with ~n²/2 pairs
+    uncapped = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.0, bucket_cap=None)
+    assert uncapped.count() == 300 * 299 // 2 + 1
+
+
+def test_ngram_stop_shingle_df_filter_bounds_fanout(spark):
+    """Docs sharing ONLY a ubiquitous stop-shingle must not pair once
+    the document-frequency filter removes it; genuinely similar docs
+    still pair, with Jaccard computed over the filtered space."""
+    from cassowary_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "of the and"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c " + stop) for i in range(50)]
+    rows += [(1000, "x y z w v " + stop), (1001, "x y z w v " + stop)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    # control: without the filter the shared stop-shingle drags every
+    # doc pair over a low threshold — 50 docs → 1225 junk pairs
+    unfiltered = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.1, max_shingle_df=None
+    )
+    assert any(
+        r.id_a < 50 and r.id_b < 50 for r in unfiltered.collect()
+    ), "fixture must produce stop-shingle pairs when unfiltered"
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_k=3, threshold=0.1, max_shingle_df=10
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1000, 1001) in got and got[(1000, 1001)] == 1.0
+    assert all(not (a < 50 and b < 50) for a, b in got), "stop-shingle-only pairs leaked"
+
+
 def test_simhash_deterministic_and_twin_close(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     twin = d.select((F.col("doc_id") + 100_000).alias("doc_id"),
