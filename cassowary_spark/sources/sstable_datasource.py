@@ -65,6 +65,7 @@ from pyspark.sql.types import StructType
 
 from cassowary_spark.sources.sstable_format import (
     FLAG_COUNTER,
+    FLAG_EXPIRING,
     FLAG_RANGE,
     FORMAT_VERSION,
     ROW_MARKER,
@@ -163,6 +164,38 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
     Returns None when nothing survives.
     """
     import struct as _struct
+
+    if len(versions) == 1:
+        # Single-version fast path — the overwhelmingly common shape
+        # (one generation holds the key, or post-compaction snapshots).
+        # No cross-file LWW to rank: a live cell survives iff it beats
+        # the row tombstone and its own TTL. Counter / range-tombstone
+        # cells (rare kinds) drop to the general path below.
+        _, part = versions[0]
+        m = part.marked_for_delete_at
+        live_fast: dict[bytes, Cell | None] = {}
+        ncells = 0
+        ok = True
+        for c in part.cells:
+            f = c.flags
+            if f & 0x0C:  # FLAG_COUNTER | FLAG_RANGE
+                ok = False
+                break
+            ncells += 1
+            if (
+                f & 0x01
+                or (f & FLAG_EXPIRING and c.local_expiration <= read_ts)
+                or c.timestamp <= m
+            ):
+                live_fast[c.name] = None  # dead — kept so dup detection sees it
+            else:
+                live_fast[c.name] = c
+        # duplicate cell names within one sstable (no real memtable
+        # flush produces them, but the format tolerates them) need the
+        # full LWW rank — detected as a count mismatch, fall through
+        if ok and len(live_fast) == ncells:
+            live = {n: c for n, c in live_fast.items() if c is not None}
+            return live or None
 
     mfda = max(p.marked_for_delete_at for _, p in versions)
     rts: list[tuple[bytes, bytes, int]] = []
@@ -327,6 +360,14 @@ class SSTableDataSourceReader(DataSourceReader):
         # applied on the decoded clustering value before any field
         # decode — Cassandra's column-slice read, evaluated cell-side.
         self._cluster_preds: list[tuple[str, Any]] = []
+        # flat-schema decode state: column names encoded ONCE (the old
+        # per-row name.encode() was 6 calls/row on a 6-column table),
+        # and a flag flipping _emit into raw-bytes mode for the
+        # vectorized Arrow path in read()
+        self._flat_cols: list[tuple[bytes, Validator]] = [
+            (n.encode("utf-8"), v) for n, v in self.schema.columns
+        ]
+        self._raw_emit = False
 
     # -- pushdown ------------------------------------------------------
 
@@ -616,8 +657,17 @@ class SSTableDataSourceReader(DataSourceReader):
                 yield tuple(row)
             return
         out: list[Any] = [key_val] if self.schema.key_in_output else []
-        for name, validator in self.schema.columns:
-            cell = cells.get(name.encode("utf-8"))
+        if self._raw_emit:
+            # vectorized flat path: raw wire bytes per column (None =
+            # missing/empty = NULL); the Arrow batcher decodes whole
+            # columns at once
+            for ename, _v in self._flat_cols:
+                cell = cells.get(ename)
+                out.append(cell.value if cell is not None and cell.value else None)
+            yield tuple(out)
+            return
+        for ename, validator in self._flat_cols:
+            cell = cells.get(ename)
             if cell is None or not cell.value:
                 out.append(None)
             else:
@@ -636,6 +686,46 @@ class SSTableDataSourceReader(DataSourceReader):
         the range through its promoted column index (scan_slices):
         large partitions decompress only the covering cell blocks.
         """
+        if (
+            self._raw_emit
+            and self.merge
+            and len(slices) == 1
+            and name_lo is None
+            and name_hi is None
+        ):
+            # Fused flat fast path: a single-sstable slice is the only
+            # source for its keys, so the per-cell Cell/reconcile/_emit
+            # pipeline collapses into one raw scan (scan_rows_fast) +
+            # one dict lookup per column. Rare cell kinds re-enter the
+            # general reconcile per-partition.
+            r, so, eo = slices[0]
+            gen = r.generation
+            kdec = self.schema.key_validator.decode
+            key_in = self.schema.key_in_output
+            flat_cols = self._flat_cols
+            check_keys = bool(self._key_preds)
+            for kind, key, payload in r.scan_rows_fast(so, eo, self.read_ts):
+                if kind == 0:
+                    # dead cells ride along as None sentinels (for dup
+                    # detection) — the row exists only if something is
+                    # actually live
+                    if not payload or not any(
+                        v is not None for v in payload.values()
+                    ):
+                        continue
+                    key_val = kdec(key)
+                    if check_keys and not self._key_ok(key_val):
+                        continue
+                    out = [key_val] if key_in else []
+                    for ename, _v in flat_cols:
+                        v = payload.get(ename)
+                        out.append(v if v else None)
+                    yield tuple(out)
+                else:
+                    cells = reconcile([(gen, payload)], self.read_ts)
+                    if cells:
+                        yield from self._emit(key, cells)
+            return
         if self.merge:
 
             def stream(reader: SSTableReader, so: int, eo: int):
@@ -747,6 +837,9 @@ class SSTableDataSourceReader(DataSourceReader):
         if any("TimestampType" in v.name for _, v in fields):
             yield from self._rows(partition)
             return
+        if not self.wide and not self.clustering and not self.collections:
+            yield from self._read_flat(partition, fields)
+            return
         arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
         buf: list[tuple] = []
 
@@ -766,6 +859,74 @@ class SSTableDataSourceReader(DataSourceReader):
                 buf.clear()
         if buf or not any_out:
             yield flush()
+
+    def _read_flat(self, partition: SSTablePartition, fields) -> Iterator:
+        """Vectorized Arrow batching for flat (non-wide, non-clustered)
+        schemas: _emit yields RAW cell bytes and each fixed-width
+        column decodes as ONE numpy frombuffer per batch instead of a
+        struct.unpack per cell — the scan's Python cost becomes
+        per-row, not per-row-times-per-numeric-column. Strings/binary
+        pass to Arrow as bytes (utf8-validated by Arrow); validators
+        without a numpy dtype (uuid/inet/decimal/varint) fall back to
+        per-value decode within the batch.
+        """
+        import numpy as np
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
+        vals = [v for _, v in fields]
+        key_in = self.schema.key_in_output
+        zeros = {w: b"\x00" * w for w in (1, 4, 8)}
+
+        def build(col, v, is_key):
+            if is_key:  # key is decoded row-side (needed for _key_ok)
+                return pa.array(col, type=v.arrow_type)
+            fmt = v.np_dtype
+            if fmt is not None:
+                dt = np.dtype(fmt)
+                w = dt.itemsize
+                z = zeros[w]
+                mask = np.fromiter(
+                    (c is None or len(c) != w for c in col), np.bool_, count=len(col)
+                )
+                joined = b"".join(
+                    c if (c is not None and len(c) == w) else z for c in col
+                )
+                arr = np.frombuffer(joined, dtype=dt)
+                arr = arr.astype(np.bool_) if v.name == "BooleanType" else arr.astype(dt.newbyteorder("="))
+                return pa.array(arr, mask=mask)
+            if v.name in ("UTF8Type", "AsciiType"):
+                return pa.array(col, type=pa.binary()).cast(pa.string())
+            if v.name == "BytesType":
+                return pa.array(col, type=pa.binary())
+            return pa.array(
+                [None if c is None else v.decode(c) for c in col], type=v.arrow_type
+            )
+
+        def flush(buf):
+            cols = list(zip(*buf)) if buf else [() for _ in fields]
+            return pa.RecordBatch.from_arrays(
+                [
+                    build(c, v, key_in and i == 0)
+                    for i, (c, v) in enumerate(zip(cols, vals))
+                ],
+                schema=arrow_schema,
+            )
+
+        buf: list[tuple] = []
+        any_out = False
+        self._raw_emit = True
+        try:
+            for row in self._rows(partition):
+                buf.append(row)
+                if len(buf) >= self.ARROW_BATCH_ROWS:
+                    any_out = True
+                    yield flush(buf)
+                    buf = []
+        finally:
+            self._raw_emit = False
+        if buf or not any_out:
+            yield flush(buf)
 
 
 # --------------------------------------------------------------- writer

@@ -611,6 +611,73 @@ class SSTableReader:
                 append(Cell(name, value, ts, flags, ttl, lexp))
             yield Partition(key, ldt, mfda, cells)
 
+    def scan_rows_fast(self, start: int, end: int, read_ts: int):
+        """Fused single-version row scan: yield ``(0, key, raw)`` where
+        ``raw`` is {cell_name: value_bytes} of the cells LIVE at
+        ``read_ts`` (cell tombstones, expired TTLs, and cells at or
+        below the row tombstone already dropped) — no Cell/Partition
+        objects, no separate reconcile pass. This is the decode hot
+        path for the common shape (a key lives in exactly one sstable);
+        partitions carrying rare cell kinds (counters, range
+        tombstones) yield ``(1, key, Partition)`` re-parsed through the
+        general path so their merge semantics stay in one place.
+
+        Callers must only use this when the byte range is the ONLY
+        source for its keys (single-sstable slice): cross-file LWW
+        needs the general merge.
+        """
+        buf = self._data.read_range(start, end)
+        pos = 0
+        n = len(buf)
+        unpack_from = struct.unpack_from
+        expiring = FLAG_EXPIRING
+        while pos < n:
+            part_off = pos
+            klen = (buf[pos] << 8) | buf[pos + 1]
+            pos += 2
+            key = buf[pos : pos + klen]
+            pos += klen
+            mfda = unpack_from(">q", buf, pos + 4)[0]
+            pos += 12
+            raw: dict[bytes, bytes | None] = {}
+            ncells = 0
+            bail = False
+            while True:
+                nlen = (buf[pos] << 8) | buf[pos + 1]
+                pos += 2
+                if nlen == 0:
+                    break
+                name = buf[pos : pos + nlen]
+                pos += nlen
+                flags = buf[pos]
+                pos += 1
+                lexp = NO_EXPIRY
+                if flags & expiring:
+                    lexp = unpack_from(">I", buf, pos + 4)[0]
+                    pos += 8
+                ts, vlen = unpack_from(">qi", buf, pos)
+                pos += 12
+                value = buf[pos : pos + vlen]
+                pos += vlen
+                if bail:
+                    continue
+                if flags & 0x0C:  # counter / range tombstone → general path
+                    bail = True
+                    continue
+                ncells += 1
+                if flags & 0x01 or (flags & expiring and lexp <= read_ts) or ts <= mfda:
+                    raw[name] = None  # dead — kept so dup detection sees it
+                else:
+                    raw[name] = value
+            # duplicate cell names in one sstable need the full LWW
+            # rank (tie on ts breaks by tombstone bit then value) —
+            # detected as a count mismatch, re-parsed generally
+            if bail or len(raw) != ncells:
+                for part in self.scan_offsets(start + part_off, start + pos):
+                    yield (1, part.key, part)
+            else:
+                yield (0, key, raw)
+
     # Partitions smaller than this read sequentially even under a name
     # slice — per-partition random reads would re-decompress chunks for
     # no byte savings. Only genuinely large partitions block-skip.

@@ -164,6 +164,7 @@ class Validator:
         spark_type: str,
         arrow_type: pa.DataType,
         order_preserving: bool = False,
+        np_dtype: str | None = None,
     ) -> None:
         self.name = name
         self.encode = encode
@@ -171,6 +172,10 @@ class Validator:
         self.spark_type = spark_type
         self.arrow_type = arrow_type
         self.order_preserving = order_preserving
+        # big-endian numpy dtype for fixed-width wire values — enables
+        # whole-column frombuffer decode in the scan's Arrow batcher
+        # (None → per-value Python decode)
+        self.np_dtype = np_dtype
 
 
 VALIDATORS: dict[str, Validator] = {
@@ -179,11 +184,11 @@ VALIDATORS: dict[str, Validator] = {
         Validator("UTF8Type", _enc_utf8, _dec_utf8, "string", pa.string(), True),
         Validator("AsciiType", _enc_utf8, _dec_utf8, "string", pa.string(), True),
         Validator("BytesType", _identity, _identity, "binary", pa.binary(), True),
-        Validator("LongType", _enc_long, _dec_long, "long", pa.int64()),
-        Validator("Int32Type", _enc_int32, _dec_int32, "int", pa.int32()),
-        Validator("BooleanType", _enc_bool, _dec_bool, "boolean", pa.bool_()),
-        Validator("FloatType", _enc_float, _dec_float, "float", pa.float32()),
-        Validator("DoubleType", _enc_double, _dec_double, "double", pa.float64()),
+        Validator("LongType", _enc_long, _dec_long, "long", pa.int64(), np_dtype=">i8"),
+        Validator("Int32Type", _enc_int32, _dec_int32, "int", pa.int32(), np_dtype=">i4"),
+        Validator("BooleanType", _enc_bool, _dec_bool, "boolean", pa.bool_(), np_dtype="|u1"),
+        Validator("FloatType", _enc_float, _dec_float, "float", pa.float32(), np_dtype=">f4"),
+        Validator("DoubleType", _enc_double, _dec_double, "double", pa.float64(), np_dtype=">f8"),
         Validator(
             "DecimalType", _enc_decimal, _dec_decimal, "decimal(38,18)", pa.decimal128(38, 18)
         ),
