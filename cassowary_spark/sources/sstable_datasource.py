@@ -297,7 +297,22 @@ class SSTableDataSourceReader(DataSourceReader):
             ]
         if not readers:
             raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
-        stats_schema = readers[0].schema
+        if options.get("schema"):
+            # explicit schema (JSON, same shape as the writer's stats
+            # schema block) — REQUIRED for real `nodetool snapshot`
+            # dirs whose binary Statistics.db carries no schema
+            import json as _json
+
+            stats_schema = _json.loads(options["schema"])
+        else:
+            stats_schema = readers[0].schema
+            if stats_schema is None:
+                raise ValueError(
+                    "this snapshot's Statistics.db is Cassandra's binary "
+                    "metadata, which does not describe the table schema; "
+                    'pass .option("schema", \'{"key": ["name", "Validator"], '
+                    '"columns": [["col", "Validator"], ...]}\') to read it'
+                )
         # Wide-row mode (Cassandra's native shape: a partition is a
         # sorted map of dynamic columns): emit the long format
         # (key, column_name, value, cell_ts) instead of pivoting cell
@@ -508,9 +523,16 @@ class SSTableDataSourceReader(DataSourceReader):
             ranges = tuple(
                 (p, so, eo)
                 for p, r in sorted(readers.items())
-                if r.min_key is not None
-                and (e is None or r.min_key < e)
-                and (s is None or r.max_key >= s)
+                # unknown bounds (binary stats, min_key None but rows
+                # present) can't be range-pruned — always considered
+                if (
+                    (r.min_key is None and r.stats.get("rows"))
+                    or (
+                        r.min_key is not None
+                        and (e is None or r.min_key < e)
+                        and (s is None or r.max_key >= s)
+                    )
+                )
                 for so, eo in [r.data_range_for_keys(s, e)]
                 if eo > so
             )

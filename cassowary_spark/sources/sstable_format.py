@@ -33,10 +33,20 @@ Cassandra's ``DeflateCompressor`` — the one stdlib-available option.
 u64 n_bits | bit bytes`` (double hashing over two md5 halves, the
 standard Kirsch-Mitzenmacher construction Cassandra also uses).
 
-``Statistics.db`` — JSON metadata (simplified vs Cassandra's binary
-stats): row count, min/max key (hex), min/max cell timestamp, and the
-schema (key alias + validator, ordered column validators) so readers
-are self-describing the way a CF definition made cassowary tables.
+``Statistics.db`` — the writer emits JSON metadata (row count, min/max
+key hex, min/max cell timestamp, and the schema — key alias +
+validator, ordered column validators — so snapshots are
+self-describing the way a CF definition made cassowary tables). The
+READER also accepts the real binary layout of Cassandra 2.0's
+``SSTableMetadata`` serializer (format "jb"), reconstructed from the
+public Cassandra 2.0 source: two EstimatedHistograms (row sizes,
+column counts), ReplayPosition, min/max cell timestamp, max local
+deletion time, bloom FP chance, compression ratio, partitioner class
+(writeUTF), ancestor generations, a StreamingHistogram of tombstone
+drop times, the sstable level, and min/max column-name bounds. Real
+Statistics.db files carry NO schema, so reading a genuine ``nodetool
+snapshot`` directory additionally requires the ``schema`` option on
+the DataSource (see ``parse_statistics``).
 
 ``TOC.txt`` — component list, as in Cassandra.
 """
@@ -215,6 +225,11 @@ class BloomFilter:
     @classmethod
     def load(cls, raw: bytes) -> "BloomFilter":
         n_hashes, n_bits = struct.unpack(">IQ", raw[:12])
+        if len(raw) - 12 != (n_bits + 7) // 8 or not 1 <= n_hashes <= 32:
+            # a foreign Filter.db (e.g. Cassandra's murmur3 OpenBitSet
+            # layout) must raise, not silently misfilter — callers
+            # fail open on error
+            raise ValueError("not this writer's Filter.db layout")
         return cls(n_hashes, n_bits, bytearray(raw[12:]))
 
 
@@ -379,6 +394,137 @@ class SSTableWriter:
         return os.path.join(self.directory, self.prefix[:-1])
 
 
+# ------------------------------------------------- Statistics.db codecs
+
+
+def write_statistics_jb(
+    row_count: int,
+    min_timestamp: int,
+    max_timestamp: int,
+    *,
+    partitioner: str = "org.apache.cassandra.dht.Murmur3Partitioner",
+    bloom_fp_chance: float = 0.01,
+    compression_ratio: float = -1.0,
+    max_local_deletion_time: int = 2**31 - 1,
+    ancestors: tuple[int, ...] = (),
+    tombstone_histogram: tuple[tuple[float, int], ...] = (),
+    sstable_level: int = 0,
+    min_column_names: tuple[bytes, ...] = (),
+    max_column_names: tuple[bytes, ...] = (),
+) -> bytes:
+    """Serialize Cassandra 2.0 ``SSTableMetadata`` (format "jb"),
+    per the public serializer layout (reconstruction — see module
+    docstring). Histograms are emitted single-bucket carrying the row
+    count; real files have ~90 buckets, which ``parse_statistics_jb``
+    handles identically (rows = sum of bucket values)."""
+    out = io.BytesIO()
+
+    def hist(pairs: list[tuple[int, int]]) -> None:  # EstimatedHistogram
+        out.write(struct.pack(">i", len(pairs)))
+        for off, count in pairs:
+            out.write(struct.pack(">qq", off, count))
+
+    hist([(1, row_count)])  # row-size histogram
+    hist([(1, row_count)])  # column-count histogram
+    out.write(struct.pack(">qi", 0, 0))  # ReplayPosition(segment, pos)
+    out.write(struct.pack(">qq", min_timestamp, max_timestamp))
+    out.write(struct.pack(">i", max_local_deletion_time))
+    out.write(struct.pack(">dd", bloom_fp_chance, compression_ratio))
+    p = partitioner.encode("utf-8")
+    out.write(struct.pack(">H", len(p)) + p)  # writeUTF
+    out.write(struct.pack(">i", len(ancestors)))
+    for a in ancestors:
+        out.write(struct.pack(">i", a))
+    # StreamingHistogram: maxBinSize, then (point, count) bins
+    out.write(struct.pack(">ii", 100, len(tombstone_histogram)))
+    for point, count in tombstone_histogram:
+        out.write(struct.pack(">dq", point, count))
+    out.write(struct.pack(">i", sstable_level))
+    for names in (min_column_names, max_column_names):
+        out.write(struct.pack(">i", len(names)))
+        for nm in names:
+            out.write(struct.pack(">H", len(nm)) + nm)
+    return out.getvalue()
+
+
+def parse_statistics_jb(raw: bytes) -> dict:
+    """Parse the binary jb ``SSTableMetadata`` layout → a stats dict in
+    this reader's shape. Real files carry no schema and no key bounds:
+    ``schema``/``min_key``/``max_key`` come back None and the caller
+    must supply a schema (DataSource ``schema`` option)."""
+    pos = 0
+
+    def take(fmt: str):
+        nonlocal pos
+        vals = struct.unpack_from(fmt, raw, pos)
+        pos += struct.calcsize(fmt)
+        return vals
+
+    def hist() -> int:  # sum of EstimatedHistogram bucket values
+        (n,) = take(">i")
+        if n < 0 or n > 10_000:
+            raise ValueError(f"implausible histogram bucket count {n}")
+        total = 0
+        for _ in range(n):
+            _off, count = take(">qq")
+            total += count
+        return total
+
+    rows = hist()  # row-size histogram: one entry per partition
+    hist()  # column-count histogram
+    take(">qi")  # ReplayPosition
+    min_ts, max_ts = take(">qq")
+    take(">i")  # maxLocalDeletionTime
+    bloom_fp, compression_ratio = take(">dd")
+    (plen,) = take(">H")
+    partitioner = raw[pos : pos + plen].decode("utf-8")
+    pos += plen
+    (n_anc,) = take(">i")
+    ancestors = [take(">i")[0] for _ in range(n_anc)]
+    _max_bin, n_bins = take(">ii")
+    for _ in range(n_bins):
+        take(">dq")
+    (level,) = take(">i")
+    for _ in range(2):  # min/max column names
+        (n_names,) = take(">i")
+        for _ in range(n_names):
+            (nlen,) = take(">H")
+            pos += nlen
+    return {
+        "format": FORMAT_VERSION,
+        "binary_stats": True,
+        "rows": rows,
+        "min_key": None,
+        "max_key": None,
+        "min_timestamp": min_ts,
+        "max_timestamp": max_ts,
+        "bloom_fp_chance": bloom_fp,
+        "compression_ratio": compression_ratio,
+        "partitioner": partitioner,
+        "ancestors": ancestors,
+        "sstable_level": level,
+        "schema": None,
+    }
+
+
+def parse_statistics(raw: bytes) -> dict:
+    """Dispatch Statistics.db bytes: this writer's JSON (starts with
+    '{') or Cassandra's binary jb metadata. Raises a message that names
+    both accepted layouts when neither parses."""
+    head = raw.lstrip()[:1]
+    if head == b"{":
+        return json.loads(raw.decode("utf-8"))
+    try:
+        return parse_statistics_jb(raw)
+    except (struct.error, ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(
+            "unrecognized Statistics.db: neither this writer's JSON stats "
+            "nor Cassandra 2.0's binary jb SSTableMetadata layout "
+            f"({exc}); other sstable format versions (ic/ka/la/...) are "
+            "not supported"
+        ) from exc
+
+
 # ---------------------------------------------------------------- reader
 
 
@@ -439,9 +585,11 @@ class SSTableReader:
     def __init__(self, prefix: str) -> None:
         self.prefix = prefix
         self.generation = int(prefix.rsplit("-", 1)[-1])
-        with open(prefix + "-Statistics.db") as f:
-            self.stats = json.load(f)
-        self.schema = self.stats["schema"]
+        with open(prefix + "-Statistics.db", "rb") as f:
+            self.stats = parse_statistics(f.read())
+        # None for real (binary-stats) snapshots — they don't describe
+        # their schema; the DataSource requires a `schema` option then
+        self.schema = self.stats.get("schema")
         self._data = _ChunkedData(
             prefix + "-Data.db", prefix + "-CompressionInfo.db"
         )
@@ -453,11 +601,13 @@ class SSTableReader:
 
     @property
     def min_key(self) -> bytes | None:
-        return bytes.fromhex(self.stats["min_key"]) if self.stats["min_key"] else None
+        """None = unknown (binary stats) or empty; check stats["rows"]
+        to distinguish — pruning must treat unknown as unbounded."""
+        return bytes.fromhex(self.stats["min_key"]) if self.stats.get("min_key") else None
 
     @property
     def max_key(self) -> bytes | None:
-        return bytes.fromhex(self.stats["max_key"]) if self.stats["max_key"] else None
+        return bytes.fromhex(self.stats["max_key"]) if self.stats.get("max_key") else None
 
     def index(self) -> list[tuple[bytes, int]]:
         if self._index is None:
@@ -536,9 +686,18 @@ class SSTableReader:
 
     def might_contain(self, key: bytes) -> bool:
         mn, mx = self.min_key, self.max_key
-        if mn is None or key < mn or key > mx:
-            return False
-        return self.bloom().might_contain(key)
+        if mn is not None:
+            if key < mn or key > mx:
+                return False
+        elif not self.stats.get("rows"):
+            return False  # genuinely empty sstable
+        # unknown bounds (binary stats): only the bloom can prune
+        try:
+            return self.bloom().might_contain(key)
+        except Exception:
+            # foreign/unreadable Filter.db (real snapshots use the
+            # murmur3 OpenBitSet layout) — fail OPEN, never drop keys
+            return True
 
     # -- scanning ------------------------------------------------------
 

@@ -900,3 +900,82 @@ def test_sink_roundtrip_mixed_types_and_nulls(spark, tmp_path):
     assert got[3].i == -2**31 and got[3].f == float("inf")
     assert got[4].s == "unicode-é中" and got[4].i == 2**31 - 1
     assert abs(got[4].d - math.pi) < 1e-15 and got[4].f == -3.5
+
+
+def test_parse_statistics_jb_byte_for_byte():
+    """A binary jb SSTableMetadata blob hand-rolled field-by-field per
+    the public Cassandra 2.0 layout (independently of the repo's own
+    serializer) must parse."""
+    import struct as s
+
+    from cassowary_spark.sources.sstable_format import parse_statistics
+
+    blob = b""
+    # EstimatedHistogram rowSizes: 3 buckets, values sum to 42 rows
+    blob += s.pack(">i", 3) + s.pack(">qq", 1, 40) + s.pack(">qq", 2, 2) + s.pack(">qq", 3, 0)
+    # EstimatedHistogram columnCounts: 1 bucket
+    blob += s.pack(">i", 1) + s.pack(">qq", 4, 42)
+    blob += s.pack(">qi", 123456, 789)  # ReplayPosition
+    blob += s.pack(">qq", 1000, 2000)  # min/max timestamp
+    blob += s.pack(">i", 2**31 - 1)  # maxLocalDeletionTime
+    blob += s.pack(">dd", 0.01, 0.66)  # bloom fp, compression ratio
+    part = b"org.apache.cassandra.dht.Murmur3Partitioner"
+    blob += s.pack(">H", len(part)) + part  # writeUTF partitioner
+    blob += s.pack(">i", 2) + s.pack(">i", 5) + s.pack(">i", 6)  # ancestors
+    blob += s.pack(">ii", 100, 2)  # StreamingHistogram: maxBinSize, 2 bins
+    blob += s.pack(">dq", 1700000000.0, 3) + s.pack(">dq", 1700000100.0, 4)
+    blob += s.pack(">i", 1)  # sstable level
+    blob += s.pack(">i", 1) + s.pack(">H", 2) + b"aa"  # minColumnNames
+    blob += s.pack(">i", 1) + s.pack(">H", 2) + b"zz"  # maxColumnNames
+
+    st = parse_statistics(blob)
+    assert st["binary_stats"] and st["rows"] == 42
+    assert (st["min_timestamp"], st["max_timestamp"]) == (1000, 2000)
+    assert st["partitioner"].endswith("Murmur3Partitioner")
+    assert st["ancestors"] == [5, 6] and st["sstable_level"] == 1
+    assert st["schema"] is None and st["min_key"] is None
+
+
+def test_binary_stats_snapshot_reads_with_schema_option(spark, tmp_path):
+    """A snapshot whose Statistics.db is the REAL binary jb layout
+    (no schema inside) reads end-to-end once the schema option is
+    supplied — and fails with a schema-naming error without it.
+    Point lookups survive unknown key bounds (bloom prunes, range
+    pruning fails open)."""
+    import json
+
+    from cassowary_spark.sources.sstable_format import (
+        parse_statistics,
+        write_statistics_jb,
+    )
+
+    d = str(tmp_path / "binstats")
+    enc_k = get_validator("LongType").encode
+    enc_s = get_validator("UTF8Type").encode
+    schema = {
+        "key": ["id", "LongType"],
+        "columns": [["name", "UTF8Type"], ["score", "DoubleType"]],
+    }
+    w = SSTableWriter(d, "ks", "cf", 1, schema)
+    for i in range(50):
+        w.append(Partition(enc_k(i), cells=[
+            Cell(b"name", enc_s(f"row{i}"), 10),
+            Cell(b"score", get_validator("DoubleType").encode(i * 1.5), 10),
+        ]))
+    w.close()
+    expected = {(r.id, r.name, r.score) for r in read_sstable(spark, d).collect()}
+
+    # swap in binary stats (round-trip check first)
+    stats_path = f"{d}/ks-cf-jb-1-Statistics.db"
+    blob = write_statistics_jb(50, 10, 10)
+    assert parse_statistics(blob)["rows"] == 50
+    with open(stats_path, "wb") as f:
+        f.write(blob)
+
+    with pytest.raises(Exception, match="schema"):
+        read_sstable(spark, d).collect()
+
+    df = read_sstable(spark, d, schema=json.dumps(schema))
+    assert {(r.id, r.name, r.score) for r in df.collect()} == expected
+    hit = df.filter(F.col("id") == 7).collect()
+    assert [(r.id, r.name) for r in hit] == [(7, "row7")]
