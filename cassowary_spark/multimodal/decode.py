@@ -6,11 +6,14 @@ frame-sample run as Arrow-batched Pandas functions over mapInPandas so
 each worker touches only its partition's bytes — the bytes NEVER move
 through the driver.
 
-The real codecs (PIL/av/librosa) are not in this container, so the
-decode kernels are STUBBED: ``decode_image_real`` raises
-NotImplementedError, and ``fake_image_meta`` is the deterministic
-stand-in wired through the real Spark plumbing (schema, partitioning,
-UDF signature, Arrow batch shape) and exercised by tests + oracle.
+Codecs are PLUGGABLE: when PIL / PyAV are importable the real kernels
+decode actual media; in this container they are absent, so the
+deterministic stand-ins (``fake_image_meta`` / ``fake_frames``) run
+through the identical Spark plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) and are what the oracle-gated queries
+pin (codec="fake" keeps driver rows deterministic even on hosts that
+DO have codecs). ``codec="auto"`` upgrades to the real kernel the day
+the libraries land, with no plumbing change.
 """
 
 from __future__ import annotations
@@ -26,20 +29,49 @@ from pyspark.sql import functions as F
 IMAGE_META_SCHEMA = "doc_id bigint, n_bytes int, width int, height int, channels int"
 
 
+def available_codecs() -> dict[str, bool]:
+    """Which real codecs this interpreter can import (PIL → image,
+    PyAV → video). Checked driver-side when picking a kernel; in
+    local mode driver==workers, on a cluster ship the same image."""
+    codecs = {}
+    try:
+        from PIL import Image  # noqa: F401
+
+        codecs["image"] = True
+    except ImportError:
+        codecs["image"] = False
+    try:
+        import av  # noqa: F401
+
+        codecs["video"] = True
+    except ImportError:
+        codecs["video"] = False
+    return codecs
+
+
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Model a multimodal table: (id, content: binary). The fixture has
     no real image bytes, so UTF-8 text bytes stand in as the payload."""
     return df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("content"))
 
 
-def decode_image_real(content: bytes) -> dict:
-    """Real image decode — requires PIL, which is not installed here.
+def decode_image_real(content: bytes) -> tuple[int, int, int, int]:
+    """Real image decode via PIL → (n_bytes, width, height, channels).
 
-    STUB: replace the body with ``PIL.Image.open(io.BytesIO(content))``
-    when the codec is available; the Spark-side plumbing
-    (``image_meta``) is unchanged.
+    Raises NotImplementedError when PIL is not importable (this
+    container); ``image_meta(codec="auto")`` falls back to the
+    deterministic stand-in then.
     """
-    raise NotImplementedError("image codecs not available in this environment")
+    import io as _io
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "image codec (PIL) not available in this environment"
+        ) from exc
+    with Image.open(_io.BytesIO(content)) as im:  # pragma: no cover
+        return len(content), im.width, im.height, len(im.getbands())
 
 
 def fake_image_meta(content: bytes) -> tuple[int, int, int, int]:
@@ -48,17 +80,36 @@ def fake_image_meta(content: bytes) -> tuple[int, int, int, int]:
     return n, n % 64 + 1, (n * 7) % 64 + 1, 3
 
 
-def image_meta(df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+def _pick_image_kernel(codec: str):
+    if codec == "fake":
+        return fake_image_meta
+    if codec == "real" or (codec == "auto" and available_codecs()["image"]):
+        return decode_image_real
+    if codec == "auto":
+        return fake_image_meta
+    raise ValueError(f"codec must be fake|real|auto, got {codec!r}")
+
+
+def image_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
     """mapInPandas decode stage: (id, content) -> IMAGE_META_SCHEMA.
 
     Arrow-batched; one Python worker per partition; output is columnar
     metadata only (the heavy bytes are dropped as early as possible,
     which is what you want when the input is 100 TB of media).
+    ``codec``: "fake" (deterministic stand-in — the oracle-gated
+    default), "real" (PIL, raises if absent), "auto" (real if
+    importable, else fake).
     """
+    kernel = _pick_image_kernel(codec)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_image_meta(c) for c in pdf[content_col]]
+            metas = [kernel(bytes(c)) for c in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -73,8 +124,20 @@ def image_meta(df: DataFrame, id_col: str = "doc_id", content_col: str = "conten
 
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """STUB — needs an image codec; plumbing mirrors image_meta."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """Real resize via PIL (raises without the codec); plumbing mirrors
+    image_meta — swap into a mapInPandas stage identically."""
+    import io as _io
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "image codec (PIL) not available in this environment"
+        ) from exc
+    with Image.open(_io.BytesIO(content)) as im:  # pragma: no cover
+        out = _io.BytesIO()
+        im.resize((width, height)).save(out, format=im.format or "PNG")
+        return out.getvalue()
 
 
 # Output schema of the frame-sampling stage: one row per sampled frame.
@@ -82,13 +145,23 @@ FRAME_SCHEMA = "doc_id bigint, frame_no int, frame binary, frame_bytes int"
 
 
 def decode_frames_real(content: bytes, every_n: int) -> list[bytes]:
-    """Real video frame extraction — requires PyAV/ffmpeg (absent here).
+    """Real video frame extraction via PyAV → every n-th frame as raw
+    RGB bytes. Raises NotImplementedError when PyAV is not importable;
+    ``sample_frames(codec="auto")`` falls back to the stand-in."""
+    import io as _io
 
-    STUB: replace with ``av.open(io.BytesIO(content))`` keyframe
-    iteration when the codec lands; ``sample_frames`` plumbing is
-    unchanged.
-    """
-    raise NotImplementedError("video codecs not available in this environment")
+    try:
+        import av
+    except ImportError as exc:  # pragma: no cover - PyAV absent here
+        raise NotImplementedError(
+            "video codec (PyAV) not available in this environment"
+        ) from exc
+    frames: list[bytes] = []  # pragma: no cover
+    with av.open(_io.BytesIO(content)) as container:  # pragma: no cover
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0:
+                frames.append(frame.to_ndarray(format="rgb24").tobytes())
+    return frames  # pragma: no cover
 
 
 def fake_frames(content: bytes, every_n: int) -> list[bytes]:
@@ -98,11 +171,22 @@ def fake_frames(content: bytes, every_n: int) -> list[bytes]:
     return frames[::every_n]
 
 
+def _pick_frame_kernel(codec: str):
+    if codec == "fake":
+        return fake_frames
+    if codec == "real" or (codec == "auto" and available_codecs()["video"]):
+        return decode_frames_real
+    if codec == "auto":
+        return fake_frames
+    raise ValueError(f"codec must be fake|real|auto, got {codec!r}")
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 2,
     id_col: str = "doc_id",
     content_col: str = "content",
+    codec: str = "fake",
 ) -> DataFrame:
     """mapInPandas frame-sampling stage: (id, content) → FRAME_SCHEMA.
 
@@ -110,14 +194,15 @@ def sample_frames(
     sampled frames, bytes stay worker-local. At 100 TB the input is
     repartitioned by size (maxPartitionBytes) so a few giant videos
     don't skew tasks; output rows carry small frames + metadata, ready
-    for a downstream embed/score stage.
+    for a downstream embed/score stage. ``codec`` as in image_meta.
     """
+    kernel = _pick_frame_kernel(codec)
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, frames = [], [], []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
-                for i, fr in enumerate(fake_frames(bytes(content), every_n)):
+                for i, fr in enumerate(kernel(bytes(content), every_n)):
                     ids.append(doc_id)
                     nos.append(i)
                     frames.append(fr)

@@ -225,6 +225,64 @@ def test_multimodal_decode_stub_plumbing(spark, sf_dir):
         decode_image_real(b"\x89PNG")
 
 
+def test_multimodal_codec_plugging():
+    """codec='auto' falls back to the deterministic stand-in when the
+    real codec is absent, picks the real kernel when PIL imports, and
+    decode_image_real wires PIL through correctly (verified with an
+    injected stub module — the container has no PIL)."""
+    import sys
+    import types
+
+    from cassowary_spark.multimodal.decode import (
+        _pick_frame_kernel,
+        _pick_image_kernel,
+        available_codecs,
+        decode_image_real,
+        fake_frames,
+        fake_image_meta,
+    )
+
+    codecs = available_codecs()
+    if not codecs["image"]:
+        assert _pick_image_kernel("auto") is fake_image_meta
+    if not codecs["video"]:
+        assert _pick_frame_kernel("auto") is fake_frames
+    assert _pick_image_kernel("real") is decode_image_real
+    with pytest.raises(ValueError):
+        _pick_image_kernel("bogus")
+
+    class _Img:
+        width, height = 640, 480
+        format = "PNG"
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    stub_pil = types.ModuleType("PIL")
+    stub_img_mod = types.ModuleType("PIL.Image")
+    stub_img_mod.open = lambda fp: _Img()
+    stub_pil.Image = stub_img_mod
+    saved = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = stub_pil
+    sys.modules["PIL.Image"] = stub_img_mod
+    try:
+        assert decode_image_real(b"\x89PNG1234") == (8, 640, 480, 3)
+        assert available_codecs()["image"] is True
+        assert _pick_image_kernel("auto") is decode_image_real
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
 def test_ann_ivf_recall(spark, sf_dir):
     from cassowary_spark.operators.similarity import ann_ivf_topk
 
