@@ -1202,9 +1202,25 @@ def register_sstable_source(spark) -> None:
     _REGISTERED_SESSIONS.add(id(spark))
 
 
-def read_sstable(spark, path: str, **options: Any):
+def read_sstable(spark, path: str, columns: Any = None, **options: Any):
+    """Read an SSTable snapshot as a DataFrame.
+
+    COLUMN PRUNING IS MANUAL on this source: the PySpark Python
+    DataSource API has no pruneColumns hook, so a downstream
+    ``.select("a", "b")`` does NOT narrow what the source decodes —
+    pass ``columns=["a", "b"]`` (list/tuple or comma string) here
+    instead. With it, non-selected cells are dropped before decode and
+    the emitted Arrow batches carry only the named fields (+ the key);
+    on a wide-media table that is the difference between decoding 2
+    columns and decoding all of them at 100 TB. Verified by
+    tests/test_plans.py::test_sstable_column_pruning.
+    """
     register_sstable_source(spark)
     reader = spark.read.format("sstable").option("path", path)
+    if columns is not None:
+        if not isinstance(columns, str):
+            columns = ",".join(columns)
+        reader = reader.option("columns", columns)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()

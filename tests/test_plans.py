@@ -165,3 +165,21 @@ def test_cluster_by_single_exchange(q):
     # the numbered detail headers only
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert "WindowGroupLimit" in p  # rn<=3 pushed into the sort
+
+
+def test_sstable_column_pruning(spark):
+    """columns= prunes the source schema itself — the Python DataSource
+    API has no pruneColumns hook, so this is the documented projection
+    path; the batch leaving the source must carry only key + named
+    columns, and values must match the full read's."""
+    from cassowary_spark.queries.scan import build_sstable_snapshot
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_sstable_snapshot(SF)
+    narrow = read_sstable(spark, snap, columns=["s_suppkey", "s_acctbal"])
+    assert narrow.columns == ["s_suppkey", "s_acctbal"]
+    p = plan_of(narrow)
+    assert "s_name" not in p, "pruned column must not appear anywhere in the plan"
+    full = {r.s_suppkey: r.s_acctbal for r in read_sstable(spark, snap).collect()}
+    got = {r.s_suppkey: r.s_acctbal for r in narrow.collect()}
+    assert got == full
