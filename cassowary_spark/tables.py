@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -37,11 +38,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, applying scan-time type normalization.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-    read natively (PARQUET_TYPE_ILLEGAL); we read it as long via the
-    legacy flag and floor-divide to microseconds — the exact mapping
-    DuckDB applies when it reads the same file (verified empirically),
-    so oracle comparisons agree to the microsecond.
+    ``events.ts`` is parquet TIMESTAMP(NANOS). How Spark reads it
+    depends on the runtime: newer 4.x reads it natively as
+    TIMESTAMP_NTZ (microsecond truncation, matching DuckDB's floor to
+    µs); older builds refuse (PARQUET_TYPE_ILLEGAL) unless the legacy
+    ``nanosAsLong`` flag maps it to a long of nanoseconds. Dispatch on
+    the inferred type so both runtimes yield the same TimestampType
+    column — under the UTC session the NTZ→timestamp cast is a pure
+    type relabel, no wall-clock shift.
     """
     # Pin UTC regardless of who built the session: fixture timestamps
     # are NTZ, and every oracle comparison assumes UTC wall clock.
@@ -49,7 +53,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
