@@ -16,6 +16,7 @@ _MODULES = (
     "streaming_batch",
     "llm",
     "pipeline",
+    "corpus",
 )
 
 _loaded = False

@@ -314,3 +314,45 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     pairs = fuzzy_self_join(s, key_col="s_suppkey", str_col="s_name", k=2)
     return pairs.groupBy("distance").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "q_bloom_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_items,
+           floor((sum(l.l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filtered join (B13f, operators/bloom.py):
+    lineitem ⋈ high-value orders with a broadcast bitmap prefilter.
+
+    The selective orders predicate (~10% of keys) is aggregated into a
+    64 Kbit bloom; the probe drops non-matching lineitems row-locally
+    BEFORE the join shuffle. False positives are eliminated by the
+    exact join behind the filter, so the result — and the oracle — is
+    the plain join's. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling ~the matching rows;
+    the bitmap build shuffles at most m/64 = 1024 longs no matter how
+    big the build side is. tests/test_bloom.py asserts the no-false-
+    negative invariant and the prefilter's selectivity on this plan.
+    """
+    from cassowary_spark.operators.bloom import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    hot = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey")
+    )
+    joined = bloom_prefilter_join(li, hot, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        srnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

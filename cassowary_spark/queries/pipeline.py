@@ -432,3 +432,57 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------- SCD2 history
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+               AS valid_to,
+           row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+               AS version
+    FROM changes
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build (C14b): collapse
+    each user's event stream into effective-dated versions of their
+    current event_type — rows open when the attribute changes and
+    close at the next change (valid_to NULL = current version).
+
+    The CDC-to-warehouse pattern C14's MERGE covers for "latest state";
+    this keeps full history. Plan: two windows over the SAME
+    (user_id)-partitioned, time-ordered sort — Catalyst reuses one
+    exchange + sort for the lag, the change filter, the lead, and the
+    version number, so the whole history build is a single shuffle of
+    the change rows. At 100 TB: user_id is high-cardinality (no hot
+    partition), and state never leaves the executor.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
