@@ -33,6 +33,8 @@ def test_line_dedup_marks_twins(spark, sf_dir):
     # occurrences — cross-doc collisions of short word-soup lines
     # happen, but originals must stay far less duplicated than twins
     originals = df.filter(F.col("doc_id") < TWIN_OFFSET)
+    # short docs dilute the twin fraction (2 dup / 4 lines = 0.5),
+    # so assert clear separation rather than an absolute bar
     o_avg = originals.agg(F.avg("dup_frac")).first()[0]
     t_avg = twins.agg(F.avg("dup_frac")).first()[0]
-    assert t_avg > 0.9 and o_avg < 0.5, (o_avg, t_avg)
+    assert t_avg > o_avg + 0.3 and o_avg < 0.3, (o_avg, t_avg)
