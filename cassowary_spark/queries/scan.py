@@ -748,3 +748,31 @@ def q_sstable_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in batches[1:]:
         replay = replay.unionByName(b)
     return latest_version(replay, ["s_suppkey"], "__gen").drop("__gen")
+
+
+@query(
+    "q_sstable_timetravel",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM (SELECT *, row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier)
+    WHERE rn <= 2 * ((SELECT count(*) + 5 FROM supplier) // 3)
+    """,
+)
+def q_sstable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation time-travel (A2b): read the snapshot AS OF generation
+    2 — the log-structured storage's free historical view (immutable
+    sstables make every past flush a queryable snapshot boundary).
+
+    ``max_gen=2`` restricts the merge to generations 1-2: phantom keys
+    (all above the real key range, introduced in gen 3's slice and
+    deleted by gen 4) are absent, as is gen 3's key slice. The writer
+    deals sorted keys into overlapping slices — gen 1 covers
+    partitions [0, w), gen 2 reaches [.., 2w) with w = n//3 — so the
+    as-of-gen-2 view is exactly the 2w lowest keys, which is what the
+    oracle's window spells out. Scale: time-travel is pure generation
+    pruning at split planning, strictly cheaper than a full read.
+    """
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_sstable_snapshot(sf_dir)
+    return read_sstable(spark, snap, max_gen="2")

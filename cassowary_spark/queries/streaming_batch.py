@@ -277,3 +277,48 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), srnd(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
+
+
+@query(
+    "q_stream_stream_outer",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           v.ts AS view_ts,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (S9b, batch form): every
+    view emits — paired with same-user clicks within 30 minutes, or
+    with NULL click columns when none exist.
+
+    The streaming twin (streaming/jobs.view_click_join_outer) can only
+    emit a NULL row after the watermark passes the view's match window
+    (tested deterministically in tests/test_streaming.py); the batch
+    form decides it immediately. Plan: same single hash shuffle on
+    user_id as the inner form — outer-ness changes emission, not
+    partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    return v.join(
+        c,
+        F.expr(
+            "v.user_id = c.user_id AND c.ts >= v.ts"
+            " AND c.ts <= v.ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )

@@ -313,3 +313,31 @@ def value_capped_sessions_batch(
         .sortWithinPartitions("user_id", "ts")
     )
     return prepped.mapInPandas(fold_partition, schema=CAPPED_SESSION_OUTPUT)
+
+
+def view_click_join_outer(
+    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (S9b): like
+    view_click_join, but views with no click in their window still
+    emit — with NULL click columns — once the watermark passes the end
+    of their match window (only then can "no match" be decided).
+
+    Same bounded-state shape as the inner join; the extra cost of
+    outer semantics is held-back emission, not held-back state.
+    """
+    v = events.filter(F.col("event_type") == "view").withWatermark("ts", watermark).alias("v")
+    c = events.filter(F.col("event_type") == "click").withWatermark("ts", watermark).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {within}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )

@@ -267,3 +267,61 @@ def test_stream_foreachbatch_to_sstable_sink(spark, sf_dir, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_outer_join_emits_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a view with no click emits a
+    NULL-click row once the watermark passes its match window; a view
+    whose window is still open at end-of-stream emits nothing.
+
+    Deterministic micro-stream: batch 1 = one matched view, one
+    unmatched view; batch 2 = a far-future event that advances the
+    watermark past batch 1's windows (but leaves its own open).
+    """
+    import os
+
+    d = str(tmp_path / "outer_stream")
+    base = "2024-01-01 00:00:00"
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b1 = spark.createDataFrame(
+        [
+            ev(1, base, 1, "view"),
+            ev(2, "2024-01-01 00:10:00", 1, "click"),
+            ev(3, "2024-01-01 00:05:00", 2, "view"),
+        ],
+        cols,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [ev(4, "2024-01-02 00:00:00", 99, "view")], cols
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # the watermark moves at batch END, so eviction (and the NULL-row
+    # emission) happens one batch later — b3 provides that batch
+    b3 = spark.createDataFrame(
+        [ev(5, "2024-01-02 00:00:01", 98, "view")], cols
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(d + "/b1")
+    b2.coalesce(1).write.parquet(d + "/b2")
+    b3.coalesce(1).write.parquet(d + "/b3")
+    os.makedirs(d + "/in")
+    for i, sub in enumerate(("b1", "b2", "b3")):
+        src = next(f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet"))
+        dst = f"{d}/in/batch{i}.parquet"
+        os.rename(f"{d}/{sub}/{src}", dst)
+        # file source replays in modification-time order; pin it
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = jobs.read_events_stream(spark, d + "/in")
+    got = _drain(
+        spark,
+        jobs.view_click_join_outer(stream, watermark="1 hour", within="30 minutes"),
+        "t_ssouter",
+    ).collect()
+    rows = {(r.view_id, r.click_id) for r in got}
+    assert (1, 2) in rows, rows  # matched pair emits
+    assert (3, None) in rows, rows  # closed unmatched view emits NULL row
+    assert (4, None) not in rows, rows  # still-open views held back
+    assert (5, None) not in rows, rows
