@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import heapq
 import os
-import struct
 import sys
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -89,41 +88,6 @@ from cassowary_spark.sources.validators import Validator, get_validator
 FAR_FUTURE_TS = 0x7FFFFFF0
 
 _REGISTERED_SESSIONS: set[int] = set()
-
-
-def _build_raw_column(col, v):
-    """One Arrow column from raw wire-bytes values (None = NULL):
-    fixed-width validators decode as a single numpy frombuffer over the
-    whole batch instead of a struct.unpack per cell; strings/binary
-    pass to Arrow as bytes (utf8-validated by Arrow); validators
-    without a numpy dtype (uuid/inet/decimal/varint) fall back to
-    per-value decode within the batch."""
-    import numpy as np
-    import pyarrow as pa
-
-    fmt = v.np_dtype
-    if fmt is not None:
-        dt = np.dtype(fmt)
-        w = dt.itemsize
-        z = b"\x00" * w
-        mask = np.fromiter(
-            (c is None or len(c) != w for c in col), np.bool_, count=len(col)
-        )
-        joined = b"".join(c if (c is not None and len(c) == w) else z for c in col)
-        arr = np.frombuffer(joined, dtype=dt)
-        arr = (
-            arr.astype(np.bool_)
-            if v.name == "BooleanType"
-            else arr.astype(dt.newbyteorder("="))
-        )
-        return pa.array(arr, mask=mask)
-    if v.name in ("UTF8Type", "AsciiType"):
-        return pa.array(col, type=pa.binary()).cast(pa.string())
-    if v.name == "BytesType":
-        return pa.array(col, type=pa.binary())
-    return pa.array(
-        [None if c is None else v.decode(c) for c in col], type=v.arrow_type
-    )
 
 
 def _successor(key: bytes) -> bytes:
@@ -419,22 +383,6 @@ class SSTableDataSourceReader(DataSourceReader):
             (n.encode("utf-8"), v) for n, v in self.schema.columns
         ]
         self._raw_emit = False
-        # Clustered tail-match parse table: a regular CQL3 column cell's
-        # composite name always ENDS with [u16 len][column name][eoc=0],
-        # so the schema's known column set turns the per-cell component
-        # walk into one C-level endswith per candidate (the generic walk
-        # stays as fallback for row markers / other shapes). Not safe for
-        # collection tables — a collection KEY's bytes could alias a
-        # column suffix — so those keep the walk.
-        # longest-first so a column whose name suffixes another column's
-        # can never be shadowed by the shorter match
-        self._col_suffixes: list[tuple[bytes, int, str]] = sorted(
-            (
-                (struct.pack(">H", len(nb)) + nb + b"\x00", len(nb) + 3, n)
-                for n, nb in ((n, n.encode("utf-8")) for n, _ in self.schema.columns)
-            ),
-            key=lambda t: -t[1],
-        )
 
     # -- pushdown ------------------------------------------------------
 
@@ -615,59 +563,6 @@ class SSTableDataSourceReader(DataSourceReader):
             return ", ".join(parts)
         return self.schema.ddl()
 
-    def _emit_walk_cell(
-        self,
-        name: bytes,
-        cell: Cell,
-        ndepth: int,
-        groups: dict,
-        coll_groups: dict,
-        have_colls: bool,
-    ) -> None:
-        """Generic composite-name walk for one clustered cell: find the
-        final (field) component — and, for collection cells, the one
-        before it — and file the cell under its clustering prefix.
-        Fallback for cells the schema-suffix tail-match can't claim
-        (row markers, collection tables, malformed names)."""
-        pos = 0
-        end = len(name)
-        count = 0
-        fstart = 0
-        flen = 0
-        pstart = 0
-        plen = 0
-        while pos + 2 <= end:
-            ln = (name[pos] << 8) | name[pos + 1]
-            if pos + 2 + ln + 1 > end:
-                count = -1  # malformed / non-CQL3 cell
-                break
-            count += 1
-            pstart = fstart
-            plen = flen
-            fstart = pos + 2
-            flen = ln
-            pos += 3 + ln
-        if pos != end:
-            return
-        if count == ndepth + 1:
-            pkey = name[: fstart - 2]
-            grp = groups.get(pkey)
-            if grp is None:
-                grp = groups[pkey] = {}
-            grp[name[fstart : fstart + flen].decode("utf-8")] = cell
-        elif have_colls and count == ndepth + 2:
-            # collection element cell: second-to-last component is the
-            # column name, last is the collection key
-            pkey = name[: pstart - 2]
-            cname = name[pstart : pstart + plen].decode("utf-8")
-            cg = coll_groups.get(pkey)
-            if cg is None:
-                cg = coll_groups[pkey] = {}
-            entries = cg.get(cname)
-            if entries is None:
-                entries = cg[cname] = {}
-            entries[name[fstart : fstart + flen]] = cell
-
     def _emit(self, key: bytes, cells: dict[bytes, Cell]) -> Iterator[tuple]:
         """Decode one reconciled partition → output row(s)."""
         key_val = self.schema.key_validator.decode(key)
@@ -697,34 +592,52 @@ class SSTableDataSourceReader(DataSourceReader):
             # collection cells: prefix → column → {collection_key: cell}
             coll_groups: dict[bytes, dict[str, dict[bytes, Cell]]] = {}
             have_colls = bool(self.collections)
-            suffixes = self._col_suffixes if not have_colls else None
             for name, cell in cells.items():
-                if suffixes is not None:
-                    for suf, slen, cname_s in suffixes:
-                        if name.endswith(suf):
-                            pkey = name[:-slen]
-                            grp = groups.get(pkey)
-                            if grp is None:
-                                grp = groups[pkey] = {}
-                            grp[cname_s] = cell
-                            break
-                    else:
-                        # row marker / unknown shape → generic walk
-                        self._emit_walk_cell(name, cell, ndepth, groups, coll_groups, False)
+                pos = 0
+                end = len(name)
+                count = 0
+                fstart = 0
+                flen = 0
+                pstart = 0
+                plen = 0
+                while pos + 2 <= end:
+                    ln = (name[pos] << 8) | name[pos + 1]
+                    if pos + 2 + ln + 1 > end:
+                        count = -1  # malformed / non-CQL3 cell
+                        break
+                    count += 1
+                    pstart = fstart
+                    plen = flen
+                    fstart = pos + 2
+                    flen = ln
+                    pos += 3 + ln
+                if pos != end:
                     continue
-                self._emit_walk_cell(name, cell, ndepth, groups, coll_groups, have_colls)
+                if count == ndepth + 1:
+                    pkey = name[: fstart - 2]
+                    grp = groups.get(pkey)
+                    if grp is None:
+                        grp = groups[pkey] = {}
+                    grp[name[fstart : fstart + flen].decode("utf-8")] = cell
+                elif have_colls and count == ndepth + 2:
+                    # collection element cell: second-to-last component
+                    # is the column name, last is the collection key
+                    pkey = name[: pstart - 2]
+                    cname = name[pstart : pstart + plen].decode("utf-8")
+                    cg = coll_groups.get(pkey)
+                    if cg is None:
+                        cg = coll_groups[pkey] = {}
+                    entries = cg.get(cname)
+                    if entries is None:
+                        entries = cg[cname] = {}
+                    entries[name[fstart : fstart + flen]] = cell
             first_cv = self.clustering[0][1]
             cpreds = self._cluster_preds
-            raw_mode = self._raw_emit
             prefixes = (
                 sorted(groups.keys() | coll_groups.keys()) if have_colls else sorted(groups)
             )
             for prefix in prefixes:
                 comps = decode_composite(prefix)
-                if len(comps) != ndepth:
-                    # tail-match can't verify component depth; the walk
-                    # path never produces a mismatched prefix
-                    continue
                 # column-slice pushdown: drop the CQL3 row before any
                 # field decode if its clustering head fails the pushed
                 # slice predicates
@@ -732,19 +645,10 @@ class SSTableDataSourceReader(DataSourceReader):
                     continue
                 fields = groups.get(prefix, {})
                 row: list[Any] = [key_val]
-                if raw_mode:
-                    # vectorized clustered path: clustering components
-                    # and regular column values stay raw wire bytes; the
-                    # Arrow batcher decodes whole columns at once
-                    row += comps
-                    for cname, _cv in self.schema.columns:
-                        cell = fields.get(cname)
-                        row.append(cell.value if cell is not None and cell.value else None)
-                else:
-                    row += [v.decode(raw) for (_, v), raw in zip(self.clustering, comps)]
-                    for cname, cv in self.schema.columns:
-                        cell = fields.get(cname)
-                        row.append(cv.decode(cell.value) if cell and cell.value else None)
+                row += [v.decode(raw) for (_, v), raw in zip(self.clustering, comps)]
+                for cname, cv in self.schema.columns:
+                    cell = fields.get(cname)
+                    row.append(cv.decode(cell.value) if cell and cell.value else None)
                 if have_colls:
                     coll = coll_groups.get(prefix, {})
                     for cname, kind, v1, v2 in self.collections:
@@ -807,7 +711,6 @@ class SSTableDataSourceReader(DataSourceReader):
         if (
             self._raw_emit
             and self.merge
-            and not self.clustering
             and len(slices) == 1
             and name_lo is None
             and name_hi is None
@@ -917,8 +820,6 @@ class SSTableDataSourceReader(DataSourceReader):
                 nested arrow type plus the inner validator names (so the
                 TimestampType tuple-fallback check still sees them)."""
 
-                is_collection = True
-
                 def __init__(self, names: str, arrow_type):
                     self.name = names
                     self.arrow_type = arrow_type
@@ -961,16 +862,16 @@ class SSTableDataSourceReader(DataSourceReader):
         if not self.wide and not self.clustering and not self.collections:
             yield from self._read_flat(partition, fields)
             return
-        if self.clustering:
-            yield from self._read_clustered(partition, fields)
-            return
         arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
         buf: list[tuple] = []
 
         def flush():
             cols = list(zip(*buf)) if buf else [[] for _ in fields]
             return pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+                [
+                    _array_nopandas(list(c), f.type)
+                    for c, f in zip(cols, arrow_schema)
+                ],
                 schema=arrow_schema,
             )
 
@@ -994,16 +895,60 @@ class SSTableDataSourceReader(DataSourceReader):
         without a numpy dtype (uuid/inet/decimal/varint) fall back to
         per-value decode within the batch.
         """
+        import numpy as np
         import pyarrow as pa
 
         arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
         vals = [v for _, v in fields]
         key_in = self.schema.key_in_output
+        zeros = {w: b"\x00" * w for w in (1, 4, 8)}
 
         def build(col, v, is_key):
             if is_key:  # key is decoded row-side (needed for _key_ok)
-                return pa.array(col, type=v.arrow_type)
-            return _build_raw_column(col, v)
+                return _array_nopandas(list(col), v.arrow_type)
+            fmt = v.np_dtype
+            if fmt is not None:
+                dt = np.dtype(fmt)
+                w = dt.itemsize
+                z = zeros[w]
+                mask = np.fromiter(
+                    (c is None or len(c) != w for c in col), np.bool_, count=len(col)
+                )
+                joined = b"".join(
+                    c if (c is not None and len(c) == w) else z for c in col
+                )
+                arr = np.frombuffer(joined, dtype=dt)
+                null_count = int(mask.sum())
+                if v.name == "BooleanType":
+                    bits = arr.astype(np.bool_)
+                    return pa.Array.from_buffers(
+                        pa.bool_(),
+                        len(col),
+                        [
+                            _validity_buffer(mask) if null_count else None,
+                            pa.py_buffer(
+                                np.packbits(bits, bitorder="little").tobytes()
+                            ),
+                        ],
+                        null_count=null_count,
+                    )
+                arr = arr.astype(dt.newbyteorder("="))
+                return pa.Array.from_buffers(
+                    v.arrow_type,
+                    len(col),
+                    [
+                        _validity_buffer(mask) if null_count else None,
+                        pa.py_buffer(arr.tobytes()),
+                    ],
+                    null_count=null_count,
+                )
+            if v.name in ("UTF8Type", "AsciiType"):
+                return _array_nopandas(list(col), pa.binary()).cast(pa.string())
+            if v.name == "BytesType":
+                return _array_nopandas(list(col), pa.binary())
+            return _array_nopandas(
+                [None if c is None else v.decode(c) for c in col], v.arrow_type
+            )
 
         def flush(buf):
             cols = list(zip(*buf)) if buf else [() for _ in fields]
@@ -1030,47 +975,92 @@ class SSTableDataSourceReader(DataSourceReader):
         if buf or not any_out:
             yield flush(buf)
 
-    def _read_clustered(self, partition: SSTablePartition, fields) -> Iterator:
-        """Vectorized Arrow batching for clustered (CQL3) schemas:
-        _emit yields rows whose clustering components and regular
-        column values are RAW wire bytes (collection columns stay
-        decoded — nested values), and each fixed-width column decodes
-        as ONE numpy frombuffer per batch. Combined with the
-        schema-suffix tail-match in _emit, per-cell Python work drops
-        to one C-level endswith + a dict insert."""
-        import pyarrow as pa
 
-        arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
-        vals = [v for _, v in fields]
+def _validity_buffer(mask):
+    """Arrow validity bitmap (1 = valid) from a numpy bool null-mask."""
+    import numpy as np
+    import pyarrow as pa
 
-        def build(col, v, is_key):
-            if is_key or getattr(v, "is_collection", False):
-                # key is decoded row-side (needed for _key_ok);
-                # collections are already decoded nested objects
-                return pa.array(col, type=v.arrow_type)
-            return _build_raw_column(col, v)
+    return pa.py_buffer(np.packbits(~mask, bitorder="little").tobytes())
 
-        def flush(buf):
-            cols = list(zip(*buf)) if buf else [() for _ in fields]
-            return pa.RecordBatch.from_arrays(
-                [build(c, v, i == 0) for i, (c, v) in enumerate(zip(cols, vals))],
-                schema=arrow_schema,
+
+_NOPANDAS_NUMERIC = {
+    "int64": "int64",
+    "int32": "int32",
+    "float": "float32",
+    "double": "float64",
+}
+
+
+def _array_nopandas(col, atype):
+    """Build a pa.Array from decoded Python values WITHOUT ``pa.array``.
+
+    pyarrow's ``pa.array`` entry point lazily imports pandas (~0.6s)
+    on its first call; every Spark task runs in a fresh Python worker,
+    so that import was a fixed per-task tax on the whole sstable read
+    path. Fixed-width numerics, booleans, strings and binary build
+    straight from buffers; anything else (decimal, uuid-as-string is
+    covered by the string path; nested lists/maps) falls back to
+    ``pa.array`` and pays the import only for those schemas.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(col)
+    name = str(atype)
+    np_name = _NOPANDAS_NUMERIC.get(name)
+    if np_name is not None:
+        mask = np.fromiter((v is None for v in col), np.bool_, count=n)
+        null_count = int(mask.sum())
+        vals = np.fromiter(
+            (0 if v is None else v for v in col), np.dtype(np_name), count=n
+        )
+        return pa.Array.from_buffers(
+            atype,
+            n,
+            [
+                _validity_buffer(mask) if null_count else None,
+                pa.py_buffer(vals.tobytes()),
+            ],
+            null_count=null_count,
+        )
+    if name == "bool":
+        mask = np.fromiter((v is None for v in col), np.bool_, count=n)
+        null_count = int(mask.sum())
+        bits = np.fromiter((bool(v) for v in col), np.bool_, count=n)
+        return pa.Array.from_buffers(
+            atype,
+            n,
+            [
+                _validity_buffer(mask) if null_count else None,
+                pa.py_buffer(np.packbits(bits, bitorder="little").tobytes()),
+            ],
+            null_count=null_count,
+        )
+    if name in ("string", "binary"):
+        enc = [
+            b"" if v is None else (v.encode("utf-8") if isinstance(v, str) else v)
+            for v in col
+        ]
+        mask = np.fromiter((v is None for v in col), np.bool_, count=n)
+        null_count = int(mask.sum())
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        if n:
+            np.cumsum(
+                np.fromiter((len(b) for b in enc), np.int64, count=n),
+                out=offsets[1:],
             )
-
-        buf: list[tuple] = []
-        any_out = False
-        self._raw_emit = True
-        try:
-            for row in self._rows(partition):
-                buf.append(row)
-                if len(buf) >= self.ARROW_BATCH_ROWS:
-                    any_out = True
-                    yield flush(buf)
-                    buf = []
-        finally:
-            self._raw_emit = False
-        if buf or not any_out:
-            yield flush(buf)
+        return pa.Array.from_buffers(
+            atype,
+            n,
+            [
+                _validity_buffer(mask) if null_count else None,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(b"".join(enc)),
+            ],
+            null_count=null_count,
+        )
+    return pa.array(col, type=atype)
 
 
 # --------------------------------------------------------------- writer

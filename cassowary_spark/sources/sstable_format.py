@@ -856,8 +856,17 @@ class SSTableReader:
         partitions → sequential scan of the contiguous run (no byte
         savings to be had).
         """
+        # Bounds check FIRST: an unbounded scan must never pay the
+        # promoted-index parse. Each Spark task is a fresh Python
+        # worker (no cross-task cache), so parsing the multi-MB
+        # ColumnIndex.db here put ~0.5s/generation of fixed cost on
+        # every clustered/collections task that never used it — the
+        # dominant term in the r3 clustered-path regression.
+        if name_lo is None and name_hi is None:
+            yield from self.scan_offsets(start, end)
+            return
         ci = self.column_index()
-        if ci is None or (name_lo is None and name_hi is None):
+        if ci is None:
             yield from self.scan_offsets(start, end)
             return
         offs = [off for _, off in self.index() if start <= off < end]
