@@ -295,13 +295,27 @@ def test_stream_stream_outer_join_emits_nulls(spark, tmp_path):
         ],
         cols,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # each watermark is computed AFTER its event_type filter, so a
+    # view-only batch advances the view watermark but leaves the click
+    # watermark parked — and the global watermark (min policy) with it.
+    # Both far-future batches therefore carry one event of EACH type;
+    # the far-future clicks are unmatched right-side rows, which a
+    # LEFT OUTER join never emits.
     b2 = spark.createDataFrame(
-        [ev(4, "2024-01-02 00:00:00", 99, "view")], cols
+        [
+            ev(4, "2024-01-02 00:00:00", 99, "view"),
+            ev(6, "2024-01-02 00:00:00", 97, "click"),
+        ],
+        cols,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     # the watermark moves at batch END, so eviction (and the NULL-row
     # emission) happens one batch later — b3 provides that batch
     b3 = spark.createDataFrame(
-        [ev(5, "2024-01-02 00:00:01", 98, "view")], cols
+        [
+            ev(5, "2024-01-02 00:00:01", 98, "view"),
+            ev(7, "2024-01-02 00:00:01", 96, "click"),
+        ],
+        cols,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     b1.coalesce(1).write.parquet(d + "/b1")
     b2.coalesce(1).write.parquet(d + "/b2")
