@@ -62,10 +62,18 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("dft"))
     n = d.agg(F.count("*").alias("n_docs"))
+    # Document frequency as a window over tf, not a groupBy+re-join:
+    # the join form either re-tokenizes the whole corpus for the
+    # second branch (the r3 bench regression — 2x the scan and the
+    # big shuffle) or needs tf persisted AND a vocabulary-sized
+    # broadcast, which stops being broadcastable at 100 TB corpus
+    # scale (vocab ~ 10^8 terms). The window form is one pipeline:
+    # tf shuffles by term once for the count, then by doc_id for the
+    # top-k — no cache, no broadcast, skew handled by AQE.
+    wt = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("dft", F.count("*").over(wt))
         .crossJoin(n)
         .select(
             "doc_id",
