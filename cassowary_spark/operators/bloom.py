@@ -100,10 +100,48 @@ def bloom_prefilter_join(
     Result-identical to ``probe.join(build, on, how)`` for inner/semi
     joins — the bloom only removes rows that provably cannot match;
     survivors still pass through the exact join, which eliminates the
-    false positives.
+    false positives. Outer join types are rejected: the prefilter
+    drops unmatched probe rows before the join, which would silently
+    change left/full outer results.
+
+    xxhash64 is type-sensitive (an int and a bigint holding the same
+    value hash differently), so mismatched key dtypes are widened to a
+    common type for HASHING only — the join itself and the output
+    columns keep their original types. Non-widenable mismatches raise
+    rather than returning silent false negatives.
     """
-    bloom = bloom_build(build, build_key, m_bits, k_hashes)
+    if how not in ("inner", "semi", "leftsemi", "left_semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi joins, got {how!r}"
+        )
+    probe_t = dict(probe.dtypes)[probe_key]
+    build_t = dict(build.dtypes)[build_key]
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    if probe_t == build_t:
+        hash_t = None
+    elif probe_t in int_types and build_t in int_types:
+        hash_t = "bigint"
+    elif probe_t in ("float", "double") and build_t in ("float", "double"):
+        hash_t = "double"
+    else:
+        raise ValueError(
+            f"bloom_prefilter_join key dtypes differ and are not widenable: "
+            f"probe {probe_key}: {probe_t} vs build {build_key}: {build_t}"
+        )
+    build_hash_col = (
+        build_key if hash_t is None else f"CAST({build_key} AS {hash_t})"
+    )
+    probe_hash_col = (
+        probe_key if hash_t is None else f"CAST({probe_key} AS {hash_t})"
+    )
+    bitmap_col = "__bloom_prefilter_bitmap__"  # never collides with user columns
+    bloom = bloom_build(
+        build.selectExpr(f"{build_hash_col} AS {build_key}"),
+        build_key,
+        m_bits,
+        k_hashes,
+    ).withColumnRenamed("bloom", bitmap_col)
     filtered = probe.join(F.broadcast(bloom), how="cross").filter(
-        bloom_might_contain(probe_key, "bloom", m_bits, k_hashes)
-    ).drop("bloom")
+        bloom_might_contain(probe_hash_col, bitmap_col, m_bits, k_hashes)
+    ).drop(bitmap_col)
     return filtered.join(build, filtered[probe_key] == build[build_key], how)

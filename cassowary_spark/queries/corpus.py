@@ -71,14 +71,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _docs_with_twins(spark, sf_dir)
     toks = base.select("doc_id", F.split("text", " ").alias("toks"))
+    n_lines = F.ceil(F.size("toks") / float(_LINE_TOKENS)).cast("int")
+    # size(toks)=0 would make sequence(0, -1) emit [0, -1] (Spark
+    # defaults to step -1 when start > stop) — two bogus lines where
+    # the oracle's range(0) is empty. Empty docs must yield an empty
+    # index array so posexplode drops them, exactly like DuckDB.
+    line_idx = F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     lines = toks.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("toks") / float(_LINE_TOKENS)).cast("int") - 1,
-                ),
+                line_idx,
                 lambda i: F.md5(
                     F.array_join(
                         F.slice("toks", i * _LINE_TOKENS + 1, _LINE_TOKENS), " "

@@ -51,3 +51,37 @@ def test_prefilter_join_result_identical(spark, sf_dir):
     want = li.join(hot, li["l_orderkey"] == hot["o_orderkey"], "inner")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_prefilter_join_mismatched_int_widths(spark):
+    """int vs bigint keys: xxhash64 is type-sensitive, so both sides
+    must widen to a common type for hashing or matching rows would be
+    bloom-dropped as false negatives the exact join can't recover."""
+    probe = spark.range(0, 100).select(F.col("id").cast("int").alias("pk"))
+    build = spark.range(0, 50).select(F.col("id").alias("bk"))  # bigint
+    got = bloom_prefilter_join(probe, build, "pk", "bk")
+    assert got.count() == 50
+    assert dict(got.dtypes)["pk"] == "int"  # output types untouched
+
+
+def test_prefilter_join_rejects_outer_and_bad_dtypes(spark):
+    import pytest
+
+    probe = spark.range(10).select(F.col("id").alias("pk"))
+    build = spark.range(5).select(F.col("id").alias("bk"))
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_prefilter_join(probe, build, "pk", "bk", how="left")
+    sprobe = spark.range(10).select(F.col("id").cast("string").alias("pk"))
+    with pytest.raises(ValueError, match="not widenable"):
+        bloom_prefilter_join(sprobe, build, "pk", "bk")
+
+
+def test_prefilter_join_survives_bloom_column_collision(spark):
+    """A probe column literally named 'bloom' must pass through."""
+    probe = spark.range(0, 20).select(
+        F.col("id").alias("pk"), F.lit("x").alias("bloom")
+    )
+    build = spark.range(0, 10).select(F.col("id").alias("bk"))
+    got = bloom_prefilter_join(probe, build, "pk", "bk")
+    assert got.count() == 10
+    assert "bloom" in got.columns
