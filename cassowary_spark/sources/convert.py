@@ -545,6 +545,16 @@ def compact_snapshot(
         dest = path
     else:
         dest = out_dir or (path.rstrip("/") + "-compacted")
+        if os.path.realpath(dest) == os.path.realpath(path):
+            # The compacted generation holds one SUMMED counter cell
+            # per counter column; beside the surviving delta cells in
+            # the same directory, a merged read would feed both into
+            # reconcile's counter sum and double-count.
+            raise ValueError(
+                "compact_snapshot(delete_inputs=False) must write to a "
+                f"fresh directory, not the input snapshot ({path!r}); "
+                "pass a different out_dir or delete_inputs=True"
+            )
         os.makedirs(dest, exist_ok=True)
 
     def stream(r: SSTableReader):

@@ -829,6 +829,16 @@ def test_compaction_keep_inputs_writes_fresh_dir(spark, tmp_path):
     assert {(r.id, r.ctr) for r in read_sstable(spark, out).collect()} == before
     assert {(r.id, r.ctr) for r in read_sstable(spark, d).collect()} == before
 
+    # explicitly pointing out_dir back at the inputs must fail loudly —
+    # the summed counter cell would double-count on the next merged read
+    import pytest
+
+    with pytest.raises(ValueError, match="fresh directory"):
+        compact_snapshot(d, delete_inputs=False, out_dir=d)
+    with pytest.raises(ValueError, match="fresh directory"):
+        compact_snapshot(d, delete_inputs=False, out_dir=d + "/../keep")
+    assert {(r.id, r.ctr) for r in read_sstable(spark, d).collect()} == before
+
 
 def test_compaction_applies_range_tombstones(spark, tmp_path):
     """Compacting a clustered snapshot with slice deletes drops the
