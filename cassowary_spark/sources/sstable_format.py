@@ -266,7 +266,7 @@ class SSTableWriter:
         expected_keys: int = 1024,
         column_index_len: int = 4096,
     ) -> None:
-        if compression not in (None, "deflate"):
+        if compression not in (None, "deflate", "lz4"):
             raise ValueError(f"unsupported compression {compression!r}")
         self.directory = directory
         self.prefix = f"{keyspace}-{table}-{FORMAT_VERSION}-{generation}-"
@@ -340,20 +340,31 @@ class SSTableWriter:
         raw = self._data.getvalue()
         components = list(self.COMPONENTS)
         if self.compression:
+            if self.compression == "lz4":
+                from cassowary_spark.sources import lz4_block
+
+                def pack_chunk(piece: bytes) -> bytes:
+                    # Cassandra's LZ4Compressor chunk layout: the
+                    # decompressed length as 4 LE bytes, then the block
+                    return (
+                        struct.pack("<I", len(piece)) + lz4_block.compress(piece)
+                    )
+
+                algo = b"LZ4Compressor"
+            else:
+
+                def pack_chunk(piece: bytes) -> bytes:
+                    return zlib.compress(piece, 6)
+
+                algo = b"DeflateCompressor"
             offsets: list[int] = []
             with open(self._component("Data.db"), "wb") as f:
-                for off in range(0, len(raw), self.chunk_len):
+                for off in range(0, len(raw), self.chunk_len) or (0,):
                     offsets.append(f.tell())
-                    chunk = zlib.compress(raw[off : off + self.chunk_len], 6)
-                    f.write(chunk)
-                    f.write(struct.pack(">I", zlib.adler32(chunk) & 0xFFFFFFFF))
-                if not offsets:  # zero-row sstable still gets one chunk
-                    offsets.append(0)
-                    chunk = zlib.compress(b"", 6)
+                    chunk = pack_chunk(raw[off : off + self.chunk_len])
                     f.write(chunk)
                     f.write(struct.pack(">I", zlib.adler32(chunk) & 0xFFFFFFFF))
             with open(self._component("CompressionInfo.db"), "wb") as f:
-                algo = b"DeflateCompressor"
                 f.write(struct.pack(">H", len(algo)) + algo)
                 f.write(struct.pack(">IQI", self.chunk_len, len(raw), len(offsets)))
                 for off in offsets:
@@ -574,7 +585,18 @@ class _ChunkedData:
                 payload, crc = blob[:-4], struct.unpack(">I", blob[-4:])[0]
                 if zlib.adler32(payload) & 0xFFFFFFFF != crc:
                     raise IOError(f"corrupt chunk {ci} in {self.data_path}")
-                out += zlib.decompress(payload)
+                if self.algo.endswith("LZ4Compressor"):
+                    from cassowary_spark.sources import lz4_block
+
+                    (dlen,) = struct.unpack_from("<I", payload)
+                    out += lz4_block.decompress(payload[4:], dlen)
+                elif self.algo.endswith("DeflateCompressor"):
+                    out += zlib.decompress(payload)
+                else:
+                    raise IOError(
+                        f"unsupported compressor {self.algo!r} in "
+                        f"{self.data_path} (deflate and lz4 are supported)"
+                    )
             base = first * self.chunk_len
             return bytes(out[start - base : end - base])
 

@@ -114,7 +114,7 @@ def test_bloom_filter():
 # ------------------------------------------------------- format roundtrip
 
 
-@pytest.mark.parametrize("compression", ["deflate", None])
+@pytest.mark.parametrize("compression", ["deflate", "lz4", None])
 def test_write_read_roundtrip(tmp_path, compression):
     parts = [_part(i, f"row{i}", float(i)) for i in range(50)]
     _write(str(tmp_path), 1, parts, compression)
@@ -148,6 +148,57 @@ def test_compression_is_chunked(tmp_path):
     assert len(r._data.offsets) > 10
     assert len(list(r.scan())) == 500
     # mid-stream range read crosses chunk boundaries correctly
+    enc = get_validator("LongType").encode
+    assert len(list(r.scan(enc(250), enc(260)))) == 10
+
+
+def test_lz4_block_codec_roundtrip():
+    """Pure-Python LZ4 block codec (Cassandra's default compressor)."""
+    import os as _os
+    import random
+
+    from cassowary_spark.sources import lz4_block
+
+    random.seed(7)
+    cases = [
+        b"",
+        b"a",
+        b"abcabcabcabcabcabcabcabc",  # short period (overlapping match)
+        b"x" * 100_000,  # long run
+        _os.urandom(5_000),  # incompressible
+        bytes(random.choice(b"abcd") for _ in range(20_000)),  # matchy
+        (b"the quick brown fox " * 700)[:13_000],
+    ]
+    for src in cases:
+        blk = lz4_block.compress(src)
+        assert lz4_block.decompress(blk, len(src)) == src
+    # compressible input actually compresses
+    assert len(lz4_block.compress(b"y" * 10_000)) < 200
+
+
+def test_lz4_block_decoder_vector():
+    """Hand-built block per the public spec: literals 'abc' + a
+    9-byte overlapping match at offset 3 -> 'abc' * 4."""
+    from cassowary_spark.sources import lz4_block
+
+    blk = bytes([0x35]) + b"abc" + bytes([0x03, 0x00]) + bytes([0x00])
+    assert lz4_block.decompress(blk, 12) == b"abcabcabcabc"
+
+
+def test_lz4_chunked_sstable_reads(tmp_path):
+    """LZ4-compressed snapshot (the real-world default config) reads
+    identically to deflate, across chunk boundaries."""
+    parts = [_part(i, "x" * 100, float(i)) for i in range(500)]
+    w = SSTableWriter(
+        str(tmp_path), "ks", "cf", 1, SCHEMA, compression="lz4", chunk_len=4096
+    )
+    for p in parts:
+        w.append(p)
+    w.close()
+    r = discover_sstables(str(tmp_path))[0]
+    assert r._data.algo == "LZ4Compressor"
+    assert len(r._data.offsets) > 10
+    assert len(list(r.scan())) == 500
     enc = get_validator("LongType").encode
     assert len(list(r.scan(enc(250), enc(260)))) == 10
 
