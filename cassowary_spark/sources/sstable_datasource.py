@@ -73,6 +73,8 @@ from cassowary_spark.sources.sstable_format import (
     Partition,
     SSTableReader,
     SSTableWriter,
+    cmp_component,
+    composite_cmp_key,
     decode_composite,
     discover_sstables,
     encode_composite,
@@ -297,6 +299,12 @@ class SSTableDataSourceReader(DataSourceReader):
             ]
         if not readers:
             raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
+        # Every generation written in typed comparator order → range
+        # clustering-slice bounds can push into the promoted index
+        # (legacy raw-byte-sorted files stay eq-only; see _name_bounds)
+        self._typed_order = all(
+            r.stats.get("cell_order") == "typed" for r in readers
+        )
         if options.get("schema"):
             # explicit schema (JSON, same shape as the writer's stats
             # schema block) — REQUIRED for real `nodetool snapshot`
@@ -447,35 +455,53 @@ class SSTableDataSourceReader(DataSourceReader):
         """Composite cell-name bounds for pushed clustering-slice preds
         (I/O-level pushdown via the promoted column index).
 
-        Only EQ predicates contribute bounds. The composite encoding
-        length-prefixes every component (``>H len | bytes | eoc``), so
-        raw-byte order diverges from value order across lengths for
-        every variable-length validator — e.g. enc('b') = 00 01 62 00
-        sorts BELOW enc('ab') = 00 02 61 62 00 although 'b' > 'ab'.
-        Since the only order-preserving validators (UTF8/ascii/bytes)
-        are all variable-length, gt/ge/lt/le byte bounds would make
-        scan_slices block-skipping drop matching rows. EQ is safe: all
-        names sharing a first component share the exact length-prefixed
-        byte prefix, so [p, p+0xff] is byte-contiguous and complete.
-        Range predicates still apply exactly at decode time via
-        ``_cluster_preds`` — they just read more blocks.
+        Typed-order snapshots (``cell_order: typed`` in Statistics.db
+        — cells sorted by the comparator, as Cassandra writes them):
+        bounds for eq AND gt/ge/lt/le are built in the
+        ``composite_cmp_key`` space, whose raw-byte order equals the
+        typed order, and scan_slices bisects block first-names through
+        the same translation. Bounds are deliberately sloppy-inclusive
+        (gt uses the ge bound); the decode-time exact filter drops the
+        extras, so no matching row can be lost.
+
+        Legacy raw-byte-sorted snapshots: only EQ predicates
+        contribute bounds. The composite encoding length-prefixes
+        every component (``>H len | bytes | eoc``), so raw-byte order
+        diverges from value order across lengths — e.g. enc('b') =
+        00 01 62 00 sorts BELOW enc('ab') = 00 02 61 62 00 although
+        'b' > 'ab' — and range byte bounds would drop matching rows.
+        EQ is safe: names sharing a first component share its exact
+        length-prefixed byte prefix, so [p, p+0xff] is byte-contiguous
+        and complete. Range predicates still apply exactly at decode
+        time via ``_cluster_preds`` — they just read more blocks.
         """
         if not self._cluster_preds or not self.clustering:
             return None, None
         cv = self.clustering[0][1]
         lo = hi = None
         for op, v in self._cluster_preds:
-            if op != "eq":
-                continue
             try:
-                p = encode_composite([cv.encode(v)])
+                enc = cv.encode(v)
             except Exception:
                 continue
-            cand = (p, p + b"\xff")
-            if lo is None or cand[0] > lo:
-                lo = cand[0]
-            if hi is None or cand[1] < hi:
-                hi = cand[1]
+            if self._typed_order:
+                p = cmp_component(enc, cv.name)
+                # all names whose first component == v share prefix p;
+                # p[:-1]+\x01 sorts just above every p-prefixed key
+                # (p ends with the 00 00 terminator)
+                cand_lo, cand_hi = p, p[:-1] + b"\x01"
+                use_lo = op in ("eq", "ge", "gt")
+                use_hi = op in ("eq", "le", "lt")
+            else:
+                if op != "eq":
+                    continue
+                p = encode_composite([enc])
+                cand_lo, cand_hi = p, p + b"\xff"
+                use_lo = use_hi = True
+            if use_lo and (lo is None or cand_lo > lo):
+                lo = cand_lo
+            if use_hi and (hi is None or cand_hi < hi):
+                hi = cand_hi
         return lo, hi
 
     def partitions(self) -> list[InputPartition]:
@@ -707,7 +733,13 @@ class SSTableDataSourceReader(DataSourceReader):
         When clustering-slice name bounds are set, each reader serves
         the range through its promoted column index (scan_slices):
         large partitions decompress only the covering cell blocks.
+        Typed-order snapshots bisect in the composite_cmp_key space
+        (bounds were built there by _name_bounds).
         """
+        name_key = None
+        if (name_lo is not None or name_hi is not None) and self._typed_order:
+            vnames = tuple(v.name for _, v in self.clustering)
+            name_key = lambda nm: composite_cmp_key(nm, vnames)  # noqa: E731
         if (
             self._raw_emit
             and self.merge
@@ -756,7 +788,7 @@ class SSTableDataSourceReader(DataSourceReader):
                 # reader's generation, silently breaking the LWW
                 # generation tiebreak (caught by the property tests)
                 gen = reader.generation
-                for part in reader.scan_slices(so, eo, name_lo, name_hi):
+                for part in reader.scan_slices(so, eo, name_lo, name_hi, name_key):
                     yield (part.key, gen, part)
 
             merged = heapq.merge(
@@ -781,7 +813,7 @@ class SSTableDataSourceReader(DataSourceReader):
             # (cassowary's InputFormat emitted per-sstable rows and left
             # reconciliation to the query layer — cf. q_latest_version).
             for r, so, eo in slices:
-                for part in r.scan_slices(so, eo, name_lo, name_hi):
+                for part in r.scan_slices(so, eo, name_lo, name_hi, name_key):
                     live = live_unmerged(part, self.read_ts)
                     if live:
                         yield from self._emit(part.key, live)

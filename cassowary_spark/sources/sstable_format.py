@@ -92,6 +92,11 @@ ROW_MARKER = b"\x00"
 
 DEFAULT_CHUNK_LEN = 65536
 
+# ColumnIndex.db directory-footer marker: 16-byte fixed-width
+# (part_off, record_pos) entries + (count, dir_start) + magic.
+# Files without it (legacy) are walked in full.
+CINDEX_MAGIC = b"CIX1"
+
 class _ProcessLocalCache(dict):
     """A dict that always pickles EMPTY.
 
@@ -287,6 +292,12 @@ class SSTableWriter:
         self._last_key: bytes | None = None
         self._min_ts: int | None = None
         self._max_ts: int | None = None
+        # Clustered schemas: cells sort in the typed comparator order
+        # (Cassandra's on-disk order), keyed via composite_cmp_key so
+        # readers may bisect the promoted index with range bounds.
+        self._cluster_vnames: tuple[str, ...] | None = None
+        if isinstance(schema, dict) and schema.get("clustering"):
+            self._cluster_vnames = tuple(v for _, v in schema["clustering"])
         os.makedirs(directory, exist_ok=True)
 
     def append(self, part: Partition) -> None:
@@ -304,7 +315,12 @@ class SSTableWriter:
         blocks: list[tuple[int, bytes]] = []
         block_start = -1
         has_rt = False
-        for cell in sorted(part.cells, key=lambda c: c.name):
+        if self._cluster_vnames is not None:
+            vn = self._cluster_vnames
+            cell_sort_key = lambda c: composite_cmp_key(c.name, vn)  # noqa: E731
+        else:
+            cell_sort_key = lambda c: c.name  # noqa: E731
+        for cell in sorted(part.cells, key=cell_sort_key):
             if not cell.name:
                 raise ValueError("cell names must be non-empty")
             cell_off = self._data.tell()
@@ -379,10 +395,21 @@ class SSTableWriter:
                 f.write(struct.pack(">H", len(key)) + key + struct.pack(">Q", pos))
 
         with open(self._component("ColumnIndex.db"), "wb") as f:
+            # fixed-width directory footer (part_off, record_pos) so a
+            # reader serving one key-range parses ONLY its records —
+            # per-task full parses of a multi-MB promoted index were
+            # the dominant cost of small slice reads
+            directory: list[tuple[int, int]] = []
             for part_off, part_end, has_rt, blocks in self._cindex:
+                directory.append((part_off, f.tell()))
                 f.write(struct.pack(">QQBI", part_off, part_end, int(has_rt), len(blocks)))
                 for off, name in blocks:
                     f.write(struct.pack(">QH", off, len(name)) + name)
+            dir_start = f.tell()
+            for po, pos in directory:
+                f.write(struct.pack(">QQ", po, pos))
+            f.write(struct.pack(">QQ", len(directory), dir_start))
+            f.write(CINDEX_MAGIC)
 
         with open(self._component("Filter.db"), "wb") as f:
             f.write(self._bloom.dump())
@@ -397,6 +424,11 @@ class SSTableWriter:
             "compression": self.compression,
             "schema": self.schema,
         }
+        if self._cluster_vnames is not None:
+            # cells are in typed comparator order — readers may push
+            # range (not just eq) clustering-slice bounds through the
+            # promoted index via composite_cmp_key
+            stats["cell_order"] = "typed"
         with open(self._component("Statistics.db"), "w") as f:
             json.dump(stats, f, indent=1)
 
@@ -661,28 +693,45 @@ class SSTableReader:
             self._index = entries
         return self._index
 
-    def column_index(self) -> dict[int, tuple[int, bool, list[int], list[bytes]]] | None:
+    def column_index(
+        self, start: int | None = None, end: int | None = None
+    ) -> dict[int, tuple[int, bool, list[int], list[bytes]]] | None:
         """Promoted per-partition column index, or None for snapshots
         written before the component existed.
 
         Maps partition data offset → (part_end, has_rt, block_offsets,
         block_first_names); block lists are parallel arrays so the
         reader can bisect first names directly.
+
+        With ``start``/``end`` and a directory footer (CINDEX_MAGIC),
+        only records whose partition offset falls in [start, end) are
+        parsed — a task serving one key-range of a large snapshot
+        never walks the whole multi-MB component. Legacy files (no
+        footer) parse in full.
         """
         path = self.prefix + "-ColumnIndex.db"
         if not os.path.exists(path):
             return None
         st = os.stat(path)
-        cache_key = (path, st.st_mtime_ns, st.st_size)
+        cache_key = (path, st.st_mtime_ns, st.st_size, start, end)
         cached = _CINDEX_CACHE.get(cache_key)
         if cached is not None:
             return cached
         with open(path, "rb") as f:
             raw = f.read()
-        out: dict[int, tuple[int, bool, list[int], list[bytes]]] = {}
-        pos = 0
-        n = len(raw)
         unpack = struct.unpack_from
+        pos, n = 0, len(raw)
+        if raw[-4:] == CINDEX_MAGIC:
+            n_dir, dir_start = unpack(">QQ", raw, n - 20)
+            n = dir_start  # records end where the directory begins
+            if (start is not None or end is not None) and n_dir:
+                flat = struct.unpack_from(f">{2 * n_dir}Q", raw, dir_start)
+                part_offs = flat[0::2]
+                i0 = 0 if start is None else bisect_right(part_offs, start - 1)
+                i1 = n_dir if end is None else bisect_right(part_offs, end - 1)
+                pos = flat[2 * i0 + 1] if i0 < n_dir else n
+                n = flat[2 * i1 + 1] if i1 < n_dir else n
+        out: dict[int, tuple[int, bool, list[int], list[bytes]]] = {}
         while pos < n:
             part_off, part_end, has_rt, n_blocks = unpack(">QQBI", raw, pos)
             pos += 21
@@ -864,7 +913,14 @@ class SSTableReader:
     # no byte savings. Only genuinely large partitions block-skip.
     SLICE_MIN_PARTITION_BYTES = 65536
 
-    def scan_slices(self, start: int, end: int, name_lo: bytes | None, name_hi: bytes | None):
+    def scan_slices(
+        self,
+        start: int,
+        end: int,
+        name_lo: bytes | None,
+        name_hi: bytes | None,
+        name_key=None,
+    ):
         """Like scan_offsets, but for large partitions use the promoted
         column index to read only the cell blocks that can contain
         names in [name_lo, name_hi] — Cassandra's clustering-slice read
@@ -887,11 +943,14 @@ class SSTableReader:
         if name_lo is None and name_hi is None:
             yield from self.scan_offsets(start, end)
             return
-        ci = self.column_index()
+        ci = self.column_index(start, end)
         if ci is None:
             yield from self.scan_offsets(start, end)
             return
-        offs = [off for _, off in self.index() if start <= off < end]
+        # every partition has a promoted-index record, so the (ranged)
+        # record keys double as the partition offset list — no Index.db
+        # walk needed here
+        offs = sorted(o for o in ci if start <= o < end)
         run_start: int | None = None  # pending sequential run of small partitions
         for off in offs:
             ent = ci.get(off)
@@ -912,6 +971,12 @@ class SSTableReader:
             if has_rt or not boffs:
                 lo_i, hi_i = 0, len(boffs) - 1
             else:
+                # name_key set: cells (hence block first-names) are in
+                # typed comparator order and the bounds live in the
+                # composite_cmp_key space — translate first-names into
+                # that space before bisecting (a handful per partition)
+                if name_key is not None:
+                    bnames = [name_key(nm) for nm in bnames]
                 lo_i = 0 if name_lo is None else max(bisect_right(bnames, name_lo) - 1, 0)
                 hi_i = len(bnames) - 1 if name_hi is None else bisect_right(bnames, name_hi) - 1
             if hi_i < lo_i or not boffs:
@@ -1001,3 +1066,57 @@ def decode_composite(name: bytes) -> list[bytes]:
         parts.append(name[pos : pos + ln])
         pos += ln + 1  # skip end-of-component byte
     return parts
+
+
+# ----------------------------------------- byte-comparable name keys
+#
+# The length-prefixed composite encoding does NOT sort like its
+# values: enc('b') = 00 01 62 00 sorts below enc('ab') = 00 02 61 62
+# 00 although 'b' > 'ab' — the u16 length compares before the data.
+# Cassandra's comparator therefore compares composites component-wise
+# by TYPE, never by raw name bytes. ``composite_cmp_key`` maps a name
+# into a byte string whose raw order equals that typed order (the
+# same public trick as Cassandra 4's ByteComparable translation):
+#
+# - each component's bytes are escaped (00 -> 00 FF) and terminated
+#   with 00 00, so shorter components sort before their extensions
+#   and component boundaries can never be confused with data;
+# - signed big-endian integers flip their sign bit (two's complement
+#   puts negatives above positives in raw bytes);
+# - IEEE floats use the total-order transform (negative -> invert all
+#   bits, positive -> flip sign bit).
+#
+# Writers sort clustered cells by this key (matching Cassandra's
+# on-disk comparator order) and flag it in Statistics.db as
+# ``cell_order: typed``; readers can then translate clustering-slice
+# bounds (eq AND gt/ge/lt/le) into the same space and bisect the
+# promoted index safely — restoring range-slice I/O pushdown.
+
+_CMP_SIGNED_BE = frozenset({"LongType", "Int32Type", "TimestampType", "DateType"})
+_CMP_FLOATS = frozenset({"FloatType", "DoubleType"})
+
+
+def cmp_component(comp: bytes, validator_name: str | None) -> bytes:
+    """Byte-comparable encoding of ONE composite component."""
+    if comp:
+        if validator_name in _CMP_SIGNED_BE:
+            comp = bytes([comp[0] ^ 0x80]) + comp[1:]
+        elif validator_name in _CMP_FLOATS:
+            if comp[0] & 0x80:
+                comp = bytes(b ^ 0xFF for b in comp)
+            else:
+                comp = bytes([comp[0] ^ 0x80]) + comp[1:]
+    return comp.replace(b"\x00", b"\x00\xff") + b"\x00\x00"
+
+
+def composite_cmp_key(name: bytes, validator_names: tuple[str, ...] = ()) -> bytes:
+    """Sort key for a composite cell name: raw-byte order of the keys
+    == typed comparator order of the names. Components beyond
+    ``validator_names`` compare as raw bytes (UTF-8 field names are
+    order-preserving already)."""
+    out = bytearray()
+    for i, comp in enumerate(decode_composite(name)):
+        out += cmp_component(
+            comp, validator_names[i] if i < len(validator_names) else None
+        )
+    return bytes(out)

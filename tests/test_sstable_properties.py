@@ -604,17 +604,32 @@ def test_scan_slices_matches_full_scan_within_bounds(tmp_path_factory, gens, lo,
             w.append(Partition(kenc(key), cells=list(named.values())))
         w.close()
 
-    name_lo = encode_composite([ckv.encode(lo)]) if lo is not None else None
-    name_hi = (encode_composite([ckv.encode(hi)]) + b"\xff") if hi is not None else None
+    # typed-order snapshots (what the writer emits for clustered
+    # schemas) take bounds in the composite_cmp_key space, plus the
+    # matching name_key translator — exactly how the DataSource's
+    # _name_bounds/_scan_ranges drive scan_slices
+    from cassowary_spark.sources.sstable_format import (
+        cmp_component,
+        composite_cmp_key,
+        discover_sstables,
+    )
+
+    vnames = ("UTF8Type",)
+    name_key = lambda nm: composite_cmp_key(nm, vnames)  # noqa: E731
+    name_lo = cmp_component(ckv.encode(lo), "UTF8Type") if lo is not None else None
+    name_hi = (
+        (cmp_component(ckv.encode(hi), "UTF8Type")[:-1] + b"\x01")
+        if hi is not None
+        else None
+    )
 
     def within(name: bytes) -> bool:
-        if name_lo is not None and name < name_lo:
+        k = name_key(name)
+        if name_lo is not None and k < name_lo:
             return False
-        if name_hi is not None and name > name_hi:
+        if name_hi is not None and k > name_hi:
             return False
         return True
-
-    from cassowary_spark.sources.sstable_format import discover_sstables
 
     for r in discover_sstables(tmp):
         r.SLICE_MIN_PARTITION_BYTES = 0  # force the block-skip path
@@ -626,7 +641,7 @@ def test_scan_slices_matches_full_scan_within_bounds(tmp_path_factory, gens, lo,
         sliced = {
             p.key: (p.local_deletion_time, p.marked_for_delete_at,
                     {c.name: (c.value, c.timestamp, c.flags) for c in p.cells})
-            for p in r.scan_slices(0, r._data.total, name_lo, name_hi)
+            for p in r.scan_slices(0, r._data.total, name_lo, name_hi, name_key)
         }
         assert set(sliced) == set(full)
         for k in full:
@@ -744,3 +759,76 @@ def test_cluster_slice_predicates_value_exact(tmp_path_factory, preds):
     finally:
         R.SLICE_MIN_PARTITION_BYTES = saved
     assert got == expected
+
+
+def test_range_slice_skips_blocks_io_level(tmp_path_factory):
+    """Typed-order snapshots serve value-RANGE clustering slices from
+    the promoted index at the I/O level: a bounded read must touch
+    strictly fewer data bytes than the unbounded read, with
+    variable-length UTF8 clustering values (the shape whose raw-byte
+    order diverges from value order)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from cassowary_spark.sources.sstable_format import SSTableReader as R
+
+    tmp = str(tmp_path_factory.mktemp("ioskip"))
+    kenc = get_validator("LongType").encode
+    ckv = get_validator("UTF8Type")
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [["x", "UTF8Type"]],
+        "clustering": [["ck", "UTF8Type"]],
+    }
+    # one fat partition, many variable-length cks, small blocks
+    cks = sorted(
+        f"{a}{'x' * (i % 7)}{i:03d}" for i, a in enumerate("abcdefghij" * 40)
+    )
+    cells = []
+    for i, ck in enumerate(cks):
+        prefix = [ckv.encode(ck)]
+        cells.append(Cell(encode_composite(prefix + [b""]), b"", 1))
+        cells.append(
+            Cell(encode_composite(prefix + [b"x"]), f"value{i:04d}".encode(), 1)
+        )
+    w = SSTableWriter(
+        tmp, "ks", "ioskip", 1, schema, chunk_len=256, column_index_len=64
+    )
+    w.append(Partition(kenc(1), cells=cells))
+    w.close()
+
+    def bytes_read(preds) -> tuple[int, int]:
+        reader = SSTableDataSourceReader({"path": tmp}, None)
+        assert reader._typed_order
+        list(reader.pushFilters(preds))
+        spans = []
+        saved_min = R.SLICE_MIN_PARTITION_BYTES
+        R.SLICE_MIN_PARTITION_BYTES = 0
+        try:
+            parts = reader.partitions()
+            from cassowary_spark.sources import sstable_format as fmt
+
+            orig = fmt._ChunkedData.read_range
+
+            def spy(self, start, end):
+                spans.append(max(0, end - start))
+                return orig(self, start, end)
+
+            fmt._ChunkedData.read_range = spy
+            try:
+                n = 0
+                for p in parts:
+                    for item in reader.read(p):
+                        n += item.num_rows if hasattr(item, "num_rows") else 1
+            finally:
+                fmt._ChunkedData.read_range = orig
+        finally:
+            R.SLICE_MIN_PARTITION_BYTES = saved_min
+        return n, sum(spans)
+
+    n_all, full_bytes = bytes_read([])
+    n_slice, slice_bytes = bytes_read(
+        [GreaterThanOrEqual(("ck",), "d"), LessThan(("ck",), "e")]
+    )
+    assert n_all == len(cks)
+    assert n_slice == sum(1 for ck in cks if "d" <= ck < "e")
+    assert 0 < slice_bytes < full_bytes / 2, (slice_bytes, full_bytes)
