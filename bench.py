@@ -52,7 +52,10 @@ def main() -> None:
     registry.QUERIES["q_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     registry.QUERIES["q_sstable_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # min-of-3 by default: the host shows multi-second ambient
+    # scheduling stalls, and r3's driver bench read 2-3x the builder's
+    # controlled numbers on several keys purely from that noise
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
