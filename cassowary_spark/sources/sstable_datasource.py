@@ -746,6 +746,9 @@ class SSTableDataSourceReader(DataSourceReader):
             and len(slices) == 1
             and name_lo is None
             and name_hi is None
+            # real snapshots use Cassandra's serialization masks —
+            # only the general scan_offsets_real path decodes them
+            and not slices[0][0].stats.get("binary_stats")
         ):
             # Fused flat fast path: a single-sstable slice is the only
             # source for its keys, so the per-cell Cell/reconcile/_emit

@@ -20,18 +20,36 @@ prefix ``{keyspace}-{table}-jb-{generation}-``:
 
 ``Index.db``  — ``u16 key_len | key | u64 position`` per partition,
 position = offset in the *uncompressed* data stream (Cassandra's
-Index.db, minus the promoted-index blob).
+Index.db, minus the promoted-index blob). REAL jb entries (binary
+Statistics.db snapshots) append ``u32 size | promoted-index blob``,
+which the reader skips — slices are served from our ColumnIndex.db
+component instead.
 
 ``CompressionInfo.db`` — present iff compressed: ``u16 len | algo
 name``, ``u32 chunk_len``, ``u64 uncompressed_total``, ``u32 n_chunks``,
 then ``u64`` file offset per chunk. Each chunk in Data.db is
-``deflate(chunk)`` followed by a ``u32`` adler32 of the compressed
-bytes (stand-in for Cassandra's per-chunk checksum). Deflate mirrors
-Cassandra's ``DeflateCompressor`` — the one stdlib-available option.
+``deflate(chunk)`` or Cassandra's LZ4 chunk layout (4 LE bytes
+decompressed length + LZ4 block) followed by a ``u32`` adler32 of the
+compressed bytes (Cassandra 2.0's own per-chunk checksum). The real
+``CompressionMetadata`` serialization — with its parameter block
+between the compressor name and the chunk metadata — is accepted too
+(``_parse_compression_info`` validates both candidates).
 
 ``Filter.db`` — bloom filter over partition keys: ``u32 n_hashes |
 u64 n_bits | bit bytes`` (double hashing over two md5 halves, the
-standard Kirsch-Mitzenmacher construction Cassandra also uses).
+standard Kirsch-Mitzenmacher construction Cassandra also uses). The
+real murmur3-128 OpenBitSet layout (``u32 hashCount | u32 words |
+big-endian i64 words``) is accepted via ``Murmur3BloomFilter`` with
+Cassandra's exact index derivation, so point-lookup pruning works on
+genuine snapshots instead of failing open.
+
+Snapshots whose ``Statistics.db`` is Cassandra's binary jb metadata
+are treated as REAL-layout throughout: ``scan_offsets_real`` decodes
+Cassandra's ColumnSerializer masks (DELETION 0x01 / EXPIRATION 0x02 /
+COUNTER 0x04 with CounterContext values / COUNTER_UPDATE 0x08 /
+RANGE_TOMBSTONE 0x10) onto the internal Cell flags, so merge,
+tombstone and TTL semantics downstream are identical
+(tests/test_sstable_real.py drives full real-layout snapshot dirs).
 
 ``Statistics.db`` — the writer emits JSON metadata (row count, min/max
 key hex, min/max cell timestamp, and the schema — key alias +
@@ -154,6 +172,24 @@ class Partition:
     cells: list[Cell] = field(default_factory=list)
 
 
+def counter_context_total(ctx: bytes) -> int:
+    """Sum of shard counts in a Cassandra CounterContext (public 2.0
+    layout: i16 header element count, that many i16 indexes, then
+    32-byte shards of 16-byte CounterId + i64 clock + i64 count). The
+    sum over all shards IS the counter's value; header flags only mark
+    shard ownership for write-path reconciliation."""
+    if len(ctx) < 2:
+        return 0
+    (hc,) = struct.unpack_from(">h", ctx, 0)
+    off = 2 + 2 * abs(hc)
+    total = 0
+    while off + 32 <= len(ctx):
+        (count,) = struct.unpack_from(">q", ctx, off + 24)
+        total += count
+        off += 32
+    return total
+
+
 def range_tombstone(start: bytes, end: bytes, timestamp: int) -> Cell:
     """A range-tombstone cell deleting names in [start, end] (inclusive)."""
     if not start or start > end:
@@ -236,6 +272,80 @@ class BloomFilter:
             # fail open on error
             raise ValueError("not this writer's Filter.db layout")
         return cls(n_hashes, n_bits, bytearray(raw[12:]))
+
+
+class Murmur3BloomFilter:
+    """Cassandra 2.0's real ``Filter.db``: murmur3-128 double hashing
+    over an OffHeapBitSet (public ``FilterFactory`` / ``BloomFilter``
+    serialization).
+
+    Layout: u32 hashCount, u32 word count, then words as big-endian
+    i64 — each word was assembled little-endian from the byte-addressed
+    bitset, so bit n of the filter lives at byte (n >> 3), bit (n & 7)
+    of the reassembled byte array (same addressing as our stand-in).
+
+    Index derivation mirrors the Java exactly: signed-64 wraparound of
+    h1 + i*h2, Java's truncated %, then abs.
+    """
+
+    def __init__(self, n_hashes: int, bits: bytes) -> None:
+        self.n_hashes = n_hashes
+        self.bits = bits
+        self.n_bits = len(bits) * 8
+
+    @classmethod
+    def load(cls, raw: bytes) -> "Murmur3BloomFilter":
+        n_hashes, n_words = struct.unpack(">II", raw[:8])
+        if not 1 <= n_hashes <= 32 or len(raw) - 8 != 8 * n_words:
+            raise ValueError("not a murmur3 OpenBitSet Filter.db layout")
+        out = bytearray()
+        for w in range(n_words):
+            (word,) = struct.unpack_from(">Q", raw, 8 + 8 * w)
+            out += word.to_bytes(8, "little")
+        return cls(n_hashes, bytes(out))
+
+    def might_contain(self, key: bytes) -> bool:
+        from cassowary_spark.sources.murmur3 import hash3_x64_128
+
+        h1, h2 = hash3_x64_128(key)
+        nbits = self.n_bits
+        bits = self.bits
+        for i in range(self.n_hashes):
+            v = (h1 + i * h2) & 0xFFFFFFFFFFFFFFFF
+            if v & (1 << 63):
+                v -= 1 << 64  # Java signed wraparound
+            idx = abs(v) % nbits  # == abs(java `v % nbits`)
+            if not bits[idx >> 3] & (1 << (idx & 7)):
+                return False
+        return True
+
+    def dump(self) -> bytes:
+        out = bytearray(struct.pack(">II", self.n_hashes, len(self.bits) // 8))
+        for w in range(0, len(self.bits), 8):
+            out += struct.pack(
+                ">Q", int.from_bytes(self.bits[w : w + 8], "little")
+            )
+        return bytes(out)
+
+    @classmethod
+    def sized(cls, n_keys: int, fp_rate: float = 0.01) -> "Murmur3BloomFilter":
+        proto = BloomFilter.sized(n_keys, fp_rate)
+        n_bytes = (proto.n_bits + 7) // 8
+        n_bytes += (-n_bytes) % 8  # whole words
+        return cls(proto.n_hashes, bytes(n_bytes))
+
+    def add(self, key: bytes) -> None:
+        from cassowary_spark.sources.murmur3 import hash3_x64_128
+
+        bits = bytearray(self.bits)
+        h1, h2 = hash3_x64_128(key)
+        for i in range(self.n_hashes):
+            v = (h1 + i * h2) & 0xFFFFFFFFFFFFFFFF
+            if v & (1 << 63):
+                v -= 1 << 64
+            idx = abs(v) % self.n_bits
+            bits[idx >> 3] |= 1 << (idx & 7)
+        self.bits = bytes(bits)
 
 
 # ---------------------------------------------------------------- writer
@@ -571,6 +681,55 @@ def parse_statistics(raw: bytes) -> dict:
 # ---------------------------------------------------------------- reader
 
 
+def _parse_compression_info(raw: bytes) -> tuple[str, int, int, list[int]]:
+    """CompressionInfo.db: this writer's layout OR Cassandra 2.0's real
+    ``CompressionMetadata`` serialization.
+
+    Both start with writeUTF(compressor simple name). Ours continues
+    ``u32 chunk_len | u64 data_len | u32 count | offsets``; the real
+    layout inserts a parameter block first: ``u32 paramCount |
+    paramCount × (writeUTF key, writeUTF value) | u32 chunkLength |
+    u64 dataLength | u32 chunkCount | offsets``. Each candidate is
+    validated by requiring the offset array to consume the file
+    exactly, which disambiguates deterministically.
+    """
+    (algo_len,) = struct.unpack_from(">H", raw, 0)
+    algo = raw[2 : 2 + algo_len].decode()
+    body = memoryview(raw)[2 + algo_len :]
+
+    def try_ours():
+        chunk_len, total, n = struct.unpack_from(">IQI", body, 0)
+        if len(body) - 16 != 8 * n or chunk_len <= 0:
+            raise ValueError
+        return chunk_len, total, list(struct.unpack_from(f">{n}Q", body, 16))
+
+    def try_real():
+        pos = 0
+        (n_params,) = struct.unpack_from(">I", body, pos)
+        pos += 4
+        if n_params > 64:
+            raise ValueError
+        for _ in range(n_params * 2):  # key + value, both writeUTF
+            (slen,) = struct.unpack_from(">H", body, pos)
+            pos += 2 + slen
+        chunk_len, total, n = struct.unpack_from(">IQI", body, pos)
+        pos += 16
+        if len(body) - pos != 8 * n or chunk_len <= 0:
+            raise ValueError
+        return chunk_len, total, list(struct.unpack_from(f">{n}Q", body, pos))
+
+    for attempt in (try_ours, try_real):
+        try:
+            chunk_len, total, offsets = attempt()
+            return algo, chunk_len, total, offsets
+        except (ValueError, struct.error):
+            continue
+    raise ValueError(
+        "unrecognized CompressionInfo.db layout (neither this writer's "
+        "nor Cassandra 2.0's CompressionMetadata serialization)"
+    )
+
+
 class _ChunkedData:
     """Random access over (possibly deflate-chunked) Data.db bytes.
 
@@ -583,12 +742,10 @@ class _ChunkedData:
         self.data_path = data_path
         if info_path and os.path.exists(info_path):
             with open(info_path, "rb") as f:
-                (algo_len,) = struct.unpack(">H", f.read(2))
-                self.algo = f.read(algo_len).decode()
-                self.chunk_len, self.total, n_chunks = struct.unpack(">IQI", f.read(16))
-                self.offsets = list(
-                    struct.unpack(f">{n_chunks}Q", f.read(8 * n_chunks))
-                )
+                raw = f.read()
+            self.algo, self.chunk_len, self.total, self.offsets = (
+                _parse_compression_info(raw)
+            )
         else:
             self.algo = None
             self.total = os.path.getsize(data_path)
@@ -679,12 +836,19 @@ class SSTableReader:
             unpack = struct.unpack_from
             append = entries.append
             n = len(raw)
+            real = bool(self.stats.get("binary_stats"))
             while pos < n:
                 (klen,) = unpack(">H", raw, pos)
                 key = raw[pos + 2 : pos + 2 + klen]
                 (off,) = unpack(">Q", raw, pos + 2 + klen)
                 append((key, off))
                 pos += 2 + klen + 8
+                if real:
+                    # real jb entries carry the promoted index inline:
+                    # u32 size + blob (we serve slices from our own
+                    # ColumnIndex.db component instead — skip it)
+                    (psize,) = unpack(">I", raw, pos)
+                    pos += 4 + psize
             # generations are immutable; cache per (path, mtime, size)
             # so repeated queries in one process parse the index once
             if len(_INDEX_CACHE) > 64:
@@ -749,10 +913,15 @@ class SSTableReader:
         _CINDEX_CACHE[cache_key] = out
         return out
 
-    def bloom(self) -> BloomFilter:
+    def bloom(self):
         if self._bloom is None:
             with open(self.prefix + "-Filter.db", "rb") as f:
-                self._bloom = BloomFilter.load(f.read())
+                raw = f.read()
+            try:
+                self._bloom = BloomFilter.load(raw)
+            except ValueError:
+                # real snapshot: murmur3-128 over an OpenBitSet
+                self._bloom = Murmur3BloomFilter.load(raw)
         return self._bloom
 
     def might_contain(self, key: bytes) -> bool:
@@ -806,6 +975,12 @@ class SSTableReader:
         come from direct byte indexing / one fused unpack per cell —
         measured ~2× over naive per-field unpack_from at 1M+ cells.
         """
+        if self.stats.get("binary_stats"):
+            # real snapshot: Cassandra's ColumnSerializer masks differ
+            # (RANGE=0x10, COUNTER_UPDATE=0x08) and counter / range-
+            # tombstone cells carry extra fields — separate parser
+            yield from self.scan_offsets_real(start, end)
+            return
         buf = self._data.read_range(start, end)
         pos = 0
         n = len(buf)
@@ -839,6 +1014,76 @@ class SSTableReader:
                 value = buf[pos : pos + vlen]
                 pos += vlen
                 append(Cell(name, value, ts, flags, ttl, lexp))
+            yield Partition(key, ldt, mfda, cells)
+
+    def scan_offsets_real(self, start: int, end: int):
+        """Real jb row decoder (Cassandra 2.0's ``ColumnSerializer``,
+        public source): same row header and end-of-row marker as the
+        stand-in, but real serialization masks — DELETION 0x01,
+        EXPIRATION 0x02, COUNTER 0x04 (extra i64 timestampOfLastDelete
+        and a CounterContext value, collapsed here to its shard-count
+        sum), COUNTER_UPDATE 0x08 (plain i64 delta), RANGE_TOMBSTONE
+        0x10 (u16-prefixed max bound + u32 ldt + i64 markedAt).
+        Everything maps onto the internal Cell flags, so merge /
+        reconcile / tombstone semantics downstream are unchanged.
+        """
+        buf = self._data.read_range(start, end)
+        pos = 0
+        n = len(buf)
+        unpack_from = struct.unpack_from
+        while pos < n:
+            klen = (buf[pos] << 8) | buf[pos + 1]
+            pos += 2
+            key = buf[pos : pos + klen]
+            pos += klen
+            ldt, mfda = unpack_from(">Iq", buf, pos)
+            pos += 12
+            cells: list[Cell] = []
+            append = cells.append
+            while True:
+                nlen = (buf[pos] << 8) | buf[pos + 1]
+                pos += 2
+                if nlen == 0:
+                    break
+                name = buf[pos : pos + nlen]
+                pos += nlen
+                mask = buf[pos]
+                pos += 1
+                if mask & 0x10:  # range tombstone column
+                    (blen,) = unpack_from(">H", buf, pos)
+                    pos += 2
+                    bound = buf[pos : pos + blen]
+                    pos += blen
+                    _rt_ldt, marked = unpack_from(">Iq", buf, pos)
+                    pos += 12
+                    append(Cell(name, bound, marked, FLAG_TOMBSTONE | FLAG_RANGE))
+                    continue
+                if mask & 0x04:  # counter column (context value)
+                    pos += 8  # timestampOfLastDelete
+                    ts, vlen = unpack_from(">qi", buf, pos)
+                    pos += 12
+                    total = counter_context_total(buf[pos : pos + vlen])
+                    pos += vlen
+                    append(Cell(name, struct.pack(">q", total), ts, FLAG_COUNTER))
+                    continue
+                ttl, lexp = 0, NO_EXPIRY
+                flags = 0
+                if mask & 0x02:
+                    ttl, lexp = unpack_from(">II", buf, pos)
+                    pos += 8
+                    flags = FLAG_EXPIRING
+                ts, vlen = unpack_from(">qi", buf, pos)
+                pos += 12
+                value = buf[pos : pos + vlen]
+                pos += vlen
+                if mask & 0x01:
+                    # cell tombstone: value is the 4-byte local
+                    # deletion time, irrelevant to merge semantics
+                    append(Cell(name, b"", ts, FLAG_TOMBSTONE))
+                elif mask & 0x08:
+                    append(Cell(name, value, ts, FLAG_COUNTER))
+                else:
+                    append(Cell(name, value, ts, flags, ttl, lexp))
             yield Partition(key, ldt, mfda, cells)
 
     def scan_rows_fast(self, start: int, end: int, read_ts: int):

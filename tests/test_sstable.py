@@ -997,14 +997,14 @@ def test_parse_statistics_jb_byte_for_byte():
     assert st["schema"] is None and st["min_key"] is None
 
 
-def test_binary_stats_snapshot_reads_with_schema_option(spark, tmp_path):
+def test_binary_stats_requires_schema_option(spark, tmp_path):
     """A snapshot whose Statistics.db is the REAL binary jb layout
-    (no schema inside) reads end-to-end once the schema option is
-    supplied — and fails with a schema-naming error without it.
-    Point lookups survive unknown key bounds (bloom prunes, range
-    pruning fails open)."""
-    import json
-
+    carries no schema, so reading without the ``schema`` option must
+    fail with an error that names the option. (End-to-end reads of
+    fully-real-layout snapshots live in tests/test_sstable_real.py —
+    binary stats now implies every component uses Cassandra's own
+    serialization, so a stand-in-layout dir with swapped-in binary
+    stats is not a meaningful hybrid.)"""
     from cassowary_spark.sources.sstable_format import (
         parse_statistics,
         write_statistics_jb,
@@ -1024,9 +1024,7 @@ def test_binary_stats_snapshot_reads_with_schema_option(spark, tmp_path):
             Cell(b"score", get_validator("DoubleType").encode(i * 1.5), 10),
         ]))
     w.close()
-    expected = {(r.id, r.name, r.score) for r in read_sstable(spark, d).collect()}
 
-    # swap in binary stats (round-trip check first)
     stats_path = f"{d}/ks-cf-jb-1-Statistics.db"
     blob = write_statistics_jb(50, 10, 10)
     assert parse_statistics(blob)["rows"] == 50
@@ -1035,8 +1033,3 @@ def test_binary_stats_snapshot_reads_with_schema_option(spark, tmp_path):
 
     with pytest.raises(Exception, match="schema"):
         read_sstable(spark, d).collect()
-
-    df = read_sstable(spark, d, schema=json.dumps(schema))
-    assert {(r.id, r.name, r.score) for r in df.collect()} == expected
-    hit = df.filter(F.col("id") == 7).collect()
-    assert [(r.id, r.name) for r in hit] == [(7, "row7")]
