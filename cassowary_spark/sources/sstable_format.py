@@ -779,12 +779,17 @@ class _ChunkedData:
 
                     (dlen,) = struct.unpack_from("<I", payload)
                     out += lz4_block.decompress(payload[4:], dlen)
+                elif self.algo.endswith("SnappyCompressor"):
+                    from cassowary_spark.sources import snappy_block
+
+                    out += snappy_block.decompress(payload)
                 elif self.algo.endswith("DeflateCompressor"):
                     out += zlib.decompress(payload)
                 else:
                     raise IOError(
                         f"unsupported compressor {self.algo!r} in "
-                        f"{self.data_path} (deflate and lz4 are supported)"
+                        f"{self.data_path} (deflate, lz4 and snappy are "
+                        "supported)"
                     )
             base = first * self.chunk_len
             return bytes(out[start - base : end - base])
