@@ -738,3 +738,66 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         q8.filter(F.col("vec_id") != 0), qdf, "vec_id", "q8", "qq8", k=10
     )
     return topk.select("vec_id", srnd("cos_q", 4).alias("cos_q"))
+
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
+    FROM tok GROUP BY term
+    ORDER BY tf DESC, term LIMIT 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (C4 family): top-100 terms by total
+    frequency with document frequency — the first pass of any
+    tokenizer-training / stopword-mining pipeline.
+
+    Scale shape: explode is row-local; ONE shuffle keyed by term with
+    partial aggregation on both counts (count-distinct over doc_id
+    expands per-term but doc ids are already co-partitioned after the
+    term shuffle); the global top-100 is TakeOrdered on (tf, term) —
+    per-partition heads only, no full sort. Vocabulary cardinality is
+    the shuffle size, not corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return vocab.orderBy(F.desc("tf"), F.asc("term")).limit(100)
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+    SELECT label, i AS pos,
+           floor(avg(embedding[i]) * 10000.0 + 0.5) / 10000.0 AS centroid_val,
+           count(*) AS n
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+    GROUP BY label, i
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (C3 family) — the M-step of a
+    distributed k-means, and the building block of the IVF index's
+    offline clustering, exposed as a first-class operator.
+
+    Scale shape: posexplode multiplies rows by the (fixed, small)
+    dimension — row-local; ONE shuffle keyed by (label, pos) with
+    map-side partial sums; output cardinality = labels × dim,
+    regardless of corpus size. No driver-side collection — centroids
+    stay a DataFrame for the next iteration to join/broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    return comp.groupBy("label", "pos").agg(
+        srnd(F.avg("val"), 4).alias("centroid_val"),
+        F.count("*").alias("n"),
+    )

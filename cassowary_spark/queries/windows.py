@@ -181,3 +181,64 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w.rangeBetween(-10000, 10000)).alias("n_near"),
         srnd(F.sum("o_totalprice").over(w.rangeBetween(-10000, 10000)), 2).alias("near_sum"),
     )
+
+
+@query(
+    "q_sessionize_sql",
+    oracle="""
+    WITH sec AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, value, sec,
+               CASE WHEN lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM sec
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sess AS (
+        SELECT user_id, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (B23/B25 composition;
+    the batch twin of S3's session windows, expressed as pure window
+    algebra): a session break is a >30-min gap to the previous event;
+    the running sum of break markers numbers sessions per user.
+
+    Scale shape: ONE hash shuffle keyed by user_id serves both windows
+    (same partitioning + ordering, Catalyst reuses the sort), then the
+    per-session groupBy re-keys by (user_id, session_no) — no joins,
+    no state, no skew beyond per-user event counts. Timestamps
+    compare as floor-epoch seconds on BOTH engines: the fixture's ts
+    carries microseconds, and interval arithmetic at full precision
+    would make the 1800s boundary engine-dependent.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = W.partitionBy("user_id").orderBy(sec, "event_id")
+    gap = sec - F.lag(sec).over(w)
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        sec.alias("sec"),
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    wrun = W.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("session_no", F.sum("is_new").over(wrun))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        srnd(F.sum("value"), 4).alias("sum_value"),
+    )
