@@ -65,6 +65,7 @@ from pyspark.sql.types import StructType
 
 from cassowary_spark.sources.sstable_format import (
     FLAG_COUNTER,
+    FLAG_CTX,
     FLAG_EXPIRING,
     FLAG_RANGE,
     FORMAT_VERSION,
@@ -75,6 +76,7 @@ from cassowary_spark.sources.sstable_format import (
     SSTableWriter,
     cmp_component,
     composite_cmp_key,
+    counter_context_shards,
     decode_composite,
     discover_sstables,
     encode_composite,
@@ -231,6 +233,12 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
     }
     # Counter columns: SUM live deltas newer than any delete of the
     # column (cell tombstone resets the counter; row/range delete too).
+    # Real-snapshot cells (FLAG_CTX) carry whole CounterContexts whose
+    # shards are CUMULATIVE — merge per counter_id by max clock
+    # (Cassandra's context merge) and only then sum distinct shards;
+    # summing per-file totals would double-count shards present in
+    # more than one generation. Plain i64 deltas (our writer,
+    # COUNTER_UPDATE cells) still add on top.
     for name, deltas in counters.items():
         floor_ts = mfda if not rts else max(mfda, rt_floor(rts, name))
         tomb = best.get(name)
@@ -239,7 +247,17 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
             live.pop(name, None)
         alive = [c for c in deltas if c.timestamp > floor_ts]
         if alive:
-            total = sum(_struct.unpack(">q", c.value)[0] for c in alive)
+            shards: dict[bytes, tuple[int, int]] = {}
+            total = 0
+            for c in alive:
+                if c.flags & FLAG_CTX:
+                    for cid, clock, count in counter_context_shards(c.value):
+                        cur = shards.get(cid)
+                        if cur is None or clock > cur[0]:
+                            shards[cid] = (clock, count)
+                else:
+                    total += _struct.unpack(">q", c.value)[0]
+            total += sum(count for _, count in shards.values())
             live[name] = Cell(
                 name, _struct.pack(">q", total),
                 max(c.timestamp for c in alive), FLAG_COUNTER,

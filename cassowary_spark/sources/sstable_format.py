@@ -102,6 +102,9 @@ FLAG_COUNTER = 0x04
 # composite prefixes (see convert.composite_slice_bounds), matching
 # Cassandra's clustering-slice DELETEs.
 FLAG_RANGE = 0x08
+# internal-only marker (never written to disk): the cell VALUE is a
+# raw Cassandra CounterContext, not an i64 delta — merge shard-wise
+FLAG_CTX = 0x20
 
 # CQL3-style row marker: a zero-byte-named cell asserting the row
 # exists even when every regular column is null. Sorts before any real
@@ -172,6 +175,24 @@ class Partition:
     cells: list[Cell] = field(default_factory=list)
 
 
+def counter_context_shards(ctx: bytes) -> list[tuple[bytes, int, int]]:
+    """Shards of a Cassandra CounterContext: (counter_id, clock,
+    count) triples. Contexts are CUMULATIVE per shard — merging two
+    contexts takes the higher clock per counter_id, never the sum
+    (summing totals across sstable generations double-counts every
+    shard present in both)."""
+    if len(ctx) < 2:
+        return []
+    (hc,) = struct.unpack_from(">h", ctx, 0)
+    off = 2 + 2 * abs(hc)
+    out = []
+    while off + 32 <= len(ctx):
+        clock, count = struct.unpack_from(">qq", ctx, off + 16)
+        out.append((ctx[off : off + 16], clock, count))
+        off += 32
+    return out
+
+
 def counter_context_total(ctx: bytes) -> int:
     """Sum of shard counts in a Cassandra CounterContext (public 2.0
     layout: i16 header element count, that many i16 indexes, then
@@ -219,13 +240,24 @@ def live_unmerged(part: Partition, read_ts: int) -> dict[bytes, Cell]:
     reader (unmerged mode, the generation-delta stream source) applies.
     """
     rts = [(c.name, c.value, c.timestamp) for c in part.cells if c.flags & FLAG_RANGE]
-    return {
-        c.name: c
-        for c in part.cells
-        if not c.flags & FLAG_RANGE
-        and c.live_at(read_ts)
-        and (not rts or c.timestamp > rt_floor(rts, c.name))
-    }
+    out = {}
+    for c in part.cells:
+        if (
+            c.flags & FLAG_RANGE
+            or not c.live_at(read_ts)
+            or (rts and c.timestamp <= rt_floor(rts, c.name))
+        ):
+            continue
+        if c.flags & FLAG_CTX:
+            # single-version view: the context's shard sum IS the value
+            c = Cell(
+                c.name,
+                struct.pack(">q", counter_context_total(c.value)),
+                c.timestamp,
+                FLAG_COUNTER,
+            )
+        out[c.name] = c
+    return out
 
 
 # ---------------------------------------------------------------- bloom
@@ -1067,9 +1099,18 @@ class SSTableReader:
                     pos += 8  # timestampOfLastDelete
                     ts, vlen = unpack_from(">qi", buf, pos)
                     pos += 12
-                    total = counter_context_total(buf[pos : pos + vlen])
+                    # keep the RAW context: shards are cumulative, so
+                    # cross-generation merge must be per-shard max-
+                    # clock (FLAG_CTX), not a sum of per-file totals
+                    append(
+                        Cell(
+                            name,
+                            buf[pos : pos + vlen],
+                            ts,
+                            FLAG_COUNTER | FLAG_CTX,
+                        )
+                    )
                     pos += vlen
-                    append(Cell(name, struct.pack(">q", total), ts, FLAG_COUNTER))
                     continue
                 ttl, lexp = 0, NO_EXPIRY
                 flags = 0
