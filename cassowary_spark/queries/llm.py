@@ -801,3 +801,39 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         srnd(F.avg("val"), 4).alias("centroid_val"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_tablesample_bucket",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY l_returnflag
+    """,
+)
+def q_tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``TABLESAMPLE(BUCKET 1 OUT OF 8 ON key)`` parity: a
+    deterministic 1-in-8 bucket of rows selected by a hash of the ON
+    column — the HiveQL sampling surface the reference's tables
+    inherited (SURVEY.md §2 B-group, reconstruction [P]). The bucket
+    predicate is the md5 first nibble (2 of 16 values = 1/8), so the
+    SAME rows are chosen on every engine and every run — unlike
+    rand()-based sampling, resumable and join-stable.
+
+    Scale shape: pure row-local predicate evaluated at the scan — no
+    shuffle, no state; the aggregation after it is an ordinary
+    partial+final groupBy on a 4-value key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    return (
+        li.filter(bucket.isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            srnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -107,3 +107,63 @@ def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(tokenize, "doc_id bigint, token string, lang string")
+
+
+@query(
+    "q_transform_script",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(floor(l_quantity * 2) AS BIGINT) AS q2,
+           upper(l_returnflag) AS flag
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``TRANSFORM ... USING 'script'`` parity (U4): rows stream
+    as tab-separated lines through an EXTERNAL process's stdin/stdout
+    — the exact streaming contract Hive gives user scripts, which is
+    how the reference's Hive surface ran arbitrary executables over
+    query rows (SURVEY.md §2 U-group, reconstruction [P]).
+
+    Spark mapping: mapInPandas spawns the script once per Arrow batch
+    and pipes the batch as TSV — batch-granular process amortization
+    instead of Hive's one-process-per-task, same line protocol. At
+    100 TB the cost model is the script itself (any external binary);
+    the exchange is bounded by batch size, and no row ever touches
+    the driver.
+    """
+    import subprocess
+    import sys as _sys
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+    )
+    # the "user script": reads TSV rows, emits TSV rows (doubled
+    # quantity floored, uppercased flag) — deterministic so the SQL
+    # oracle can mirror it
+    script = (
+        "import sys, math\n"
+        "for line in sys.stdin:\n"
+        "    k, q, f = line.rstrip('\\n').split('\\t')\n"
+        "    print(f'{k}\\t{math.floor(float(q) * 2)}\\t{f.upper()}')\n"
+    )
+    argv = [_sys.executable, "-c", script]
+
+    def transform(batches):
+        import io
+
+        for pdf in batches:
+            tsv = pdf.to_csv(sep="\t", header=False, index=False)
+            out = subprocess.run(
+                argv, input=tsv.encode(), capture_output=True, check=True
+            ).stdout
+            yield pd.read_csv(
+                io.BytesIO(out),
+                sep="\t",
+                names=["l_orderkey", "q2", "flag"],
+                dtype={"l_orderkey": "int64", "q2": "int64", "flag": "string"},
+            )
+
+    return li.mapInPandas(transform, "l_orderkey long, q2 long, flag string")
