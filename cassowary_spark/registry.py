@@ -31,19 +31,24 @@ ORACLES: dict[str, str] = {}
 # driver's entry() smoke exercises every round anyway. The r3-green
 # keys keep their CORRECTNESS_r03 rows as the judge's prior.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-adjudicated extras — first rows
+    # never driver-adjudicated — first rows (r3 extras, then the five
+    # operators NEW this round)
     "q_bloom_join", "q_scd2_history", "q_line_dedup", "q_html_strip",
     "q_sstable_timetravel", "q_stream_stream_outer",
+    "q_vocab_topk", "q_label_centroids", "q_sessionize_sql",
+    "q_transform_script", "q_tablesample_bucket",
     # changed this round — must re-confirm
     "q_tfidf", "q_sstable_collections",
-    # r2-green keys — evidence one round stale, re-confirm
+    # r2-green keys — evidence one round stale, re-confirm (left out:
+    # the q_fn_hash/q_fn_math/q_join_anti/q_lateral_explode/q_except
+    # batteries, unchanged since r1 and r2-green, to make room)
     "q_flagship", "q_sql_report", "q_sstable_sink",
     "q_agg_approx", "q_ann_ivf", "q_ann_lsh", "q_cluster_by",
     "q_contamination", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_exact", "q_dedup_incremental", "q_dedup_near",
-    "q_dedup_ngram", "q_dedup_simhash", "q_except", "q_fingerprint",
-    "q_fn_hash", "q_fn_math", "q_fuzzy_join", "q_gap_fill",
-    "q_join_anti", "q_lang_id", "q_lateral_explode", "q_merge_upsert",
+    "q_dedup_ngram", "q_dedup_simhash", "q_fingerprint",
+    "q_fuzzy_join", "q_gap_fill",
+    "q_lang_id", "q_merge_upsert",
     "q_mm_decode", "q_mm_frames", "q_multimodal_join", "q_pack_chunks",
     "q_pii_redact", "q_quality_score", "q_repetition", "q_sample_hash",
     "q_sample_strat", "q_session_capped", "q_sim_search",
