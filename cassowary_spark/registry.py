@@ -22,14 +22,17 @@ ORACLES: dict[str, str] = {}
 # The external driver adjudicates only the FIRST 50 queries in the dict
 # returned by __spark_entry__.queries(). Python dicts preserve
 # insertion order, so we emit the keys below first. Round-4 rotation:
-# the 6 extras that have NEVER had a driver CORRECTNESS row (local
-# parity only), then 44 of the 50 keys whose latest driver row is
-# CORRECTNESS_r02 — q_tfidf and q_sstable_collections changed this
-# round, so their re-adjudication is mandatory. Left out (strongest
-# independent evidence): the five streaming keys with dedicated
-# stream-vs-batch pytest equivalence tests and q_scan, which the
-# driver's entry() smoke exercises every round anyway. The r3-green
-# keys keep their CORRECTNESS_r03 rows as the judge's prior.
+# the 11 keys with NO driver CORRECTNESS row yet (6 r3 extras + 5
+# operators new this round), then the 2 queries changed this round
+# (q_tfidf, q_sstable_collections — re-adjudication mandatory), then
+# 37 of the 50 keys whose latest driver row is CORRECTNESS_r02. Left
+# out (strongest independent evidence): five streaming keys with
+# dedicated stream-vs-batch pytest equivalence tests, q_scan (the
+# entry() smoke runs it every round), and five function/join
+# batteries unchanged since r1 (q_fn_hash, q_fn_math, q_join_anti,
+# q_lateral_explode, q_except) — those 13 r2-green keys go first in
+# the round-5 window. The r3-green keys keep their CORRECTNESS_r03
+# rows as the judge's prior.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-adjudicated — first rows (r3 extras, then the five
     # operators NEW this round)

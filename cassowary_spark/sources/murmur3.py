@@ -61,19 +61,30 @@ def hash3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
         h2 = (h2 + h1) & _MASK
         h2 = (h2 * 5 + 0x38495AB5) & _MASK
 
+    # Tail bytes are SIGN-EXTENDED before the shifted XOR — Cassandra's
+    # MurmurHash tail switch uses ``(long) key.get(i)`` with no
+    # ``& 0xff`` (unlike its block loads, which mask per byte). This is
+    # a known divergence from canonical murmur3: for pure-ASCII tails
+    # the two agree, but any tail byte >= 0x80 XORs sign bits into the
+    # other byte lanes. Real Filter.db membership depends on matching
+    # Cassandra's bits, not the reference function's.
     tail = key[nblocks * 16 :]
     k1 = k2 = 0
     t = len(tail)
     if t >= 9:
-        for i in range(min(t, 16) - 1, 7, -1):
-            k2 = (k2 << 8) | tail[i]
+        for i in range(8, min(t, 16)):
+            b = tail[i] - 256 if tail[i] >= 128 else tail[i]
+            k2 ^= b << (8 * (i - 8))
+        k2 &= _MASK
         k2 = (k2 * _C2) & _MASK
         k2 = _rotl64(k2, 33)
         k2 = (k2 * _C1) & _MASK
         h2 ^= k2
     if t >= 1:
-        for i in range(min(t, 8) - 1, -1, -1):
-            k1 = (k1 << 8) | tail[i]
+        for i in range(min(t, 8)):
+            b = tail[i] - 256 if tail[i] >= 128 else tail[i]
+            k1 ^= b << (8 * i)
+        k1 &= _MASK
         k1 = (k1 * _C1) & _MASK
         k1 = _rotl64(k1, 31)
         k1 = (k1 * _C2) & _MASK

@@ -96,10 +96,8 @@ def compress(src: bytes) -> bytes:
             out.append(b)
             break
     pos = 0
-    while pos < n or (n == 0 and pos == 0 and False):
+    while pos < n:
         ln = min(n - pos, 65536)
-        if ln == 0:
-            break
         lm1 = ln - 1
         if lm1 < 60:
             out.append(lm1 << 2)

@@ -318,11 +318,16 @@ class SSTableDataSourceReader(DataSourceReader):
         if not readers:
             raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
         # Every generation written in typed comparator order → range
-        # clustering-slice bounds can push into the promoted index
-        # (legacy raw-byte-sorted files stay eq-only; see _name_bounds)
-        self._typed_order = all(
-            r.stats.get("cell_order") == "typed" for r in readers
-        )
+        # clustering-slice bounds can push into the promoted index;
+        # every generation legacy raw-byte-sorted → eq-only raw
+        # bounds. A MIXED dir (legacy snapshot appended to by the new
+        # writer) gets NO bounds: either bound space would bisect the
+        # other order's blocks incorrectly and silently drop rows
+        # (decode-time predicates still apply exactly — mixed dirs
+        # just read whole partitions). See _name_bounds.
+        orders = {r.stats.get("cell_order") for r in readers}
+        self._typed_order = orders == {"typed"}
+        self._legacy_order = "typed" not in orders
         if options.get("schema"):
             # explicit schema (JSON, same shape as the writer's stats
             # schema block) — REQUIRED for real `nodetool snapshot`
@@ -495,6 +500,8 @@ class SSTableDataSourceReader(DataSourceReader):
         """
         if not self._cluster_preds or not self.clustering:
             return None, None
+        if not self._typed_order and not self._legacy_order:
+            return None, None  # mixed cell orders: no safe bound space
         cv = self.clustering[0][1]
         lo = hi = None
         for op, v in self._cluster_preds:

@@ -320,9 +320,9 @@ class Murmur3BloomFilter:
     h1 + i*h2, Java's truncated %, then abs.
     """
 
-    def __init__(self, n_hashes: int, bits: bytes) -> None:
+    def __init__(self, n_hashes: int, bits: bytearray) -> None:
         self.n_hashes = n_hashes
-        self.bits = bits
+        self.bits = bytearray(bits)
         self.n_bits = len(bits) * 8
 
     @classmethod
@@ -334,7 +334,7 @@ class Murmur3BloomFilter:
         for w in range(n_words):
             (word,) = struct.unpack_from(">Q", raw, 8 + 8 * w)
             out += word.to_bytes(8, "little")
-        return cls(n_hashes, bytes(out))
+        return cls(n_hashes, out)
 
     def might_contain(self, key: bytes) -> bool:
         from cassowary_spark.sources.murmur3 import hash3_x64_128
@@ -364,12 +364,12 @@ class Murmur3BloomFilter:
         proto = BloomFilter.sized(n_keys, fp_rate)
         n_bytes = (proto.n_bits + 7) // 8
         n_bytes += (-n_bytes) % 8  # whole words
-        return cls(proto.n_hashes, bytes(n_bytes))
+        return cls(proto.n_hashes, bytearray(n_bytes))
 
     def add(self, key: bytes) -> None:
         from cassowary_spark.sources.murmur3 import hash3_x64_128
 
-        bits = bytearray(self.bits)
+        bits = self.bits  # mutated in place — adds are O(hashes)
         h1, h2 = hash3_x64_128(key)
         for i in range(self.n_hashes):
             v = (h1 + i * h2) & 0xFFFFFFFFFFFFFFFF
@@ -377,7 +377,6 @@ class Murmur3BloomFilter:
                 v -= 1 << 64
             idx = abs(v) % self.n_bits
             bits[idx >> 3] |= 1 << (idx & 7)
-        self.bits = bytes(bits)
 
 
 # ---------------------------------------------------------------- writer
@@ -932,6 +931,14 @@ class SSTableReader:
                 i1 = n_dir if end is None else bisect_right(part_offs, end - 1)
                 pos = flat[2 * i0 + 1] if i0 < n_dir else n
                 n = flat[2 * i1 + 1] if i1 < n_dir else n
+        elif start is not None or end is not None:
+            # legacy footer-less file: a ranged request would re-parse
+            # (and re-cache) the whole component once per distinct
+            # range. Parse once under the unranged key and serve the
+            # full dict — scan_slices filters offsets itself.
+            full = self.column_index()
+            _CINDEX_CACHE[cache_key] = full
+            return full
         out: dict[int, tuple[int, bool, list[int], list[bytes]]] = {}
         while pos < n:
             part_off, part_end, has_rt, n_blocks = unpack(">QQBI", raw, pos)

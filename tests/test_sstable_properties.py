@@ -832,3 +832,64 @@ def test_range_slice_skips_blocks_io_level(tmp_path_factory):
     assert n_all == len(cks)
     assert n_slice == sum(1 for ck in cks if "d" <= ck < "e")
     assert 0 < slice_bytes < full_bytes / 2, (slice_bytes, full_bytes)
+
+
+def test_mixed_order_generations_disable_slice_bounds(tmp_path_factory):
+    """A dir mixing a legacy raw-sorted generation with a typed-order
+    one must NOT push clustering-slice name bounds: either bound space
+    bisects the other order's blocks incorrectly. The eq slice must
+    return exactly what the unbounded scan + exact predicate does."""
+    from pyspark.sql.datasource import EqualTo
+
+    from cassowary_spark.sources.sstable_format import SSTableReader as R
+
+    tmp = str(tmp_path_factory.mktemp("mixed"))
+    kenc = get_validator("LongType").encode
+    ckv = get_validator("UTF8Type")
+    schema = {
+        "key": ["k", "LongType"],
+        "columns": [["x", "UTF8Type"]],
+        "clustering": [["ck", "UTF8Type"]],
+    }
+    # variable-length cks whose raw order diverges from value order
+    cks = ["a", "ab", "abb", "b", "bb", "c"]
+
+    def write_gen(gen, legacy):
+        w = SSTableWriter(tmp, "ks", "mixed", gen, schema, chunk_len=128,
+                          column_index_len=32)
+        if legacy:
+            w._cluster_vnames = None  # raw-byte sort, no cell_order stamp
+        cells = []
+        for i, ck in enumerate(sorted(cks)):
+            prefix = [ckv.encode(ck)]
+            cells.append(Cell(encode_composite(prefix + [b""]), b"", gen))
+            cells.append(
+                Cell(encode_composite(prefix + [b"x"]),
+                     f"g{gen}-{i}".encode(), gen)
+            )
+        w.append(Partition(kenc(1), cells=cells))
+        w.close()
+
+    write_gen(1, legacy=True)
+    write_gen(2, legacy=False)
+
+    saved = R.SLICE_MIN_PARTITION_BYTES
+    R.SLICE_MIN_PARTITION_BYTES = 0  # force block-skipping if bounds exist
+    try:
+        reader = SSTableDataSourceReader({"path": tmp}, None)
+        assert not reader._typed_order and not reader._legacy_order
+        list(reader.pushFilters([EqualTo(("ck",), "b")]))
+        assert reader._name_bounds() == (None, None)
+        got = set()
+        for p in reader.partitions():
+            for item in reader.read(p):
+                rows = (
+                    [tuple(d.values()) for d in item.to_pylist()]
+                    if isinstance(item, pa.RecordBatch)
+                    else [tuple(item)]
+                )
+                got.update(rows)
+    finally:
+        R.SLICE_MIN_PARTITION_BYTES = saved
+    # gen2 wins LWW for ck='b' (higher ts); exactly one row survives
+    assert got == {(1, "b", "g2-3")}
