@@ -837,3 +837,53 @@ def q_tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             srnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_source_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           min(doc_id) AS min_kept_id
+    FROM ranked WHERE rn <= 50
+    GROUP BY source
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (C6 family) — the per-domain cap every
+    crawl-corpus pipeline applies so no single source dominates the
+    training mix. Selection order is a content-stable hash (md5 of the
+    doc id), NOT arrival order: the same documents survive on every
+    engine, every run, and every re-shard — rerunning after adding new
+    sources never churns previously-kept docs of existing sources.
+
+    Scale shape: one window keyed by source (the only shuffle;
+    per-source partitions rank in O(n log n)), then a per-source
+    groupBy that reuses the same partitioning. WindowGroupLimit prunes
+    rows past the cap before the final sort at scale. Skew = the
+    biggest single source's row count, the quantity this operator
+    exists to bound.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_kept_id"),
+        )
+    )
