@@ -411,9 +411,20 @@ class SSTableWriter:
         bloom_fp: float = 0.01,
         expected_keys: int = 1024,
         column_index_len: int = 4096,
+        layout: str = "standin",
     ) -> None:
         if compression not in (None, "deflate", "lz4"):
             raise ValueError(f"unsupported compression {compression!r}")
+        if layout not in ("standin", "real"):
+            raise ValueError(f"unsupported layout {layout!r}")
+        # layout="real": EVERY component serializes in Cassandra 2.0's
+        # own jb formats (binary Statistics.db, murmur3 OpenBitSet
+        # Filter.db, promoted-size Index.db entries, param-block
+        # CompressionInfo.db, ColumnSerializer cell masks) — the
+        # export direction of the real-snapshot READ support, so a
+        # genuine Cassandra 2.0 node can load what this engine writes.
+        # No ColumnIndex.db is emitted (not a real component).
+        self.layout = layout
         self.directory = directory
         self.prefix = f"{keyspace}-{table}-{FORMAT_VERSION}-{generation}-"
         self.schema = schema
@@ -429,7 +440,11 @@ class SSTableWriter:
         # tombstones (which force full-partition reads — an RT's start
         # bound can sort before a slice it covers).
         self._cindex: list[tuple[int, int, bool, list[tuple[int, bytes]]]] = []
-        self._bloom = BloomFilter.sized(expected_keys, bloom_fp)
+        self._bloom = (
+            Murmur3BloomFilter.sized(expected_keys, bloom_fp)
+            if layout == "real"
+            else BloomFilter.sized(expected_keys, bloom_fp)
+        )
         self._last_key: bytes | None = None
         self._min_ts: int | None = None
         self._max_ts: int | None = None
@@ -461,6 +476,7 @@ class SSTableWriter:
             cell_sort_key = lambda c: composite_cmp_key(c.name, vn)  # noqa: E731
         else:
             cell_sort_key = lambda c: c.name  # noqa: E731
+        real = self.layout == "real"
         for cell in sorted(part.cells, key=cell_sort_key):
             if not cell.name:
                 raise ValueError("cell names must be non-empty")
@@ -472,12 +488,15 @@ class SSTableWriter:
                 has_rt = True
             w(struct.pack(">H", len(cell.name)))
             w(cell.name)
-            w(struct.pack(">B", cell.flags))
-            if cell.flags & FLAG_EXPIRING:
-                w(struct.pack(">II", cell.ttl, cell.local_expiration))
-            w(struct.pack(">q", cell.timestamp))
-            w(struct.pack(">i", len(cell.value)))
-            w(cell.value)
+            if real:
+                self._write_cell_real(w, cell)
+            else:
+                w(struct.pack(">B", cell.flags))
+                if cell.flags & FLAG_EXPIRING:
+                    w(struct.pack(">II", cell.ttl, cell.local_expiration))
+                w(struct.pack(">q", cell.timestamp))
+                w(struct.pack(">i", len(cell.value)))
+                w(cell.value)
             if self._min_ts is None or cell.timestamp < self._min_ts:
                 self._min_ts = cell.timestamp
             if self._max_ts is None or cell.timestamp > self._max_ts:
@@ -488,6 +507,50 @@ class SSTableWriter:
             self._max_ts = ts if self._max_ts is None else max(self._max_ts, ts)
         w(b"\x00\x00")  # end-of-partition
         self._cindex.append((part_off, self._data.tell(), has_rt, blocks))
+
+    def _write_cell_real(self, w, cell: Cell) -> None:
+        """One cell body (after the name) in Cassandra 2.0's
+        ColumnSerializer layout — the inverse of scan_offsets_real."""
+        if cell.flags & FLAG_RANGE:
+            # RANGE_TOMBSTONE_MASK: max bound, localDeletionTime,
+            # markedForDeleteAt (internal: name=min bound, value=max)
+            w(struct.pack(">B", 0x10))
+            w(struct.pack(">H", len(cell.value)))
+            w(cell.value)
+            w(struct.pack(">Iq", 2**31 - 1, cell.timestamp))
+            return
+        if cell.flags & FLAG_COUNTER:
+            # full counter column: synthesize a one-shard context whose
+            # CounterId is unique to this generation, so contexts from
+            # different generations merge as DISTINCT shards and sum —
+            # exactly the delta semantics the internal i64 cells carry
+            # (same id + same clock across files would max, not add)
+            w(struct.pack(">B", 0x04))
+            w(struct.pack(">q", -(2**63)))  # timestampOfLastDelete: none
+            w(struct.pack(">q", cell.timestamp))
+            cid = self.prefix.encode("utf-8")[-16:].rjust(16, b"\x00")
+            (delta,) = struct.unpack(">q", cell.value)
+            ctx = struct.pack(">h", 0) + cid + struct.pack(
+                ">qq", cell.timestamp, delta
+            )
+            w(struct.pack(">i", len(ctx)))
+            w(ctx)
+            return
+        if cell.flags & FLAG_TOMBSTONE:
+            # DELETION_MASK: value is the 4-byte localDeletionTime
+            w(struct.pack(">B", 0x01))
+            w(struct.pack(">q", cell.timestamp))
+            w(struct.pack(">i", 4))
+            w(struct.pack(">I", 2**31 - 1))
+            return
+        if cell.flags & FLAG_EXPIRING:
+            w(struct.pack(">B", 0x02))
+            w(struct.pack(">II", cell.ttl, cell.local_expiration))
+        else:
+            w(struct.pack(">B", 0))
+        w(struct.pack(">q", cell.timestamp))
+        w(struct.pack(">i", len(cell.value)))
+        w(cell.value)
 
     def _component(self, name: str) -> str:
         return os.path.join(self.directory, self.prefix + name)
@@ -523,6 +586,8 @@ class SSTableWriter:
                     f.write(struct.pack(">I", zlib.adler32(chunk) & 0xFFFFFFFF))
             with open(self._component("CompressionInfo.db"), "wb") as f:
                 f.write(struct.pack(">H", len(algo)) + algo)
+                if self.layout == "real":
+                    f.write(struct.pack(">I", 0))  # empty parameter block
                 f.write(struct.pack(">IQI", self.chunk_len, len(raw), len(offsets)))
                 for off in offsets:
                     f.write(struct.pack(">Q", off))
@@ -534,26 +599,49 @@ class SSTableWriter:
         with open(self._component("Index.db"), "wb") as f:
             for key, pos in self._index:
                 f.write(struct.pack(">H", len(key)) + key + struct.pack(">Q", pos))
+                if self.layout == "real":
+                    f.write(struct.pack(">I", 0))  # no promoted-index blob
 
-        with open(self._component("ColumnIndex.db"), "wb") as f:
-            # fixed-width directory footer (part_off, record_pos) so a
-            # reader serving one key-range parses ONLY its records —
-            # per-task full parses of a multi-MB promoted index were
-            # the dominant cost of small slice reads
-            directory: list[tuple[int, int]] = []
-            for part_off, part_end, has_rt, blocks in self._cindex:
-                directory.append((part_off, f.tell()))
-                f.write(struct.pack(">QQBI", part_off, part_end, int(has_rt), len(blocks)))
-                for off, name in blocks:
-                    f.write(struct.pack(">QH", off, len(name)) + name)
-            dir_start = f.tell()
-            for po, pos in directory:
-                f.write(struct.pack(">QQ", po, pos))
-            f.write(struct.pack(">QQ", len(directory), dir_start))
-            f.write(CINDEX_MAGIC)
+        if self.layout == "real":
+            # ColumnIndex.db is this engine's component, not Cassandra's
+            components.remove("ColumnIndex.db")
+        else:
+            with open(self._component("ColumnIndex.db"), "wb") as f:
+                # fixed-width directory footer (part_off, record_pos) so a
+                # reader serving one key-range parses ONLY its records —
+                # per-task full parses of a multi-MB promoted index were
+                # the dominant cost of small slice reads
+                directory: list[tuple[int, int]] = []
+                for part_off, part_end, has_rt, blocks in self._cindex:
+                    directory.append((part_off, f.tell()))
+                    f.write(
+                        struct.pack(
+                            ">QQBI", part_off, part_end, int(has_rt), len(blocks)
+                        )
+                    )
+                    for off, name in blocks:
+                        f.write(struct.pack(">QH", off, len(name)) + name)
+                dir_start = f.tell()
+                for po, pos in directory:
+                    f.write(struct.pack(">QQ", po, pos))
+                f.write(struct.pack(">QQ", len(directory), dir_start))
+                f.write(CINDEX_MAGIC)
 
         with open(self._component("Filter.db"), "wb") as f:
             f.write(self._bloom.dump())
+
+        if self.layout == "real":
+            with open(self._component("Statistics.db"), "wb") as f:
+                f.write(
+                    write_statistics_jb(
+                        len(self._index),
+                        self._min_ts if self._min_ts is not None else 0,
+                        self._max_ts if self._max_ts is not None else 0,
+                    )
+                )
+            with open(self._component("TOC.txt"), "w") as f:
+                f.write("\n".join(components) + "\n")
+            return os.path.join(self.directory, self.prefix[:-1])
 
         stats = {
             "format": FORMAT_VERSION,
