@@ -1166,7 +1166,12 @@ class SSTableDataSourceWriter(DataSourceWriter):
             raise ValueError("sstable sink requires a path")
         self.keyspace = options.get("keyspace", "ks")
         self.table = options.get("table", "cf")
-        self.compression = None if options.get("compression") == "none" else "deflate"
+        comp = options.get("compression", "deflate")
+        self.compression = None if comp == "none" else comp
+        # layout="real": tasks emit generations in Cassandra's own jb
+        # component serialization (the export sink — loadable by a
+        # genuine 2.0-era node); default is the stand-in layout
+        self.layout = options.get("layout", "standin")
         self.write_ts = int(options.get("write_ts", 1))
         self.overwrite = overwrite
         key = options.get("key") or schema.fields[0].name
@@ -1218,6 +1223,7 @@ class SSTableDataSourceWriter(DataSourceWriter):
         w = SSTableWriter(
             self.staging, self.keyspace, self.table, gen, self.table_schema,
             compression=self.compression, expected_keys=len(parts),
+            layout=self.layout,
         )
         last = None
         n = 0
