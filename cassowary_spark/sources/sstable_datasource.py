@@ -294,6 +294,7 @@ class SSTableDataSourceReader(DataSourceReader):
     # round trip without starving parallelism (measured optimum on
     # local[32] at sf0.1; at cluster scale `splits` pins it instead)
     MIN_ROWS_PER_SPLIT = 10_000
+    SPLIT_BYTES = 1 << 20  # uncompressed bytes per split floor
     ARROW_BATCH_ROWS = 4_096
 
     def __init__(self, options: dict, user_schema: StructType | None) -> None:
@@ -381,14 +382,34 @@ class SSTableDataSourceReader(DataSourceReader):
             for spec in stats_schema.get("collections", [])
         ]
         # Split count adapts to snapshot size unless pinned: one split
-        # per ~MIN_ROWS_PER_SPLIT rows keeps tiny tables to a single
-        # Python worker round-trip while a 100 TB snapshot still fans
-        # out wide (operators cap via the ``splits`` option).
+        # per ~MIN_ROWS_PER_SPLIT index rows OR ~SPLIT_BYTES of
+        # uncompressed data, whichever fans out wider. The byte floor
+        # matters for wide/clustered tables, where "rows" counts
+        # partition KEYS — a few thousand fat partitions can carry
+        # millions of cells, and key-count alone leaves the whole scan
+        # on one core. A 100 TB snapshot still fans out (operators cap
+        # via the ``splits`` option; the 64 default cap keeps local
+        # task overhead bounded and is overridable at scale).
         total_rows = sum(r.stats["rows"] for r in readers)
+        total_bytes = sum(r.data_length for r in readers)
         if "splits" in options:
             self.n_splits = int(options["splits"])
         else:
-            self.n_splits = max(1, min(64, total_rows // self.MIN_ROWS_PER_SPLIT))
+            self.n_splits = max(
+                1,
+                min(
+                    64,
+                    max(
+                        total_rows // self.MIN_ROWS_PER_SPLIT,
+                        # byte floor capped: it exists to rescue
+                        # few-keys/fat-partitions tables from a single
+                        # task, not to out-fan the row heuristic (more
+                        # splits than ~16 here just adds per-task
+                        # Python-worker overhead, measured)
+                        min(16, total_bytes // self.SPLIT_BYTES),
+                    ),
+                ),
+            )
         self.schema = TableSchema.from_stats(stats_schema)
         if options.get("columns") and not self.wide:
             cols = [c.strip() for c in str(options["columns"]).split(",") if c.strip()]
@@ -620,6 +641,16 @@ class SSTableDataSourceReader(DataSourceReader):
         if not self._key_ok(key_val):
             return
         if self.wide:
+            if self._raw_emit:
+                # vectorized wide path: raw cell-name/value bytes; the
+                # Arrow batcher (_read_wide) decodes whole columns at
+                # once and casts names binary→string JVM-side of Python
+                for name in sorted(cells):
+                    if name == ROW_MARKER:
+                        continue
+                    cell = cells[name]
+                    yield (key_val, name, cell.value or None, cell.timestamp)
+                return
             for name in sorted(cells):
                 if name == ROW_MARKER:
                     continue
@@ -767,6 +798,7 @@ class SSTableDataSourceReader(DataSourceReader):
             name_key = lambda nm: composite_cmp_key(nm, vnames)  # noqa: E731
         if (
             self._raw_emit
+            and not self.wide
             and self.merge
             and len(slices) == 1
             and name_lo is None
@@ -922,6 +954,9 @@ class SSTableDataSourceReader(DataSourceReader):
         if not self.wide and not self.clustering and not self.collections:
             yield from self._read_flat(partition, fields)
             return
+        if self.wide:
+            yield from self._read_wide(partition, fields)
+            return
         arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
         buf: list[tuple] = []
 
@@ -945,6 +980,45 @@ class SSTableDataSourceReader(DataSourceReader):
         if buf or not any_out:
             yield flush()
 
+    def _read_wide(self, partition: SSTablePartition, fields) -> Iterator:
+        """Vectorized Arrow batching for wide (dynamic-column) mode:
+        _emit yields RAW cell-name and value bytes; per batch the value
+        column decodes as one numpy frombuffer (fixed-width validators)
+        and cell names build one binary Arrow array cast to utf8 —
+        per-cell Python work drops to dict/sort traversal only. The
+        fields are fixed: (key, column_name, value, cell_ts)."""
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
+        key_v, _name_v, val_v, ts_v = (v for _, v in fields)
+
+        def flush(buf):
+            cols = list(zip(*buf)) if buf else [(), (), (), ()]
+            return pa.RecordBatch.from_arrays(
+                [
+                    _array_nopandas(list(cols[0]), key_v.arrow_type),
+                    _array_nopandas(list(cols[1]), pa.binary()).cast(pa.string()),
+                    _raw_column_array(cols[2], val_v),
+                    _array_nopandas(list(cols[3]), ts_v.arrow_type),
+                ],
+                schema=arrow_schema,
+            )
+
+        buf: list[tuple] = []
+        any_out = False
+        self._raw_emit = True
+        try:
+            for row in self._rows(partition):
+                buf.append(row)
+                if len(buf) >= self.ARROW_BATCH_ROWS:
+                    any_out = True
+                    yield flush(buf)
+                    buf = []
+        finally:
+            self._raw_emit = False
+        if buf or not any_out:
+            yield flush(buf)
+
     def _read_flat(self, partition: SSTablePartition, fields) -> Iterator:
         """Vectorized Arrow batching for flat (non-wide, non-clustered)
         schemas: _emit yields RAW cell bytes and each fixed-width
@@ -961,54 +1035,11 @@ class SSTableDataSourceReader(DataSourceReader):
         arrow_schema = pa.schema([(n, v.arrow_type) for n, v in fields])
         vals = [v for _, v in fields]
         key_in = self.schema.key_in_output
-        zeros = {w: b"\x00" * w for w in (1, 4, 8)}
 
         def build(col, v, is_key):
             if is_key:  # key is decoded row-side (needed for _key_ok)
                 return _array_nopandas(list(col), v.arrow_type)
-            fmt = v.np_dtype
-            if fmt is not None:
-                dt = np.dtype(fmt)
-                w = dt.itemsize
-                z = zeros[w]
-                mask = np.fromiter(
-                    (c is None or len(c) != w for c in col), np.bool_, count=len(col)
-                )
-                joined = b"".join(
-                    c if (c is not None and len(c) == w) else z for c in col
-                )
-                arr = np.frombuffer(joined, dtype=dt)
-                null_count = int(mask.sum())
-                if v.name == "BooleanType":
-                    bits = arr.astype(np.bool_)
-                    return pa.Array.from_buffers(
-                        pa.bool_(),
-                        len(col),
-                        [
-                            _validity_buffer(mask) if null_count else None,
-                            pa.py_buffer(
-                                np.packbits(bits, bitorder="little").tobytes()
-                            ),
-                        ],
-                        null_count=null_count,
-                    )
-                arr = arr.astype(dt.newbyteorder("="))
-                return pa.Array.from_buffers(
-                    v.arrow_type,
-                    len(col),
-                    [
-                        _validity_buffer(mask) if null_count else None,
-                        pa.py_buffer(arr.tobytes()),
-                    ],
-                    null_count=null_count,
-                )
-            if v.name in ("UTF8Type", "AsciiType"):
-                return _array_nopandas(list(col), pa.binary()).cast(pa.string())
-            if v.name == "BytesType":
-                return _array_nopandas(list(col), pa.binary())
-            return _array_nopandas(
-                [None if c is None else v.decode(c) for c in col], v.arrow_type
-            )
+            return _raw_column_array(col, v)
 
         def flush(buf):
             cols = list(zip(*buf)) if buf else [() for _ in fields]
@@ -1042,6 +1073,56 @@ def _validity_buffer(mask):
     import pyarrow as pa
 
     return pa.py_buffer(np.packbits(~mask, bitorder="little").tobytes())
+
+
+def _raw_column_array(col, v):
+    """One Arrow array from RAW wire-bytes cells: fixed-width validators
+    decode as a single numpy frombuffer over the joined batch (one call
+    per column per batch, not one struct.unpack per cell); strings and
+    binary pass straight to Arrow; everything else decodes per value
+    within the batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    fmt = v.np_dtype
+    if fmt is not None:
+        dt = np.dtype(fmt)
+        w = dt.itemsize
+        z = b"\x00" * w
+        mask = np.fromiter(
+            (c is None or len(c) != w for c in col), np.bool_, count=len(col)
+        )
+        joined = b"".join(c if (c is not None and len(c) == w) else z for c in col)
+        arr = np.frombuffer(joined, dtype=dt)
+        null_count = int(mask.sum())
+        if v.name == "BooleanType":
+            bits = arr.astype(np.bool_)
+            return pa.Array.from_buffers(
+                pa.bool_(),
+                len(col),
+                [
+                    _validity_buffer(mask) if null_count else None,
+                    pa.py_buffer(np.packbits(bits, bitorder="little").tobytes()),
+                ],
+                null_count=null_count,
+            )
+        arr = arr.astype(dt.newbyteorder("="))
+        return pa.Array.from_buffers(
+            v.arrow_type,
+            len(col),
+            [
+                _validity_buffer(mask) if null_count else None,
+                pa.py_buffer(arr.tobytes()),
+            ],
+            null_count=null_count,
+        )
+    if v.name in ("UTF8Type", "AsciiType"):
+        return _array_nopandas(list(col), pa.binary()).cast(pa.string())
+    if v.name == "BytesType":
+        return _array_nopandas(list(col), pa.binary())
+    return _array_nopandas(
+        [None if c is None else v.decode(c) for c in col], v.arrow_type
+    )
 
 
 _NOPANDAS_NUMERIC = {
@@ -1104,12 +1185,18 @@ def _array_nopandas(col, atype):
         ]
         mask = np.fromiter((v is None for v in col), np.bool_, count=n)
         null_count = int(mask.sum())
-        offsets = np.zeros(n + 1, dtype=np.int32)
+        offsets64 = np.zeros(n + 1, dtype=np.int64)
         if n:
             np.cumsum(
                 np.fromiter((len(b) for b in enc), np.int64, count=n),
-                out=offsets[1:],
+                out=offsets64[1:],
             )
+        if n and offsets64[-1] > 2**31 - 1:
+            # >2 GiB of value bytes in one batch: int32 offsets would
+            # silently wrap. Let pa.array raise ArrowCapacityError (the
+            # caller's fix is a smaller ARROW_BATCH_ROWS).
+            return pa.array(col, type=atype)
+        offsets = offsets64.astype(np.int32)
         return pa.Array.from_buffers(
             atype,
             n,

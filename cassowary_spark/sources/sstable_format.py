@@ -932,6 +932,11 @@ class SSTableReader:
         self._index_keys: list[bytes] | None = None
         self._bloom: BloomFilter | None = None
 
+    @property
+    def data_length(self) -> int:
+        """Uncompressed Data.db length (split-sizing heuristic input)."""
+        return self._data.total
+
     # -- metadata ------------------------------------------------------
 
     @property
