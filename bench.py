@@ -52,17 +52,21 @@ def main() -> None:
     registry.QUERIES["q_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     registry.QUERIES["q_sstable_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min-of-3 by default: the host shows multi-second ambient
-    # scheduling stalls, and r3's driver bench read 2-3x the builder's
-    # controlled numbers on several keys purely from that noise
+    # min-of-3 by default, taken across INTERLEAVED full passes over
+    # the query list (pass 1 runs every query once, then pass 2, ...).
+    # The host shows multi-second ambient scheduling stalls; r4's
+    # back-to-back per-query repeats meant one stall poisoned all
+    # three runs of whichever query it landed on (several untouched
+    # queries read 1.3-2x baseline purely from that). With runs spread
+    # minutes apart, a transient stall costs at most one of the three
+    # samples per query, so min-of-N recovers steady state.
     runs = int(os.environ.get("BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(runs):
+    timings: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(runs):
+        for name in names:
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
             # Operators that persist intermediates (shingle tables, CC
             # labels) would otherwise accumulate cached blocks across
             # the 90-query session, evicting execution memory and
@@ -70,7 +74,7 @@ def main() -> None:
             # query call re-persists its own intermediates, so clearing
             # between runs costs nothing and isolates measurements.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings = {n: round(v, 3) for n, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
