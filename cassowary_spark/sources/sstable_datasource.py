@@ -253,7 +253,13 @@ def reconcile(versions: list[tuple[int, Partition]], read_ts: int) -> dict[bytes
                 if c.flags & FLAG_CTX:
                     for cid, clock, count in counter_context_shards(c.value):
                         cur = shards.get(cid)
-                        if cur is None or clock > cur[0]:
+                        # Cassandra's context merge: higher clock wins;
+                        # equal clocks resolve to the LARGER count, so
+                        # iteration order can't pick the smaller side
+                        # of an anomalous equal-clock conflict
+                        if cur is None or clock > cur[0] or (
+                            clock == cur[0] and count > cur[1]
+                        ):
                             shards[cid] = (clock, count)
                 else:
                     total += _struct.unpack(">q", c.value)[0]

@@ -508,6 +508,14 @@ class SSTableWriter:
         w(b"\x00\x00")  # end-of-partition
         self._cindex.append((part_off, self._data.tell(), has_rt, blocks))
 
+    @staticmethod
+    def _deletion_secs(ts_micros: int) -> int:
+        """localDeletionTime (epoch seconds) derived from the cell's
+        write timestamp. Integer.MAX_VALUE here would make the
+        tombstone un-purgeable on a real node (it never passes the
+        gcBefore check); a real time keeps purge semantics intact."""
+        return max(0, min(2**31 - 2, ts_micros // 1_000_000))
+
     def _write_cell_real(self, w, cell: Cell) -> None:
         """One cell body (after the name) in Cassandra 2.0's
         ColumnSerializer layout — the inverse of scan_offsets_real."""
@@ -517,17 +525,25 @@ class SSTableWriter:
             w(struct.pack(">B", 0x10))
             w(struct.pack(">H", len(cell.value)))
             w(cell.value)
-            w(struct.pack(">Iq", 2**31 - 1, cell.timestamp))
+            w(struct.pack(">Iq", self._deletion_secs(cell.timestamp), cell.timestamp))
             return
         if cell.flags & FLAG_COUNTER:
-            # full counter column: synthesize a one-shard context whose
+            w(struct.pack(">B", 0x04))
+            w(struct.pack(">q", -(2**63)))  # timestampOfLastDelete: none
+            w(struct.pack(">q", cell.timestamp))
+            if cell.flags & FLAG_CTX:
+                # raw CounterContext read from a real snapshot: already
+                # a valid shard list — re-export verbatim (synthesizing
+                # would re-shard cumulative counts and double them on
+                # the next merge)
+                w(struct.pack(">i", len(cell.value)))
+                w(cell.value)
+                return
+            # internal i64 delta: synthesize a one-shard context whose
             # CounterId is unique to this generation, so contexts from
             # different generations merge as DISTINCT shards and sum —
             # exactly the delta semantics the internal i64 cells carry
             # (same id + same clock across files would max, not add)
-            w(struct.pack(">B", 0x04))
-            w(struct.pack(">q", -(2**63)))  # timestampOfLastDelete: none
-            w(struct.pack(">q", cell.timestamp))
             cid = self.prefix.encode("utf-8")[-16:].rjust(16, b"\x00")
             (delta,) = struct.unpack(">q", cell.value)
             ctx = struct.pack(">h", 0) + cid + struct.pack(
@@ -541,7 +557,7 @@ class SSTableWriter:
             w(struct.pack(">B", 0x01))
             w(struct.pack(">q", cell.timestamp))
             w(struct.pack(">i", 4))
-            w(struct.pack(">I", 2**31 - 1))
+            w(struct.pack(">I", self._deletion_secs(cell.timestamp)))
             return
         if cell.flags & FLAG_EXPIRING:
             w(struct.pack(">B", 0x02))
