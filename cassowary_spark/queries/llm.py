@@ -135,9 +135,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", srnd("est_jaccard", 4).alias("est_jaccard"))
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
+# Exact 5-gram Jaccard pair set over the df<=1000-filtered shingle
+# space — the brute-force ground truth BOTH q_dedup_ngram and the
+# LSH-verified q_dedup_near_verified must reproduce exactly.
+_NGRAM_PAIRS_SQL = f"""
     WITH docs AS ({_DOCS_TWINS_SQL}),
     sh0 AS (
         SELECT doc_id, unnest({_duck_shingles(5)}) AS shingle FROM docs
@@ -160,8 +161,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
-    """,
-)
+    """
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_PAIRS_SQL)
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard near-dup pairs (C2 verify stage).
 
@@ -177,12 +180,66 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", srnd("jaccard", 4).alias("jaccard"))
 
 
+@query("q_dedup_near_verified", oracle=_NGRAM_PAIRS_SQL)
+def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact-Jaccard verification (C2, hard-checked).
+
+    The production two-stage near-dup pipeline: banded MinHash-LSH
+    proposes candidates, exact 5-gram Jaccard is computed ONLY for
+    candidate pairs (never the full shingle self-join). The oracle is
+    the brute-force exact pair set — so this key IS a 100%-recall gate
+    on the LSH stage: any pair the bands miss fails the row count.
+    """
+    corpus = _docs_with_twins(spark, sf_dir)
+    from cassowary_spark.operators.dedup import lsh_verified_pairs
+
+    pairs = lsh_verified_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=32,
+        shingle_k=5, threshold=0.5, max_shingle_df=1000,
+    )
+    return pairs.select("id_a", "id_b", srnd("jaccard", 4).alias("jaccard"))
+
+
 @query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB counterpart
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (C2): deterministic 64-bit signatures;
     twin-pair Hamming distance asserted small in tests."""
     corpus = _docs_with_twins(spark, sf_dir)
     return simhash(corpus, "doc_id", "text")
+
+
+@query(
+    "q_simhash_dup",
+    oracle=f"""
+    SELECT doc_id AS id_a, doc_id + {2 * TWIN_OFFSET} AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    """,
+)
+def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash exact-duplicate invariant (C2, hard-checked twin of
+    q_dedup_simhash): identical texts MUST produce identical 64-bit
+    fingerprints, so every (doc, verbatim copy) pair has Hamming
+    distance exactly 0. Gates signature determinism, the bit-vote
+    aggregation, and the Hamming computation — a single flipped vote
+    anywhere fails the value hash. Same shuffle shape as simhash
+    itself plus one id-keyed equi-join."""
+    from cassowary_spark.operators.dedup import hamming64
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.select((F.col("doc_id") + 2 * TWIN_OFFSET).alias("doc_id"), "text")
+    sigs = simhash(d.unionByName(copy), "doc_id", "text")
+    a = sigs.filter(F.col("doc_id") < 2 * TWIN_OFFSET).select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("__sa")
+    )
+    b = sigs.filter(F.col("doc_id") >= 2 * TWIN_OFFSET).select(
+        (F.col("doc_id") - 2 * TWIN_OFFSET).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("__sb"),
+    )
+    return a.join(b, "id_a").select(
+        "id_a", "id_b", hamming64(F.col("__sa"), F.col("__sb")).cast("int").alias("hamming")
+    )
 
 
 @query(
@@ -266,6 +323,97 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     topk = ann_lsh_topk(
         e.filter(F.col("vec_id") != 0), qdf, "vec_id", "embedding", "qv", k=10, n_planes=6
+    )
+    return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
+
+
+PLANT_OFFSET = 200_000
+_PLANT_SCALES = [f"{1 + i / 100.0:.2f}" for i in range(1, 11)]
+
+# Brute-force top-10 over embeddings ∪ ten scaled copies of vec 0.
+# Positive scaling preserves cosine (exactly 1.0 after rounding) AND
+# every hyperplane sign / centroid preference, so a correct ANN index
+# must retrieve precisely these ten rows — recall@10 == 1 is
+# structurally guaranteed, making the approximate operators
+# oracle-checkable. Scales appear as identical decimal literals in
+# both engines so the planted vectors are bit-identical.
+_ANN_PLANTED_SQL = (
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+    corpus AS (
+        SELECT vec_id, v FROM base
+    """
+    + "".join(
+        f"    UNION ALL SELECT {PLANT_OFFSET + i + 1} AS vec_id,"
+        f" list_transform(q, x -> x * {s}) AS v FROM qv\n"
+        for i, s in enumerate(_PLANT_SCALES)
+    )
+    + """
+    ),
+    scored AS (
+        SELECT c.vec_id,
+               list_dot_product(c.v, qv.q) /
+               (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qv.q, qv.q)))
+                   AS cos_sim
+        FROM corpus c, qv
+    )
+    SELECT vec_id, floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cos_sim
+    FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+)
+
+
+def _ann_planted_corpus(spark: SparkSession, sf_dir: str):
+    """(corpus, query) pair with ten scaled near-duplicates of vec 0
+    planted — the deterministic recall fixture behind the *_planted
+    ANN keys (see _ANN_PLANTED_SQL)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    v0 = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("v"))
+    for i, s in enumerate(_PLANT_SCALES):
+        corpus = corpus.unionByName(
+            v0.select(
+                F.lit(PLANT_OFFSET + i + 1).cast("long").alias("vec_id"),
+                F.expr(f"transform(v, x -> x * {s}D)").alias("v"),
+            )
+        )
+    qdf = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    return corpus, qdf
+
+
+@query("q_ann_lsh_planted", oracle=_ANN_PLANTED_SQL)
+def q_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN recall gate (C3, hard-checked twin of q_ann_lsh).
+
+    Ten scaled copies of the query vector are planted in the corpus;
+    scaling preserves every random-hyperplane sign, so all ten land in
+    the query's bucket and a correct LSH probe must return exactly
+    them as the top-10 (cosine 1.0). The oracle brute-forces the same
+    corpus — a wrong bucket join, broken signature, or bad scoring
+    all fail the hash. q_ann_lsh stays as the honest-recall probe on
+    unplanted (neighborless) data."""
+    corpus, qdf = _ann_planted_corpus(spark, sf_dir)
+    topk = ann_lsh_topk(corpus, qdf, "vec_id", "v", "qv", k=10, n_planes=6)
+    return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
+
+
+@query("q_ann_ivf_planted", oracle=_ANN_PLANTED_SQL)
+def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall gate (C3, hard-checked twin of q_ann_ivf): the
+    planted copies rank every centroid identically to the query
+    vector, so they live in the probed inverted lists by construction
+    and an exact-scoring probe must surface all ten."""
+    from cassowary_spark.operators.similarity import ann_ivf_topk
+
+    corpus, qdf = _ann_planted_corpus(spark, sf_dir)
+    topk = ann_ivf_topk(
+        corpus, qdf, "vec_id", "v", "qv", k=10, k_centroids=8, nprobe=2
     )
     return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
 

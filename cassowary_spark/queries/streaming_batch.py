@@ -157,7 +157,50 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_session_capped")  # rows-only: sequential per-user fold, not ANSI-SQL
+@query(
+    "q_session_capped",
+    # The per-user fold IS SQL-expressible — as a recursive CTE
+    # stepping one event per user per iteration (depth = max events
+    # per user). Far too slow to be the engine (quadratic rescans per
+    # round, no partial state), but exactly right as an oracle: it
+    # re-derives session boundaries (gap OR cap) from first
+    # principles. Events are (user_id, ts)-unique in the fixture, so
+    # the fold order is deterministic in both engines.
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ),
+    fold AS (
+        SELECT user_id, rn, ts_us AS start_us, ts_us AS last_us,
+               CAST(1 AS BIGINT) AS n_events, value AS sum_value,
+               (value >= 200.0) AS closed_now
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               CASE WHEN f.closed_now OR e.ts_us - f.last_us > 1800000000
+                    THEN e.ts_us ELSE f.start_us END,
+               e.ts_us,
+               CASE WHEN f.closed_now OR e.ts_us - f.last_us > 1800000000
+                    THEN 1 ELSE f.n_events + 1 END,
+               CASE WHEN f.closed_now OR e.ts_us - f.last_us > 1800000000
+                    THEN e.value ELSE f.sum_value + e.value END,
+               CASE WHEN f.closed_now OR e.ts_us - f.last_us > 1800000000
+                    THEN e.value >= 200.0
+                    ELSE f.sum_value + e.value >= 200.0 END
+        FROM ev e JOIN fold f ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT f.user_id,
+           make_timestamp(f.start_us) AS session_start,
+           make_timestamp(f.last_us)  AS session_end,
+           f.n_events,
+           floor(f.sum_value * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM fold f
+    LEFT JOIN fold nx ON nx.user_id = f.user_id AND nx.rn = f.rn + 1
+    WHERE f.closed_now OR nx.rn IS NULL OR nx.n_events = 1
+    """,
+)
 def q_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-capped sessionization (S7, batch form): sessions close on
     30-min inactivity OR cumulative value >= 200 — the second rule is a
@@ -168,7 +211,11 @@ def q_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassowary_spark.streaming.jobs import value_capped_sessions_batch
 
     ev = load_table(spark, sf_dir, "events")
-    return value_capped_sessions_batch(ev, gap_minutes=30, cap=200.0)
+    out = value_capped_sessions_batch(ev, gap_minutes=30, cap=200.0)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        srnd("sum_value", 4).alias("sum_value"),
+    )
 
 
 @query(

@@ -225,7 +225,9 @@ def value_capped_sessions(
             )
             return
         pdf = pd.concat(list(pdf_iter)).sort_values("ts")
-        ts_us = (pdf["ts"].astype("int64") // 1_000).astype("int64")  # ns → µs
+        # unit-proof µs conversion: Arrow→pandas may hand back ns OR µs
+        # resolution depending on the pandas/pyarrow pairing
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         open_state = state.get if state.exists else None
         closed, new_state = _capped_fold(
             ts_us.tolist(), pdf["value"].tolist(), open_state, gap_us, cap
@@ -293,7 +295,7 @@ def value_capped_sessions_batch(
         for pdf in batches:
             out = []
             uids = pdf["user_id"].tolist()
-            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
             vals = pdf["value"].tolist()
             for uid, ts, v in zip(uids, ts_us, vals):
                 if uid != carry_uid:
