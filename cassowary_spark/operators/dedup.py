@@ -373,6 +373,15 @@ def connected_components(
     At extreme scale swap the loop body for the large-star/small-star
     alternation — same join shape, fewer rounds on high-diameter
     graphs; near-dup graphs don't have high diameter.
+
+    Only vertices incident to an edge enter the loop: an isolated
+    vertex can never receive a neighbor label, so its component is
+    itself. In a real corpus duplicates are a small minority, which
+    makes the iterated frame |V(E)| ≈ 2·|pairs| rather than |corpus| —
+    at 100 TB that is the difference between shuffling the whole
+    document id set every round and shuffling only the dup subgraph.
+    Isolated vertices are unioned back (label = own id) at the end,
+    one shuffle-free projection.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -380,7 +389,9 @@ def connected_components(
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = vertices.select(F.col(id_col).alias("__v"), F.col(id_col).alias("__label"))
+    all_vertices = vertices.select(F.col(id_col).alias("__v"))
+    edge_vertices = sym.select(F.col("src").alias("__v")).distinct().persist()
+    labels = edge_vertices.select("__v", F.col("__v").alias("__label"))
     prev_cached = None
     converged = False
     for it in range(1, max_iter + 1):
@@ -436,4 +447,9 @@ def connected_components(
         # be dropped now instead of leaking until clearCache
         labels = labels.localCheckpoint(eager=True)
         prev_cached.unpersist()
-    return labels.select(F.col("__v").alias(id_col), F.col("__label").alias("cluster_id"))
+    isolated = all_vertices.join(edge_vertices, "__v", "left_anti").select(
+        "__v", F.col("__v").alias("__label")
+    )
+    return labels.unionByName(isolated).select(
+        F.col("__v").alias(id_col), F.col("__label").alias("cluster_id")
+    )

@@ -17,6 +17,7 @@ _MODULES = (
     "llm",
     "pipeline",
     "corpus",
+    "datapipe",
 )
 
 _loaded = False

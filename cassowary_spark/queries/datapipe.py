@@ -1,0 +1,367 @@
+"""Training-data pipeline operators, round 5 (SURVEY.md §2 C25-C31).
+
+Seven ops a 100 TB curation pipeline runs daily: normalization-aware
+dedup, inverted-index build, sketch-prefiltered heavy hitters,
+per-source corpus mixing, unigram-LM quality scoring, hot-key skew
+diagnostics, and small-file compaction planning. Every query is
+oracle-gated; float outputs go through ``srnd`` (stable half-up
+rounding, see exprs.py) and every stochastic-looking choice (sampling,
+mixing) is a deterministic integer hash computed identically in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.sketch import cms_build, cms_estimate
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+TWIN_OFFSET = 100_000
+
+_TOK_SQL = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+
+
+# ------------------------------------------------------- C25 normalized dedup
+
+
+@query(
+    "q_dedup_normalized",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {TWIN_OFFSET} AS doc_id, upper(text) || '  !!' AS text
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        FROM all_docs
+    )
+    SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS n_variants
+    FROM norm GROUP BY norm_hash
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (C25): collapse formatting
+    variants — case, punctuation, whitespace runs — that byte-level
+    hashing misses. The fixture has no such variants, so a twin corpus
+    (uppercased, doubled spaces, trailing ``!!``) is unioned in; a
+    correct normalizer maps every twin onto its original, leaving
+    exactly ``n_variants = 2`` per cluster.
+
+    Scale shape: normalization is a per-row JVM regexp chain (zero
+    shuffle); the dedup itself is the same sha-keyed groupBy as C1
+    with map-side partial aggregation. Only the 32-byte hash + id
+    shuffles — never the text.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = d.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    return (
+        d.unionByName(twin)
+        .select("doc_id", F.sha2(norm, 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_variants"))
+    )
+
+
+# ------------------------------------------------------- C26 inverted index
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK_SQL}))
+    SELECT term,
+           list_sort(list(doc_id)) AS postings,
+           CAST(count(*) AS INT) AS df
+    FROM tok GROUP BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (C26): term → sorted postings list of
+    doc_ids + document frequency — the layout retrieval and
+    contamination tooling consume.
+
+    Scale shape: explode is map-local, the (doc,term) distinct and the
+    term groupBy share one term-keyed shuffle lineage with map-side
+    combine. Postings arrive sorted via ``sort_array`` so the output
+    is deterministic. At web scale a term's postings outgrow one row —
+    the production layout shards postings by ``doc_id`` range (same
+    groupBy with a range-bucket in the key); single-row postings keep
+    the oracle exact here.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return tok.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.count("*").cast("int").alias("df"),
+    )
+
+
+# ------------------------------------------------------- C27 heavy hitters
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT term, count(*) AS cnt
+    FROM tok GROUP BY term
+    HAVING count(*) * 30 >= (SELECT n FROM tot)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-prefiltered heavy hitters (C27): find every term holding
+    ≥ 1/30 of all token mass, exactly, without an exact full-vocabulary
+    count as the first pass.
+
+    Two-pass shape: pass 1 builds a count-min sketch (operators/
+    sketch.py) — a groupBy whose post-combine cardinality is the fixed
+    depth·width grid, not the vocabulary — then estimates each distinct
+    term against the broadcast sketch. CMS never undercounts, so
+    ``est ≥ threshold`` admits every true heavy hitter (plus a few
+    collision-inflated impostors). Pass 2 exact-counts ONLY the
+    candidate terms (tokens semi-join the broadcast candidate set) and
+    re-applies the threshold, discarding impostors. The oracle is the
+    plain exact HAVING — the gate proves the sketch path loses nothing.
+    The threshold compare is integer (`cnt·30 ≥ total`), cross-engine
+    exact.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    tot = tok.agg(F.count("*").alias("__n"))
+
+    sketch = cms_build(tok, "term")
+    est = cms_estimate(tok.select("term").distinct(), sketch, "term")
+    cand = (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est") * 30 >= F.col("__n"))
+        .select("term")
+    )
+    exact = (
+        tok.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 30 >= F.col("__n"))
+        .select("term", "cnt")
+    )
+
+
+# ------------------------------------------------------- C28 corpus mixing
+
+
+_MIX_HASH = 2654435761  # Knuth multiplicative hash constant
+_MIX_MOD = 4294967296  # 2^32
+# acceptance thresholds as integer fractions of 2^32: 100%, 50%, 25%, 10%
+_MIX_THRESHOLDS = (4294967296, 2147483648, 1073741824, 429496729)
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INT) AS sfx,
+               (CAST(doc_id AS BIGINT) * {_MIX_HASH}) % {_MIX_MOD} AS h
+        FROM documents
+    )
+    SELECT doc_id, source FROM rated
+    WHERE h < CASE WHEN sfx < 5 THEN {_MIX_THRESHOLDS[0]}
+                   WHEN sfx < 10 THEN {_MIX_THRESHOLDS[1]}
+                   WHEN sfx < 15 THEN {_MIX_THRESHOLDS[2]}
+                   ELSE {_MIX_THRESHOLDS[3]} END
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mixing (C28): downsample each source to its
+    mixture weight (100% / 50% / 25% / 10% by source tier) — how a
+    training run rebalances web vs curated data.
+
+    The accept/reject decision is a deterministic multiplicative hash
+    of doc_id compared against the weight as an integer fraction of
+    2^32 — a pure row-local predicate. Zero shuffle, no RNG state, and
+    the exact same row set on every engine and every re-run (the
+    property that makes mixes reproducible across pipeline stages).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sfx = F.substring("source", 4, 10).cast("int")
+    h = (F.col("doc_id").cast("long") * F.lit(_MIX_HASH)) % F.lit(_MIX_MOD)
+    thr = (
+        F.when(sfx < 5, F.lit(_MIX_THRESHOLDS[0]))
+        .when(sfx < 10, F.lit(_MIX_THRESHOLDS[1]))
+        .when(sfx < 15, F.lit(_MIX_THRESHOLDS[2]))
+        .otherwise(F.lit(_MIX_THRESHOLDS[3]))
+    )
+    return d.filter(h < thr).select("doc_id", "source")
+
+
+# ------------------------------------------------------- C29 unigram LM score
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    sc AS (
+        SELECT doc_id, tf,
+               sum(tf) OVER (PARTITION BY term) AS cnt_t,
+               sum(tf) OVER () AS tot
+        FROM tf
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_toks,
+           {sql_srnd("ln(sum(tf * cnt_t) / (sum(tf) * max(tot)))", 6)} AS lp
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (C29): log of each document's mean
+    token probability under the corpus's own unigram model — the
+    cheap first-stage perplexity filter of a data pipeline (rare-token
+    salads score low, stereotypical text scores high).
+
+    The mean is arithmetic (``ln(Σ tf·cnt_t / (n_toks·total))``), not
+    the geometric mean of classic perplexity, deliberately: all
+    accumulation happens in exact integer arithmetic and only ONE
+    float op (the final ln) runs per document, so the score is
+    bit-identical across engines and partitionings — a float sum of
+    per-token logs would depend on reduction order. Scale shape is
+    q_tfidf's: term totals as a window over the (doc,term) tf frame —
+    one term-keyed shuffle, no vocabulary broadcast — then a doc-keyed
+    partial agg; the corpus total rides a 1-row crossJoin.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("__tot"))
+    wt = Window.partitionBy("term")
+    sc = tf.withColumn("cnt_t", F.sum("tf").over(wt)).crossJoin(F.broadcast(tot))
+    return sc.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_toks"),
+        srnd(
+            F.log(
+                F.sum(F.col("tf") * F.col("cnt_t"))
+                / (F.sum("tf") * F.max("__tot"))
+            ),
+            6,
+        ).alias("lp"),
+    )
+
+
+# ------------------------------------------------------- C30 skew diagnostics
+
+
+@query(
+    "q_skew_stats",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM per_key)
+    SELECT user_id, cnt,
+           {sql_srnd("cnt * 100.0 / (SELECT n FROM tot)", 4)} AS share_pct
+    FROM per_key
+    ORDER BY cnt DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostic (C30): the 10 heaviest shuffle keys and
+    the share of rows each holds — the report that tells an operator
+    whether tomorrow's join needs salting (operators/skew.py) before
+    it runs, not after it straggles.
+
+    Scale shape: per-key counts are one partial-aggregated groupBy;
+    the top-10 is TakeOrdered (per-partition heaps, no global sort);
+    the total rides a 1-row broadcast crossJoin. The share division is
+    a single float op on exact integers — deterministic under srnd.
+    Ties break on user_id so the cut line is stable cross-engine.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = per_key.agg(F.sum("cnt").alias("__n"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            srnd(F.col("cnt") * 100.0 / F.col("__n"), 4).alias("share_pct"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------- C31 compaction plan
+
+
+_COMPACT_TARGET = 4096  # bytes per output file (fixture-scaled)
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS running
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars,
+           CAST((running - n_chars) // {_COMPACT_TARGET} AS BIGINT) AS out_file
+    FROM sized
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (C31): assign every input
+    fragment to a target output file of ~TARGET bytes by start-offset
+    bucketing a running byte total per partition — the planning step
+    behind OPTIMIZE/compaction jobs that fight the small-files problem
+    at ingest scale.
+
+    One window (sum over source, ordered by id) is the entire plan:
+    a single source-keyed shuffle, integer arithmetic end-to-end.
+    Start-offset bucketing (``(running − size) div target``) means a
+    fragment larger than the target gets its own file and assignment
+    never depends on float rounding. The fixture treats each document
+    as one fragment of ``n_chars`` bytes.
+    """
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) "
+            f"div {_COMPACT_TARGET}"
+        ).alias("out_file"),
+    )
