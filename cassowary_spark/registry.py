@@ -21,42 +21,38 @@ ORACLES: dict[str, str] = {}
 
 # The external driver adjudicates only the FIRST 50 queries in the dict
 # returned by __spark_entry__.queries(). Python dicts preserve
-# insertion order, so we emit the keys below first. Round-4 rotation:
-# the 11 keys with NO driver CORRECTNESS row yet (6 r3 extras + 5
-# operators new this round), then the 2 queries changed this round
-# (q_tfidf, q_sstable_collections — re-adjudication mandatory), then
-# 37 of the 50 keys whose latest driver row is CORRECTNESS_r02. Left
-# out (strongest independent evidence): five streaming keys with
-# dedicated stream-vs-batch pytest equivalence tests, q_scan (the
-# entry() smoke runs it every round), and five function/join
-# batteries unchanged since r1 (q_fn_hash, q_fn_math, q_join_anti,
-# q_lateral_explode, q_except) — those 13 r2-green keys go first in
-# the round-5 window. The r3-green keys keep their CORRECTNESS_r03
-# rows as the judge's prior.
+# insertion order, so we emit the keys below first. Round-5 rotation:
+# first every key with NO driver CORRECTNESS row yet (q_source_cap +
+# the four derived-invariant gates added post-r4 + the seven operators
+# new this round), then keys whose query changed this round
+# (q_dedup_clusters — CC now skips isolated vertices) and
+# q_session_capped (gained an oracle after its rows-only r4 row),
+# then the 11 keys whose latest green is CORRECTNESS_r02 (two rounds
+# stale), then the oldest r3-green keys to fill 50. The ~25 r3-green
+# keys that don't fit keep their CORRECTNESS_r03 rows and rotate in
+# next round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-adjudicated — first rows (r3 extras, then the five
-    # operators NEW this round)
-    "q_bloom_join", "q_scd2_history", "q_line_dedup", "q_html_strip",
-    "q_sstable_timetravel", "q_stream_stream_outer",
-    "q_vocab_topk", "q_label_centroids", "q_sessionize_sql",
-    "q_transform_script", "q_tablesample_bucket",
-    # changed this round — must re-confirm
-    "q_tfidf", "q_sstable_collections",
-    # r2-green keys — evidence one round stale, re-confirm (left out:
-    # the q_fn_hash/q_fn_math/q_join_anti/q_lateral_explode/q_except
-    # batteries, unchanged since r1 and r2-green, to make room)
-    "q_flagship", "q_sql_report", "q_sstable_sink",
-    "q_agg_approx", "q_ann_ivf", "q_ann_lsh", "q_cluster_by",
-    "q_contamination", "q_dedup_clusters", "q_dedup_embed",
-    "q_dedup_exact", "q_dedup_incremental", "q_dedup_near",
-    "q_dedup_ngram", "q_dedup_simhash", "q_fingerprint",
-    "q_fuzzy_join", "q_gap_fill",
-    "q_lang_id", "q_merge_upsert",
-    "q_mm_decode", "q_mm_frames", "q_multimodal_join", "q_pack_chunks",
-    "q_pii_redact", "q_quality_score", "q_repetition", "q_sample_hash",
-    "q_sample_strat", "q_session_capped", "q_sim_search",
-    "q_stream_stream_join", "q_text_stats", "q_token_count",
-    "q_udaf_grouped", "q_udf_scalar", "q_udtf_flatmap",
+    # never driver-adjudicated — first rows
+    "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
+    "q_ann_lsh_planted", "q_ann_ivf_planted",
+    "q_dedup_normalized", "q_inverted_index", "q_heavy_hitters",
+    "q_corpus_mix", "q_unigram_logprob", "q_skew_stats",
+    "q_compaction_plan",
+    # changed this round / newly oracle-gated — must (re-)confirm
+    "q_dedup_clusters", "q_session_capped",
+    # r2-green keys — evidence two rounds stale
+    "q_scan", "q_join_anti", "q_except", "q_fn_math", "q_fn_hash",
+    "q_lateral_explode", "q_stream_tumbling", "q_stream_sliding",
+    "q_stream_session", "q_stream_dedup", "q_stream_static_join",
+    # oldest r3-green keys (sstable family first — deepest custom code)
+    "q_latest_version", "q_tombstone_filter", "q_sstable_scan",
+    "q_sstable_lookup", "q_sstable_clustered", "q_sstable_slice",
+    "q_sstable_rt", "q_sstable_wide", "q_file_formats",
+    "q_sstable_compact", "q_sstable_stream", "q_project",
+    "q_filter_pred", "q_case_when", "q_distinct", "q_subquery",
+    "q_unpivot", "q_join_inner", "q_join_outer", "q_join_semi",
+    "q_join_theta", "q_join_range", "q_join_asof", "q_star_join",
+    "q_join_skew",
 )
 
 
