@@ -1,9 +1,10 @@
-"""Training-data pipeline operators, round 5 (SURVEY.md §2 C25-C31).
+"""Training-data pipeline operators, round 5 (SURVEY.md §2 C25-C33).
 
-Seven ops a 100 TB curation pipeline runs daily: normalization-aware
+Nine ops a 100 TB curation pipeline runs daily: normalization-aware
 dedup, inverted-index build, sketch-prefiltered heavy hitters,
 per-source corpus mixing, unigram-LM quality scoring, hot-key skew
-diagnostics, and small-file compaction planning. Every query is
+diagnostics, small-file compaction planning, sliding-window document
+chunking, and Z-order layout clustering. Every query is
 oracle-gated; float outputs go through ``srnd`` (stable half-up
 rounding, see exprs.py) and every stochastic-looking choice (sampling,
 mixing) is a deterministic integer hash computed identically in both
@@ -364,4 +365,153 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) "
             f"div {_COMPACT_TARGET}"
         ).alias("out_file"),
+    )
+
+
+# ------------------------------------------------------- C32 doc chunking
+
+
+_CHUNK_SIZE = 20
+_CHUNK_STRIDE = 15  # size - overlap of 5 tokens
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, t, n,
+               CASE WHEN n <= {_CHUNK_SIZE} THEN 1
+                    ELSE (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                         // {_CHUNK_STRIDE} + 1 END AS n_chunks
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id,
+               t, n
+        FROM plan
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+               chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ') AS chunk_text,
+           CAST(least(n - chunk_id * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS INT)
+               AS n_tok
+    FROM chunks
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (C32): split every document
+    into 20-token chunks with a 5-token overlap — the context-window
+    packing step before tokenization in a pretraining or RAG-indexing
+    pipeline.
+
+    All array ops (`split`/`sequence`/`slice`/`concat_ws`) are JVM
+    built-ins: the explode is map-local, there is NO shuffle at all —
+    chunking parallelizes embarrassingly and the output partitioning
+    inherits the scan's. Chunk boundaries are integer token indices,
+    so the output is deterministic and the DuckDB oracle reproduces it
+    exactly (list_slice clamps at the list end just like slice).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split("text", " ")
+    n = F.size(t)
+    n_chunks = (
+        F.when(n <= _CHUNK_SIZE, F.lit(1))
+        .otherwise(
+            F.expr(
+                f"(size(split(text, ' ')) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) "
+                f"div {_CHUNK_STRIDE} + 1"
+            )
+        )
+    )
+    base = d.select(
+        "doc_id",
+        t.alias("__t"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_id"),
+    )
+    return base.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__t"),
+                F.col("chunk_id") * _CHUNK_STRIDE + 1,
+                F.lit(_CHUNK_SIZE),
+            ),
+        ).alias("chunk_text"),
+        F.least(
+            F.col("__n") - F.col("chunk_id") * _CHUNK_STRIDE, F.lit(_CHUNK_SIZE)
+        )
+        .cast("int")
+        .alias("n_tok"),
+    )
+
+
+# ------------------------------------------------------- C33 z-order layout
+
+
+_Z_BITS = 16
+_Z_FILE_ROWS = 50
+
+
+def _z_interleave_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """Morton interleave as a pure integer expression (same text works
+    in Spark SQL and DuckDB: >>, &, |, and * by powers of two)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({b} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+        SELECT doc_id, n_chars,
+               {_z_interleave_sql("doc_id", "n_chars")} AS zkey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, zkey,
+               row_number() OVER (ORDER BY zkey, doc_id) AS rn
+        FROM z
+    )
+    SELECT doc_id, n_chars, zkey,
+           CAST((rn - 1) // {_Z_FILE_ROWS} AS BIGINT) AS zfile
+    FROM ranked
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering (C33): assign rows to output files
+    along a Morton space-filling curve over (doc_id, n_chars), so
+    file-level min/max statistics prune scans filtered on EITHER
+    dimension — the OPTIMIZE ZORDER BY step of lakehouse table
+    maintenance, expressed as a deterministic assignment query.
+
+    The z-key is a pure integer bit-interleave (identical expression
+    text runs in both engines — no UDF, codegen-friendly). In
+    production the assignment is `repartitionByRange(zkey)` + write,
+    which samples ranges instead of global-sorting; the query
+    materializes the same file mapping with an explicit rank so the
+    oracle can check it row-for-row (50 rows/file is fixture-scaled).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    z = d.withColumn(
+        "zkey", F.expr(_z_interleave_sql("doc_id", "n_chars")).cast("long")
+    )
+    return z.select(
+        "doc_id",
+        "n_chars",
+        "zkey",
+        F.expr(
+            f"(row_number() OVER (ORDER BY zkey, doc_id) - 1) div {_Z_FILE_ROWS}"
+        ).alias("zfile"),
     )
