@@ -1,10 +1,11 @@
-"""Training-data pipeline operators, round 5 (SURVEY.md §2 C25-C33).
+"""Training-data pipeline operators, round 5 (SURVEY.md §2 C25-C34).
 
-Nine ops a 100 TB curation pipeline runs daily: normalization-aware
+Ten ops a 100 TB curation pipeline runs daily: normalization-aware
 dedup, inverted-index build, sketch-prefiltered heavy hitters,
 per-source corpus mixing, unigram-LM quality scoring, hot-key skew
 diagnostics, small-file compaction planning, sliding-window document
-chunking, and Z-order layout clustering. Every query is
+chunking, Z-order layout clustering, and PMI collocation mining.
+Every query is
 oracle-gated; float outputs go through ``srnd`` (stable half-up
 rounding, see exprs.py) and every stochastic-looking choice (sampling,
 mixing) is a deterministic integer hash computed identically in both
@@ -514,4 +515,99 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"(row_number() OVER (ORDER BY zkey, doc_id) - 1) div {_Z_FILE_ROWS}"
         ).alias("zfile"),
+    )
+
+
+# ------------------------------------------------------- C34 PMI collocations
+
+
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "q_pmi_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        FROM t
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+    uni AS (
+        SELECT term, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY term
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+    b AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM cb)
+    SELECT w1, w2, c_ab,
+           {sql_srnd(
+               "ln((CAST(c_ab AS DOUBLE) * n_tok * n_tok) / "
+               "(CAST(n_bg AS DOUBLE) * ua.c * ub.c))", 6)} AS pmi
+    FROM cb, n, b
+    JOIN uni ua ON ua.term = w1
+    JOIN uni ub ON ub.term = w2
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    """,
+)
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (C34): score every
+    bigram with support ≥ 5 by ``ln(p(ab) / (p(a)·p(b)))`` — the
+    classic collocation / multi-word-expression miner that tokenizer
+    and phrase-table pipelines run over a corpus.
+
+    All counts stay exact integers through the aggregation; the ONLY
+    float math is one double product/quotient chain plus one ln per
+    output row on those exact integers — IEEE-deterministic in both
+    engines (the same reduction-order argument as C29). Shape: one
+    bigram-keyed shuffle (map-side combined), unigram counts come back
+    as a broadcast join (vocab-sized — at a 10^8-term web vocabulary
+    you'd swap the two joins for two windows over the bigram frame,
+    same semantics, one extra shuffle), and the two scalar totals ride
+    1-row crossJoins.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    d2 = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = d2.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                " element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("__bg")
+    ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    n_bg = cb.agg(F.sum("c_ab").alias("n_bg"))
+    ua = uni.select(F.col("term").alias("w1"), F.col("c").alias("__ca"))
+    ub = uni.select(F.col("term").alias("w2"), F.col("c").alias("__cb"))
+    return (
+        cb.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            srnd(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_bg").cast("double") * F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )

@@ -38,6 +38,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_normalized", "q_inverted_index", "q_heavy_hitters",
     "q_corpus_mix", "q_unigram_logprob", "q_skew_stats",
     "q_compaction_plan", "q_doc_chunks", "q_zorder_layout",
+    "q_pmi_pairs",
     # changed this round / newly oracle-gated — must (re-)confirm
     "q_dedup_clusters", "q_session_capped",
     # r2-green keys — evidence two rounds stale
@@ -51,7 +52,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sstable_compact", "q_sstable_stream", "q_project",
     "q_filter_pred", "q_case_when", "q_distinct", "q_subquery",
     "q_unpivot", "q_join_inner", "q_join_outer", "q_join_semi",
-    "q_join_theta", "q_join_range", "q_join_asof",
+    "q_join_theta", "q_join_range",
 )
 
 
