@@ -52,28 +52,35 @@ def main() -> None:
     registry.QUERIES["q_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     registry.QUERIES["q_sstable_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min-of-3 by default, taken across INTERLEAVED full passes over
-    # the query list (pass 1 runs every query once, then pass 2, ...).
-    # The host shows multi-second ambient scheduling stalls; r4's
-    # back-to-back per-query repeats meant one stall poisoned all
-    # three runs of whichever query it landed on (several untouched
-    # queries read 1.3-2x baseline purely from that). With runs spread
-    # minutes apart, a transient stall costs at most one of the three
-    # samples per query, so min-of-N recovers steady state.
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    # Two sampling axes, min over all samples:
+    #   - PASSES: interleaved full sweeps over the query list, minutes
+    #     apart, so one multi-second ambient scheduling stall (the host
+    #     shows them regularly) costs at most one pass's sample of any
+    #     query instead of poisoning every sample of one query.
+    #   - REPS: back-to-back repeats within a pass, so at least one
+    #     sample per pass runs with that query's Catalyst analysis +
+    #     whole-stage codegen hot. Interleaving alone (r4's fix)
+    #     silently switched the metric to COLD-plan latency — 126
+    #     queries evict each other's codegen between passes — which
+    #     inflated every sub-second query ~1.2-1.9x vs the warm-plan
+    #     BASELINE rows without any operator regressing.
+    passes = int(os.environ.get("BENCH_PASSES", os.environ.get("BENCH_RUNS", "2")))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     timings: dict[str, float] = {n: float("inf") for n in names}
-    for _ in range(runs):
+    for _ in range(passes):
         for name in names:
-            t0 = time.perf_counter()
-            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = min(timings[name], time.perf_counter() - t0)
+            for _r in range(reps):
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = min(timings[name], time.perf_counter() - t0)
             # Operators that persist intermediates (shingle tables, CC
             # labels) would otherwise accumulate cached blocks across
-            # the 90-query session, evicting execution memory and
+            # the 126-query session, evicting execution memory and
             # slowing every later query (~40% total, measured). Each
             # query call re-persists its own intermediates, so clearing
-            # between runs costs nothing and isolates measurements.
+            # between queries costs nothing and isolates measurements.
             spark.catalog.clearCache()
+    runs = passes * reps
     timings = {n: round(v, 3) for n, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
