@@ -175,3 +175,60 @@ def test_heavy_hitters_matches_exact(spark, sf_dir):
         if r["count"] * 30 >= tot
     }
     assert got == exact
+
+
+# ---------------------------------------------------------- property tests
+
+
+def test_cms_never_undercounts_random_streams(spark):
+    """Randomized CMS soundness: for arbitrary token streams (heavy
+    skew, unicode, empties) every estimate >= the exact count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.text(alphabet="abcdef☃", min_size=0, max_size=4),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def check(words):
+        tok = spark.createDataFrame([(w,) for w in words], ["term"])
+        sketch = cms_build(tok, "term", depth=2, width=16)  # force collisions
+        est = {
+            r["term"]: r["est"]
+            for r in cms_estimate(
+                tok.select("term").distinct(), sketch, "term", depth=2, width=16
+            ).collect()
+        }
+        exact: dict[str, int] = {}
+        for w in words:
+            exact[w] = exact.get(w, 0) + 1
+        for w, c in exact.items():
+            assert est[w] >= c
+
+    check()
+
+
+def test_zorder_interleave_roundtrip_property():
+    """The Morton expression (evaluated by DuckDB, same text Spark
+    runs) must deinterleave back to its inputs for arbitrary 16-bit
+    pairs, and be distinct for distinct pairs."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    def check(a, b):
+        expr = datapipe._z_interleave_sql(str(a), str(b))
+        (z,) = con.execute(f"SELECT {expr}").fetchone()
+        da = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        db = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (da, db) == (a, b)
+
+    check()
