@@ -64,8 +64,8 @@ def main() -> None:
     #     queries evict each other's codegen between passes — which
     #     inflated every sub-second query ~1.2-1.9x vs the warm-plan
     #     BASELINE rows without any operator regressing.
-    passes = int(os.environ.get("BENCH_PASSES", os.environ.get("BENCH_RUNS", "2")))
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    passes = max(1, int(os.environ.get("BENCH_PASSES", os.environ.get("BENCH_RUNS", "2"))))
+    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     timings: dict[str, float] = {n: float("inf") for n in names}
     for _ in range(passes):
         for name in names:
@@ -73,13 +73,19 @@ def main() -> None:
                 t0 = time.perf_counter()
                 registry.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 timings[name] = min(timings[name], time.perf_counter() - t0)
-            # Operators that persist intermediates (shingle tables, CC
-            # labels) would otherwise accumulate cached blocks across
-            # the 126-query session, evicting execution memory and
-            # slowing every later query (~40% total, measured). Each
-            # query call re-persists its own intermediates, so clearing
-            # between queries costs nothing and isolates measurements.
-            spark.catalog.clearCache()
+                # Clear AFTER EVERY rep, inside the timed loop's
+                # shadow: (a) operators that persist intermediates
+                # (shingle tables, CC labels) would otherwise
+                # accumulate cached blocks across the 126-query
+                # session, evicting execution memory (~40% total,
+                # measured); (b) a rep must not serve the previous
+                # rep's persisted intermediates via CacheManager
+                # plan-matching — that would time a cache hit and hide
+                # regressions in the intermediate-build cost. Reps
+                # therefore measure warm-PLAN (analysis + codegen hot)
+                # but cold-DATA executions, the same thing the
+                # BASELINE rows measured.
+                spark.catalog.clearCache()
     runs = passes * reps
     timings = {n: round(v, 3) for n, v in timings.items()}
 

@@ -52,6 +52,73 @@ def shingles_of_tokens(tokens_expr: str, k: int = 3) -> F.Column:
     )
 
 
+def hashed_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, sh_h) — xxhash64 of each per-doc-distinct k-shingle, the
+    shared input of MinHash signing AND exact-Jaccard verification.
+
+    ``max_shingle_df`` drops stop-shingles (document frequency above
+    the cap) from the shingle SPACE itself, so every consumer —
+    signatures, banding, intersection counts, sizes — sees the same
+    filtered universe. Computing the filter here (rather than in each
+    consumer) is what keeps a two-stage LSH+verify pipeline coherent:
+    signatures built on a different shingle space than the verifier
+    measures would silently destroy candidate recall on hot-shingle
+    corpora.
+    """
+    # Repartition by id BEFORE the explode: parquet often lands a
+    # corpus in few large files, which would pin the expensive
+    # shingle+hash map stage to those few tasks. Hashing on the id
+    # also lets downstream per-id groupBys reuse the partitioning (the
+    # wide exploded data never reshuffles).
+    sh = (
+        df.repartition(F.col(id_col))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_tokens("__toks", shingle_k)).alias("__shingle"),
+        )
+        .select(F.col(id_col), F.xxhash64("__shingle").alias("sh_h"))
+    )
+    if max_shingle_df is not None:
+        # shingles are per-doc distinct, so count(*) per hash == df;
+        # AQE broadcasts the anti-join side when the cap is doing its
+        # job (few hot shingles)
+        hot = (
+            sh.groupBy("sh_h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh_h")
+        )
+        sh = sh.join(hot, "sh_h", "left_anti")
+    return sh
+
+
+def signatures_from_hashes(
+    sh: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(id, sig: array<bigint>) from a hashed-shingle frame — sig[j] =
+    min over shingles of a seeded mix. One groupBy; the agg is
+    num_hashes parallel min()s, all map-side combinable. The shingle
+    string was hashed once upstream; each of the num_hashes functions
+    is a cheap (seed, int64) mix instead of a full string hash."""
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("sh_h"))).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -59,27 +126,72 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[j] = min over shingles of a
-    seeded 64-bit hash. One explode + one groupBy; the agg is
-    num_hashes parallel min()s, all map-side combinable."""
-    # Repartition by id BEFORE the explode: parquet often lands a
-    # corpus in few large files, which would pin the expensive
-    # shingle+hash map stage to those few tasks. Hashing on the id
-    # also lets the groupBy below reuse the partitioning (no second
-    # exchange of the exploded rows — the wide data never reshuffles).
-    sh = df.repartition(F.col(id_col)).withColumn(
-        "__toks", F.split(F.col(text_col), " ")
-    ).select(
-        F.col(id_col), F.explode(shingles_of_tokens("__toks", shingle_k)).alias("__shingle")
+    """(id, sig: array<bigint>) over the full (unfiltered) shingle
+    space — composition of the two shared stages."""
+    return signatures_from_hashes(
+        hashed_shingles(df, id_col, text_col, shingle_k), id_col, num_hashes
     )
-    mins = sh.withColumn("__sh_h", F.xxhash64("__shingle")).groupBy(id_col).agg(
-        # hash the shingle string once, then cheap (seed, int64) mixes
-        # instead of num_hashes full string hashes per shingle.
-        *[F.min(F.xxhash64(F.lit(j), F.col("__sh_h"))).alias(f"__m{j}") for j in range(num_hashes)]
-    )
-    return mins.select(
+
+
+def band_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded signatures.
+
+    The band rows carry (id, band, band_sig) ONLY — 3 longs. Shipping
+    the full num_hashes-long signature through the bands× explode and
+    both sides of the self-join would multiply the shuffle ~20×;
+    callers re-join the signatures (or the shingle table) for just the
+    candidate pairs, which LSH keeps a tiny fraction of the row count.
+
+    ``bucket_cap`` bounds bucket width: the self-join is all-pairs
+    WITHIN a bucket, so one degenerate band signature would otherwise
+    go quadratic; buckets wider than the cap are dropped before the
+    join (standard MinHash hygiene — their members still pair through
+    more selective bands, and docs identical enough to flood EVERY
+    band belong to exact dedup by content hash).
+    """
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
         F.col(id_col),
-        F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    if bucket_cap is not None:
+        # hot buckets only (≤ n/cap rows by construction) — AQE
+        # broadcasts the anti-join side when it is small, which it is
+        # whenever the cap is doing its job
+        hot = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > bucket_cap)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(hot, ["band", "band_sig"], "left_anti")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -111,50 +223,8 @@ def minhash_lsh_pairs(
     Candidate work is thus O(n_buckets · cap²) worst-case instead of
     unbounded. None disables the cap.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
-    # The band rows carry (id, band, band_sig) ONLY — 3 longs. Shipping
-    # the full num_hashes-long signature through the bands× explode and
-    # both sides of the self-join would multiply the shuffle ~20×; the
-    # signatures are re-joined below for just the candidate pairs,
-    # which LSH keeps a tiny fraction of the row count.
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    )
-    if bucket_cap is not None:
-        # hot buckets only (≤ n/cap rows by construction) — AQE
-        # broadcasts the anti-join side when it is small, which it is
-        # whenever the cap is doing its job
-        hot = (
-            banded.groupBy("band", "band_sig")
-            .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") > bucket_cap)
-            .select("band", "band_sig")
-        )
-        banded = banded.join(hot, ["band", "band_sig"], "left_anti")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = band_candidates(sigs, id_col, num_hashes, bands, bucket_cap)
     est = (
         cand.join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -200,17 +270,11 @@ def ngram_jaccard_pairs(
     the string (half the shuffle bytes; a 64-bit collision altering a
     count is ~1e-12 at any realistic shingle cardinality).
     """
-    sh = (
-        df.repartition(F.col(id_col))  # spread the shingle map stage
-        .withColumn("__toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), F.explode(shingles_of_tokens("__toks", shingle_k)).alias("shingle"))
-        .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
-        .persist()
-    )
+    sh = hashed_shingles(df, id_col, text_col, shingle_k, None).persist()
     if max_shingle_df is not None:
-        # shingles are distinct per doc, so count(*) per hash = df.
-        # The anti-join recomputes off the persisted frame; the hot
-        # set is ≤ n_rows/df_max entries and AQE broadcasts it.
+        # the df filter is applied here (off the persisted unfiltered
+        # frame) rather than inside hashed_shingles so the persist
+        # backs both the hot-set scan and the filtered consumers
         hot = (
             sh.groupBy("sh_h")
             .agg(F.count("*").alias("__df"))
@@ -270,29 +334,17 @@ def lsh_verified_pairs(
     SQL: a single missed pair fails the row-count gate. bands=32 with
     2 rows/band keeps the miss probability at the j=0.5 boundary below
     1e-4 per pair (verified exhaustively on the fixtures).
+
+    Signatures, banding, intersections, and sizes ALL consume one
+    shared df-filtered shingle frame (``hashed_shingles``): signing on
+    an unfiltered space while verifying on the filtered one would make
+    banding collision probability track the wrong Jaccard and silently
+    lose candidates on hot-shingle corpora — exactly the corpora the
+    df cap exists for. The shingle explode+hash runs once, persisted.
     """
-    cand = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_k=shingle_k, threshold=0.0, bucket_cap=bucket_cap,
-    ).select("id_a", "id_b")
-    sh = (
-        df.repartition(F.col(id_col))
-        .withColumn("__toks", F.split(F.col(text_col), " "))
-        .select(
-            F.col(id_col),
-            F.explode(shingles_of_tokens("__toks", shingle_k)).alias("shingle"),
-        )
-        .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
-        .persist()
-    )
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("sh_h")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("sh_h")
-        )
-        sh = sh.join(hot, "sh_h", "left_anti")
+    sh = hashed_shingles(df, id_col, text_col, shingle_k, max_shingle_df).persist()
+    sigs = signatures_from_hashes(sh, id_col, num_hashes)
+    cand = band_candidates(sigs, id_col, num_hashes, bands, bucket_cap)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), "sh_h"), "id_a")
@@ -450,6 +502,13 @@ def connected_components(
     isolated = all_vertices.join(edge_vertices, "__v", "left_anti").select(
         "__v", F.col("__v").alias("__label")
     )
-    return labels.unionByName(isolated).select(
+    out = labels.unionByName(isolated).select(
         F.col("__v").alias(id_col), F.col("__label").alias("cluster_id")
     )
+    # checkpoint before dropping the edge-vertex cache: the anti-join
+    # above is the last consumer, and without this the persisted frame
+    # would outlive the function (leaking storage memory until an
+    # external clearCache)
+    out = out.localCheckpoint(eager=True)
+    edge_vertices.unpersist()
+    return out

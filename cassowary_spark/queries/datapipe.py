@@ -357,15 +357,13 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    start_offset = F.sum("n_chars").over(w) - F.col("n_chars")
     return d.select(
         "source",
         "doc_id",
         "n_chars",
-        F.expr(
-            f"(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
-            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) "
-            f"div {_COMPACT_TARGET}"
-        ).alias("out_file"),
+        # integer start offsets, so floor(double div) is exact
+        F.floor(start_offset / F.lit(_COMPACT_TARGET)).alias("out_file"),
     )
 
 

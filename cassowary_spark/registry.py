@@ -23,7 +23,7 @@ ORACLES: dict[str, str] = {}
 # returned by __spark_entry__.queries(). Python dicts preserve
 # insertion order, so we emit the keys below first. Round-5 rotation:
 # first every key with NO driver CORRECTNESS row yet (q_source_cap +
-# the four derived-invariant gates added post-r4 + the seven operators
+# the four derived-invariant gates added post-r4 + the ten operators
 # new this round), then keys whose query changed this round
 # (q_dedup_clusters — CC now skips isolated vertices) and
 # q_session_capped (gained an oracle after its rows-only r4 row),
@@ -40,7 +40,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_compaction_plan", "q_doc_chunks", "q_zorder_layout",
     "q_pmi_pairs",
     # changed this round / newly oracle-gated — must (re-)confirm
-    "q_dedup_clusters", "q_session_capped",
+    # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
+    # touched their operator internals)
+    "q_dedup_clusters", "q_session_capped", "q_dedup_ngram",
+    "q_dedup_near",
     # r2-green keys — evidence two rounds stale
     "q_scan", "q_join_anti", "q_except", "q_fn_math", "q_fn_hash",
     "q_lateral_explode", "q_stream_tumbling", "q_stream_sliding",
@@ -52,7 +55,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sstable_compact", "q_sstable_stream", "q_project",
     "q_filter_pred", "q_case_when", "q_distinct", "q_subquery",
     "q_unpivot", "q_join_inner", "q_join_outer", "q_join_semi",
-    "q_join_theta", "q_join_range",
 )
 
 

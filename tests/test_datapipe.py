@@ -96,22 +96,37 @@ def test_doc_chunks_cover_and_overlap(spark, sf_dir):
         assert last * stride + len(got[last]) == len(toks)
 
 
-def test_doc_chunks_short_doc_single_chunk(spark):
-    """A doc shorter than one chunk yields exactly one full-doc chunk."""
-    import pandas as pd
+def test_doc_chunks_short_and_boundary_docs(spark, tmp_path):
+    """Run the REAL query against a tiny fixture: a doc shorter than
+    one chunk yields exactly one full-doc chunk; a doc of exactly
+    chunk_size+1 tokens yields two (the second carrying the overlap
+    plus the one overflow token)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["only three tokens"]}))
-    df.createOrReplaceTempView("__short_doc")
-    out = (
-        df.select(
-            "doc_id",
-            F.split("text", " ").alias("__t"),
-            F.size(F.split("text", " ")).alias("__n"),
-        )
+    size, stride = datapipe._CHUNK_SIZE, datapipe._CHUNK_STRIDE
+    short = "only three tokens"
+    boundary = " ".join(f"t{i}" for i in range(size + 1))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [short, boundary],
+                "lang": ["en", "en"],
+                "source": ["src0", "src0"],
+                "n_chars": [len(short), len(boundary)],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
     )
-    # drive the registered query against a temp dir is overkill; check
-    # the formula directly: n=3 <= size -> one chunk
-    assert out.collect()[0]["__n"] <= datapipe._CHUNK_SIZE
+    rows = QUERIES["q_doc_chunks"](spark, str(tmp_path)).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    assert by_doc[1] == {0: short}
+    assert sorted(by_doc[2]) == [0, 1]
+    assert by_doc[2][0] == " ".join(boundary.split()[:size])
+    assert by_doc[2][1] == " ".join(boundary.split()[stride : stride + size])
 
 
 def test_zorder_groups_both_dimensions(spark, sf_dir):
