@@ -18,6 +18,7 @@ _MODULES = (
     "pipeline",
     "corpus",
     "datapipe",
+    "datapipe2",
 )
 
 _loaded = False

@@ -23,8 +23,9 @@ ORACLES: dict[str, str] = {}
 # returned by __spark_entry__.queries(). Python dicts preserve
 # insertion order, so we emit the keys below first. Round-5 rotation:
 # first every key with NO driver CORRECTNESS row yet (q_source_cap +
-# the four derived-invariant gates added post-r4 + the ten operators
-# new this round), then keys whose query changed this round
+# the four derived-invariant gates added post-r4 + the fifteen
+# operators new this round — C25-C39 across datapipe.py/datapipe2.py),
+# then keys whose query changed this round
 # (q_dedup_clusters — CC now skips isolated vertices) and
 # q_session_capped (gained an oracle after its rows-only r4 row),
 # then the 11 keys whose latest green is CORRECTNESS_r02 (two rounds
@@ -39,6 +40,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_corpus_mix", "q_unigram_logprob", "q_skew_stats",
     "q_compaction_plan", "q_doc_chunks", "q_zorder_layout",
     "q_pmi_pairs",
+    "q_substring_dedup", "q_centroid_assign", "q_quality_gauntlet",
+    "q_value_outliers", "q_graph_pagerank",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -53,8 +56,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sstable_lookup", "q_sstable_clustered", "q_sstable_slice",
     "q_sstable_rt", "q_sstable_wide", "q_file_formats",
     "q_sstable_compact", "q_sstable_stream", "q_project",
-    "q_filter_pred", "q_case_when", "q_distinct", "q_subquery",
-    "q_unpivot", "q_join_inner", "q_join_outer", "q_join_semi",
+    "q_filter_pred", "q_case_when", "q_distinct",
 )
 
 
