@@ -1,15 +1,17 @@
 """Training-data pipeline operators, round 5 second wave (SURVEY.md §2
-C35-C39).
+C35-C42).
 
-Five more ops a large-scale curation pipeline runs: sliding-window
+Eight more ops a large-scale curation pipeline runs: sliding-window
 exact-substring dedup accounting, nearest-centroid assignment (the
 k-means E-step completing C22's M-step), a Gopher-style quality-rule
-gauntlet, per-key z-score outlier flagging, and an integer-exact
-PageRank over a bipartite engagement graph. The same determinism
-discipline as datapipe.py: integer arithmetic wherever a comparison or
-branch depends on it, ``srnd`` on every float output, and float
-reductions only in fixed (positional) order so both engines produce
-bit-identical doubles.
+gauntlet, per-key z-score outlier flagging, an integer-exact PageRank
+over a bipartite engagement graph, the BPE pair-count inner loop of
+tokenizer training, percentile-band distribution trimming, and
+matryoshka embedding truncation. The same determinism discipline as
+datapipe.py: integer arithmetic wherever a comparison or branch
+depends on it, ``srnd`` on every float output, and float reductions
+only in fixed (positional) order so both engines produce bit-identical
+doubles.
 """
 
 from __future__ import annotations
@@ -416,3 +418,178 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rank
+
+
+# --------------------------------------------------- C40 BPE pair counts
+
+_BPE_MIN_COUNT = 50
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH wf AS (
+        SELECT term AS word, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY term
+    ),
+    pairs AS (
+        SELECT substr(word, i, 2) AS pair, freq
+        FROM wf, UNNEST(range(1, length(word))) u(i)
+        WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    HAVING sum(freq) >= {_BPE_MIN_COUNT}
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair counting (C40) — the inner loop of byte-pair-encoding
+    tokenizer training: weight every adjacent character pair by its
+    word's corpus frequency and count pair mass (the statistic whose
+    argmax becomes the next merge rule). Overlapping occurrences
+    count, like the reference BPE algorithm ("aaa" contributes "aa"
+    twice).
+
+    Scale shape: the word-frequency table is one term-keyed shuffle
+    with map-side combine (vocabulary-sized, NOT corpus-sized — the
+    whole point of counting pairs over the vocab instead of the raw
+    text); pair explosion is map-local over that compact frame, and
+    the pair groupBy's key space is alphabet², tiny. All counts are
+    exact integers. A full BPE trainer iterates this query against a
+    vocab frame whose words shrink as merges apply — each iteration
+    reuses this exact plan.
+    """
+    d = load_table(spark, sf_dir, "documents").select("text")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("__i"),
+            "word",
+            "freq",
+        )
+        .select(F.expr("substring(word, __i, 2)").alias("pair"), "freq")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .filter(F.col("cnt") >= _BPE_MIN_COUNT)
+    )
+
+
+# ----------------------------------------------- C41 percentile band filter
+
+_BAND_LO = 0.05
+_BAND_HI = 0.95
+
+
+@query(
+    "q_length_band",
+    oracle=f"""
+    WITH th AS (
+        SELECT {sql_srnd(f"quantile_cont(n_chars, {_BAND_LO})", 4)} AS lo,
+               {sql_srnd(f"quantile_cont(n_chars, {_BAND_HI})", 4)} AS hi
+        FROM documents
+    )
+    SELECT doc_id, n_chars FROM documents, th
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+)
+def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band distribution trimming (C41): keep documents
+    whose length sits inside the corpus's [P5, P95] band — the
+    "cut both tails" pass pipelines run to drop fragments and
+    concatenation monsters without hand-tuned thresholds.
+
+    Determinism: thresholds are linear-interpolated percentiles of an
+    INTEGER column — the identical lerp formula on the identically
+    sorted values in both engines — then rounded (srnd 4) before the
+    comparison, so the admitted row set is engine-stable. Scale shape:
+    the threshold agg is one pass; at 100 TB you'd swap exact
+    ``percentile`` for ``approx_percentile`` (t-digest, mergeable,
+    map-side combined) and widen the band guard — noted here because
+    the exact form's global sort-by-key is the one non-scalable step;
+    the thresholds then ride a 1-row broadcast crossJoin into a
+    row-local filter.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    th = d.agg(
+        srnd(F.expr(f"percentile(n_chars, {_BAND_LO})"), 4).alias("lo"),
+        srnd(F.expr(f"percentile(n_chars, {_BAND_HI})"), 4).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+# ------------------------------------------------ C42 matryoshka truncation
+
+_MAT_DIM = 16
+
+
+@query(
+    "q_matryoshka",
+    oracle=f"""
+    WITH t AS (
+        SELECT vec_id,
+               list_transform(list_slice(embedding, 1, {_MAT_DIM}),
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM t
+    )
+    SELECT vec_id,
+           {sql_srnd("nrm", 6)} AS norm16,
+           list_transform(v, x -> floor(x / nrm * 1000000.0 + 0.5)
+                                  / 1000000.0) AS vec16
+    FROM n WHERE nrm > 0
+    """,
+)
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka embedding truncation (C42): keep the first 16
+    dimensions and L2-renormalize — how matryoshka-trained embeddings
+    are cheapened for serving (4x less vector bytes at a small recall
+    cost), run as a corpus-wide transform before indexing.
+
+    Determinism: the slice is positional; the norm is a fixed-order
+    positional fold over doubles (``aggregate`` / ``list_sum`` — same
+    IEEE sequence both engines); every output component is srnd(6)
+    after the division. Zero-norm prefixes are excluded on both sides
+    (division guard). Scale shape: entirely row-local JVM/array ops —
+    ZERO shuffle, runs at scan throughput, output partitioning
+    inherits the scan's.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.expr(
+        f"transform(slice(embedding, 1, {_MAT_DIM}), x -> CAST(x AS DOUBLE))"
+    )
+    t = e.select("vec_id", v.alias("__v"))
+    n = t.withColumn(
+        "__nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(__v, x -> x * x),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+        ),
+    )
+    return n.filter(F.col("__nrm") > 0).select(
+        "vec_id",
+        srnd(F.col("__nrm"), 6).alias("norm16"),
+        F.expr(
+            "transform(__v, x -> floor(x / __nrm * 1000000.0D + 0.5D)"
+            " / 1000000.0D)"
+        ).alias("vec16"),
+    )

@@ -41,7 +41,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_compaction_plan", "q_doc_chunks", "q_zorder_layout",
     "q_pmi_pairs",
     "q_substring_dedup", "q_centroid_assign", "q_quality_gauntlet",
-    "q_value_outliers", "q_graph_pagerank",
+    "q_value_outliers", "q_graph_pagerank", "q_bpe_pairs",
+    "q_length_band", "q_matryoshka",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -56,7 +57,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sstable_lookup", "q_sstable_clustered", "q_sstable_slice",
     "q_sstable_rt", "q_sstable_wide", "q_file_formats",
     "q_sstable_compact", "q_sstable_stream", "q_project",
-    "q_filter_pred", "q_case_when", "q_distinct",
 )
 
 

@@ -223,3 +223,64 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
     type_ranks = [v for k, v in ranks.items() if k.startswith("t:")]
     user_ranks = [v for k, v in ranks.items() if k.startswith("u:")]
     assert min(type_ranks) > max(user_ranks)
+
+
+# ------------------------------------------------------- C40 BPE pairs
+
+
+def test_bpe_pairs_weighted_and_thresholded(spark, tmp_path):
+    """'ab' repeated 50x clears the min-count via word frequency
+    weighting; a once-seen pair is cut; overlaps count ('aaa' -> 2x
+    'aa' per occurrence)."""
+    docs = [" ".join(["ab"] * 30), " ".join(["ab"] * 20), "xy " + "aaa " * 25]
+    out = {
+        r["pair"]: r["cnt"]
+        for r in QUERIES["q_bpe_pairs"](
+            spark, _write_docs(tmp_path, docs)
+        ).collect()
+    }
+    assert out["ab"] == 50
+    assert out["aa"] == 50  # 25 occurrences of 'aaa', 2 overlapping pairs each
+    assert "xy" not in out  # freq 1 < min count
+
+
+# ------------------------------------------------------- C41 length band
+
+
+def test_length_band_cuts_both_tails(spark, tmp_path):
+    """n_chars = 10,20,...,200: P5 = 19.5, P95 = 190.5 by linear
+    interpolation, so exactly 20..190 survive."""
+    docs = ["x" * (10 * i) for i in range(1, 21)]
+    rows = QUERIES["q_length_band"](
+        spark, _write_docs(tmp_path, docs)
+    ).collect()
+    kept = sorted(r["n_chars"] for r in rows)
+    assert kept == list(range(20, 191, 10))
+
+
+# ------------------------------------------------------- C42 matryoshka
+
+
+def test_matryoshka_truncates_and_renormalizes(spark, tmp_path):
+    import math
+
+    vecs = [
+        (1, [3.0, 4.0] + [0.0] * 30, "A"),      # norm16 = 5 on first 16 dims
+        (2, [0.0] * 32, "B"),                    # zero prefix: excluded
+        (3, [1.0] * 32, "C"),                    # norm16 = 4
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in QUERIES["q_matryoshka"](
+            spark, _write_embeddings(tmp_path, vecs)
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["norm16"] == pytest.approx(5.0)
+    assert out[1]["vec16"][:2] == [0.6, 0.8]
+    assert len(out[1]["vec16"]) == 16
+    assert out[3]["norm16"] == pytest.approx(4.0)
+    for r in out.values():
+        unit = sum(x * x for x in r["vec16"])
+        assert unit == pytest.approx(1.0, abs=1e-4)
+    assert math.isclose(sum(out[3]["vec16"]), 4.0, rel_tol=1e-4)
