@@ -776,3 +776,80 @@ def q_sstable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap = build_sstable_snapshot(sf_dir)
     return read_sstable(spark, snap, max_gen="2")
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS chars,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip (A7 family): write the documents
+    table to ORC (the Hive-era columnar interchange format the
+    reference's Hive surface spoke natively) and read it back for an
+    aggregation the parquet-backed oracle must reproduce — proving
+    write→read fidelity including multi-line text payloads.
+
+    The ORC cache is written once per sf dir (read fidelity is the
+    surface under test; the distributed write path has its own
+    always-on exercise in q_sstable_sink). Scale: ORC scans get the
+    same Catalyst treatment as parquet — column pruning + predicate
+    pushdown reach the reader, partition-parallel splits.
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cache = os.path.join(repo_root, ".file_cache", "v2", os.path.basename(sf_dir.rstrip("/")))
+    p = os.path.join(cache, "documents_orc")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        d.coalesce(4).write.mode("overwrite").orc(p)
+    o = spark.read.orc(p)
+    return o.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("n_chars").alias("n_chars_sum"),
+    )
+
+
+@query(
+    "q_partitioned_lake",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           count(*) AS n_orders,
+           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY yr
+    """,
+)
+def q_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned lake layout (A5/A7 family): the orders
+    table written `partitionBy(o_orderstatus)` — the physical layout
+    every lakehouse table maintenance job produces — then read back
+    with a partition-key predicate. Catalyst turns the predicate into
+    a PartitionFilter: non-matching directories are never listed into
+    the scan (asserted in tests/test_plans.py), which at 100 TB is
+    the difference between scanning one status partition and the
+    whole table.
+
+    The partitioned cache is written once per sf dir. The aggregation
+    after the pruned scan is an ordinary partial+final groupBy on the
+    order year.
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cache = os.path.join(repo_root, ".file_cache", "v2", os.path.basename(sf_dir.rstrip("/")))
+    p = os.path.join(cache, "orders_by_status")
+    o = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        o.select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus") \
+            .repartition(4).write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+    lake = spark.read.parquet(p).filter(F.col("o_orderstatus") == "F")
+    return lake.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        srnd(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -42,7 +42,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pmi_pairs",
     "q_substring_dedup", "q_centroid_assign", "q_quality_gauntlet",
     "q_value_outliers", "q_graph_pagerank", "q_bpe_pairs",
-    "q_length_band", "q_matryoshka",
+    "q_length_band", "q_matryoshka", "q_orc_roundtrip",
+    "q_partitioned_lake",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -56,7 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_latest_version", "q_tombstone_filter", "q_sstable_scan",
     "q_sstable_lookup", "q_sstable_clustered", "q_sstable_slice",
     "q_sstable_rt", "q_sstable_wide", "q_file_formats",
-    "q_sstable_compact", "q_sstable_stream", "q_project",
+    "q_sstable_compact",
 )
 
 

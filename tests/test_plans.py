@@ -183,3 +183,11 @@ def test_sstable_column_pruning(spark):
     full = {r.s_suppkey: r.s_acctbal for r in read_sstable(spark, snap).collect()}
     got = {r.s_suppkey: r.s_acctbal for r in narrow.collect()}
     assert got == full
+
+
+def test_partitioned_lake_prunes_partitions(q):
+    """The status predicate must become a PartitionFilter (directory
+    pruning), never a post-scan filter over all partitions."""
+    p = plan_of(q["q_partitioned_lake"])
+    assert "PartitionFilters" in p
+    assert "o_orderstatus" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
