@@ -19,6 +19,7 @@ _MODULES = (
     "corpus",
     "datapipe",
     "datapipe2",
+    "datapipe3",
 )
 
 _loaded = False

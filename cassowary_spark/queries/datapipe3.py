@@ -1,0 +1,393 @@
+"""Training-data pipeline operators, round 5 third wave (SURVEY.md §2
+C43-C46 + B42).
+
+Five more first-class ops: binary (sign-bit) embedding quantization
+with Hamming-distance top-k — the 64x-compressed candidate-retrieval
+path modern vector stores run before exact re-ranking; temperature-
+scaled source mixing (the multilingual-LM sampling rule: weight
+∝ mass^alpha); gap/delta encoding of inverted-index postings (the
+layout step that makes posting lists compressible); product-
+quantization encoding (per-subspace nearest-centroid codes — the PQ
+half of an IVFPQ index, completing C22/C36's IVF half); and the
+WITH RECURSIVE SQL surface (Spark 4 recursive CTEs) driving a date
+spine + left-join fact rollup.
+
+Same determinism discipline as datapipe.py/datapipe2.py: integer
+arithmetic wherever a comparison or row-set membership depends on it,
+``srnd`` on float outputs, float reductions only in fixed positional
+order so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+# ------------------------------------------------- C43 binary-quantized ANN
+
+_HAM_K = 10
+
+
+@query(
+    "q_ann_hamming",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(len(list_filter(range(1, len(e.embedding) + 1),
+                i -> (e.embedding[i] > 0) <> (q.qv[i] > 0))) AS BIGINT)
+               AS hamming
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY hamming, e.vec_id LIMIT {_HAM_K}
+    """,
+)
+def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (C43): each 64-dim float vector becomes
+    64 sign bits packed into two 32-bit words; candidate retrieval is
+    Hamming distance = popcount(xor) — the 1-bit-per-dim compressed
+    search modern vector stores run before exact re-ranking (cosine of
+    mean-centered vectors correlates with sign agreement).
+
+    Scale shape: packing is a row-local fixed-order integer fold (one
+    pass, JVM HOFs, zero float ops after the sign test), so the index
+    side stores 8 bytes/vector instead of 256 — at 100 TB the packed
+    column is what gets scanned, the float column stays untouched
+    until re-rank. The query row broadcasts (1 row); scoring is
+    bit_count(xor) whole-stage-codegen'd; top-k is TakeOrdered
+    (per-partition heaps, ties broken by vec_id). No shuffle at all —
+    the only movement is k rows to the driver-side limit.
+
+    Determinism: sign tests and xor/popcount are exact integer ops;
+    the oracle computes the same Hamming distance positionally, so
+    both engines agree bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    half = (
+        "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc * 2 + IF(element_at(embedding, i) > 0,"
+        " CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+    )
+    packed = e.select(
+        "vec_id",
+        F.expr(half.format(lo=1, hi=32)).alias("b_hi"),
+        F.expr(half.format(lo=33, hi=64)).alias("b_lo"),
+    )
+    qrow = packed.filter(F.col("vec_id") == 0).select(
+        F.col("b_hi").alias("q_hi"), F.col("b_lo").alias("q_lo")
+    )
+    scored = (
+        packed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo) AS BIGINT)"
+            ).alias("hamming"),
+        )
+    )
+    return scored.orderBy("hamming", "vec_id").limit(_HAM_K)
+
+
+# ------------------------------------------------- C44 temperature-scaled mix
+
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 1_000_000  # token budget the weights allocate
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH m AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM m),
+    w AS (
+        SELECT lang, n_tokens,
+               pow(CAST(n_tokens AS DOUBLE) / t.total, {_MIX_ALPHA}) AS pw
+        FROM m, t
+    ),
+    z AS (SELECT sum(pw) AS zn FROM w)
+    SELECT lang, n_tokens,
+           CAST(floor(w.pw / z.zn * {_MIX_BUDGET}.0 + 0.5) AS BIGINT)
+               AS alloc_tokens,
+           CAST(floor(w.pw / z.zn * {_MIX_BUDGET}.0 + 0.5) AS DOUBLE)
+               / {_MIX_BUDGET}.0 AS weight
+    FROM w, z
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (C44): per-language sampling
+    weights ∝ (token share)^alpha, alpha=0.7 — the multilingual-LM
+    rebalancing rule (XLM-R style) that up-weights low-resource
+    strata without letting any stratum dominate. Output: each
+    language's exact token mass, its allocation out of a 1M-token
+    budget, and the normalized weight.
+
+    Scale shape: one lang-keyed groupBy with map-side partial sums
+    (token counting is a row-local ``size(split())``); the total and
+    the normalizer are 1-row aggregates broadcast back via crossJoin —
+    the corpus never shuffles twice and nothing collects to the
+    driver. Output cardinality = #languages.
+
+    Determinism: the only float ops are pow/divide on integer-exact
+    masses; the allocation is floor-rounded half-up so both engines
+    derive the integer (and the weight FROM that integer) from doubles
+    equal to ~1 ulp.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    total = m.agg(F.sum("n_tokens").cast("double").alias("total"))
+    w = m.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("total"), F.lit(_MIX_ALPHA)).alias("pw"),
+    )
+    z = w.agg(F.sum("pw").alias("zn"))
+    out = w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        F.floor(F.col("pw") / F.col("zn") * F.lit(float(_MIX_BUDGET)) + F.lit(0.5))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    return out.withColumn(
+        "weight", F.col("alloc_tokens").cast("double") / F.lit(float(_MIX_BUDGET))
+    )
+
+
+# ------------------------------------------------- C45 postings delta encode
+
+_POST_MIN_DF = 10
+
+
+@query(
+    "q_postings_delta",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    p AS (
+        SELECT term, list_sort(list(doc_id)) AS postings
+        FROM tok GROUP BY term
+    )
+    SELECT term,
+           CAST(len(postings) AS BIGINT) AS df,
+           list_transform(range(1, len(postings) + 1),
+               i -> CASE WHEN i = 1 THEN postings[1]
+                         ELSE postings[i] - postings[i - 1] END) AS deltas
+    FROM p WHERE len(postings) >= {_POST_MIN_DF}
+    """,
+)
+def q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-encoded postings (C45): the inverted index's posting lists
+    (C26) re-expressed as first-id + successive gaps — the layout
+    every retrieval engine applies before varint/PForDelta compression,
+    because sorted doc-id gaps are small and compress ~10x better than
+    raw 64-bit ids.
+
+    Scale shape: term-doc pairs dedup map-side (explode + distinct
+    share the term shuffle's lineage); ONE shuffle keyed by term;
+    the delta transform is a row-local fixed-order integer HOF over
+    the already-sorted array — no window, no self-join, exact int64
+    arithmetic end-to-end. Shuffle size is vocabulary x df, i.e. the
+    index size, not the corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    p = tok.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    )
+    return (
+        p.filter(F.size("postings") >= _POST_MIN_DF)
+        .select(
+            "term",
+            F.size("postings").cast("long").alias("df"),
+            F.expr(
+                "transform(postings, (x, i) ->"
+                " IF(i = 0, x, x - element_at(postings, i)))"
+            ).alias("deltas"),
+        )
+    )
+
+
+# ------------------------------------------------- C46 product quantization
+
+_PQ_SUBSPACES = 4
+_PQ_SUBDIM = 16  # 64-dim vectors -> 4 x 16
+
+
+@query(
+    "q_pq_encode",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, label, s AS subspace,
+               list_transform(
+                   list_slice(embedding, s * {_PQ_SUBDIM} + 1,
+                              s * {_PQ_SUBDIM} + {_PQ_SUBDIM}),
+                   x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings, UNNEST(range(0, {_PQ_SUBSPACES})) t(s)
+    ),
+    comp AS (
+        SELECT label, subspace, i AS pos,
+               {sql_srnd("avg(sv[i])", 4)} AS cv
+        FROM sub, UNNEST(range(1, {_PQ_SUBDIM} + 1)) u(i)
+        GROUP BY label, subspace, i
+    ),
+    cent AS (
+        SELECT label AS c_label, subspace, list(cv ORDER BY pos) AS c
+        FROM comp GROUP BY label, subspace
+    ),
+    dist AS (
+        SELECT v.vec_id, v.subspace, c.c_label,
+               list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                   i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS d2
+        FROM sub v JOIN cent c ON c.subspace = v.subspace
+    ),
+    r AS (
+        SELECT vec_id, subspace, c_label, d2,
+               row_number() OVER (
+                   PARTITION BY vec_id, subspace ORDER BY d2, c_label
+               ) AS rn
+        FROM dist
+    )
+    SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+           c_label AS code, {sql_srnd("d2", 6)} AS d2
+    FROM r WHERE rn = 1
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (C46): split each 64-dim vector
+    into 4 sub-vectors of 16 dims, build a per-subspace codebook (the
+    per-label sub-centroids — C22's M-step run per subspace), and
+    assign every sub-vector its nearest code. vec -> 4 small codes is
+    the PQ compression inside an IVFPQ index: with C3''/C36's IVF
+    routing this completes the classic FAISS-style scale path where
+    the corpus stores 4 bytes/vector and exact floats are only
+    fetched for the final re-rank.
+
+    Scale shape: codebook = one (label, subspace, pos)-keyed shuffle
+    whose output is labels x subspaces x subdim — corpus-independent —
+    then collapses to K x subspaces rows of arrays and BROADCASTS.
+    Encoding is a map-local subspace-equi broadcast join + fixed-order
+    positional distance fold + one (vec_id, subspace) partial-agg
+    ``min(struct)``. The corpus shuffles once (the argmin groupBy,
+    combining map-side); output is 4 rows per vector.
+
+    Determinism: centroid components srnd-quantized BEFORE distances
+    (the avg's reduction order is the one engine-varying float op);
+    the distance fold is positional so identical inputs give
+    bit-identical doubles; argmin ties break on code label.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    subs = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBSPACES - 1}),"
+                f" s -> transform(slice(embedding, s * {_PQ_SUBDIM} + 1,"
+                f" {_PQ_SUBDIM}), x -> CAST(x AS DOUBLE)))"
+            )
+        ).alias("subspace", "sv"),
+    )
+    comp = (
+        subs.select("label", "subspace", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("label", "subspace", "pos")
+        .agg(srnd(F.avg("val"), 4).alias("cv"))
+    )
+    cent = (
+        comp.groupBy("label", "subspace")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("__s"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.col("subspace").alias("c_subspace"),
+            F.expr("transform(__s, x -> x.cv)").alias("c"),
+        )
+    )
+    dist = subs.join(
+        F.broadcast(cent), subs["subspace"] == cent["c_subspace"]
+    ).select(
+        "vec_id",
+        "subspace",
+        "c_label",
+        F.expr(
+            "aggregate(zip_with(sv, c, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    m = dist.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("d2", "c_label")).alias("__m")
+    )
+    return m.select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("__m.c_label").alias("code"),
+        srnd(F.col("__m.d2"), 6).alias("d2"),
+    )
+
+
+# ------------------------------------------------- B42 recursive CTE surface
+
+_SPINE_START = "2024-01-01"
+_SPINE_END = "2024-02-04"  # past the data's last day: exercises zero-rows days
+
+
+@query(
+    "q_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE days(day) AS (
+        SELECT DATE '{_SPINE_START}'
+        UNION ALL
+        SELECT day + 1 FROM days
+        WHERE day < DATE '{_SPINE_END}'
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(e.event_id) AS n_events,
+           CAST(coalesce(sum(CASE WHEN e.event_type = 'error'
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_errors
+    FROM days d LEFT JOIN events e ON CAST(e.ts AS DATE) = d.day
+    GROUP BY d.day
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (B42): a WITH RECURSIVE date spine (Spark
+    4's recursive CTE support) left-joined to the events fact — the
+    canonical "report every day, including empty ones" shape, with the
+    spine extending past the data so zero-count days are exercised.
+
+    Scale shape: the recursion materializes 35 driver-side-free rows
+    (each step is a plan union, bounded by
+    spark.sql.cteRecursionLevelLimit); the spine side is tiny so AQE
+    broadcasts it and the fact table never shuffles for the join; the
+    per-day rollup is one date-keyed partial agg. The same recursion
+    machinery covers hierarchy walks (org charts, BOM explosions)
+    where iteration count = graph depth, not size.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE days(day) AS (
+            SELECT DATE '{_SPINE_START}'
+            UNION ALL
+            SELECT date_add(day, 1) FROM days WHERE day < DATE '{_SPINE_END}'
+        )
+        SELECT date_format(d.day, 'yyyy-MM-dd') AS day,
+               count(e.event_id) AS n_events,
+               CAST(coalesce(sum(CASE WHEN e.event_type = 'error'
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_errors
+        FROM days d LEFT JOIN events e ON CAST(e.ts AS DATE) = d.day
+        GROUP BY d.day
+        """
+    )

@@ -23,13 +23,14 @@ ORACLES: dict[str, str] = {}
 # returned by __spark_entry__.queries(). Python dicts preserve
 # insertion order, so we emit the keys below first. Round-5 rotation:
 # first every key with NO driver CORRECTNESS row yet (q_source_cap +
-# the four derived-invariant gates added post-r4 + the fifteen
-# operators new this round — C25-C39 across datapipe.py/datapipe2.py),
+# the four derived-invariant gates added post-r4 + the twenty-five
+# operators new this round — C25-C46 and B42 across
+# datapipe.py/datapipe2.py/datapipe3.py + the ORC/lake connectors),
 # then keys whose query changed this round
 # (q_dedup_clusters — CC now skips isolated vertices) and
 # q_session_capped (gained an oracle after its rows-only r4 row),
 # then the 11 keys whose latest green is CORRECTNESS_r02 (two rounds
-# stale), then the oldest r3-green keys to fill 50. The ~25 r3-green
+# stale), then the oldest r3-green keys to fill 50. The r3-green
 # keys that don't fit keep their CORRECTNESS_r03 rows and rotate in
 # next round.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -44,6 +45,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_value_outliers", "q_graph_pagerank", "q_bpe_pairs",
     "q_length_band", "q_matryoshka", "q_orc_roundtrip",
     "q_partitioned_lake",
+    "q_ann_hamming", "q_temperature_mix", "q_postings_delta",
+    "q_pq_encode", "q_recursive_cte",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -55,9 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_session", "q_stream_dedup", "q_stream_static_join",
     # oldest r3-green keys (sstable family first — deepest custom code)
     "q_latest_version", "q_tombstone_filter", "q_sstable_scan",
-    "q_sstable_lookup", "q_sstable_clustered", "q_sstable_slice",
-    "q_sstable_rt", "q_sstable_wide", "q_file_formats",
-    "q_sstable_compact",
+    "q_sstable_lookup", "q_sstable_clustered",
 )
 
 
