@@ -73,3 +73,61 @@ def suppress_tombstones(
 def ttl_expire(df: DataFrame, ts_col: str, ttl_col: Column, now: Column) -> DataFrame:
     """Expiring-cell semantics: a row older than its TTL acts deleted."""
     return df.filter(F.col(ts_col) + ttl_col > now)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """CDC between two snapshot views (A11): classify every key as
+    ``insert`` (only in ``new``), ``delete`` (only in ``old``) or
+    ``update`` (present in both with any value column changed);
+    unchanged keys are dropped. With the SSTable source's generation
+    time travel (``max_gen``), this turns the log-structured storage's
+    immutable generations into a change feed — CDC without a change
+    log, because the generations ARE the log.
+
+    Output: key columns, the surviving side's value columns (new side
+    for insert/update, old side for delete), and ``change``.
+
+    Scale notes (100 TB): both inputs arrive generation-pruned from
+    split planning (strictly cheaper than full reads); the full-outer
+    join is ONE co-partitioned shuffle on the key, and value
+    comparison is a row-local null-safe predicate — no window, no
+    second pass. When diffing adjacent generations, the old side is
+    usually the small delta and AQE broadcast-converts it.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__ov_{c}") for c in value_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nv_{c}") for c in value_cols],
+    )
+    cond = None
+    for k in keys:
+        c = o[f"__ok_{k}"] == n[f"__nk_{k}"]
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    changed = None
+    for c in value_cols:
+        d = ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+        changed = d if changed is None else (changed | d)
+    change = (
+        F.when(F.col(f"__ok_{keys[0]}").isNull(), F.lit("insert"))
+        .when(F.col(f"__nk_{keys[0]}").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out = j.withColumn("change", change).filter(F.col("change").isNotNull())
+    sel = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col("change") == "delete", F.col(f"__ov_{c}"))
+        .otherwise(F.col(f"__nv_{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return out.select(*sel, "change")

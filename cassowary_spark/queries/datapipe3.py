@@ -391,3 +391,96 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.day
         """
     )
+
+
+# ------------------------------------------------- C47 bigram-LM scoring
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok AS (
+        SELECT doc_id, i AS pos, t[i] AS w
+        FROM tk, UNNEST(range(1, len(t) + 1)) u(i)
+    ),
+    big AS (
+        SELECT doc_id, pos, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ),
+    bigf AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bigf GROUP BY w1, w2),
+    c1 AS (SELECT w, count(*) AS cnt1 FROM tok GROUP BY w),
+    v AS (SELECT count(DISTINCT w) AS vs FROM tok),
+    terms AS (
+        SELECT b.doc_id, b.pos,
+               {sql_srnd("ln((c2.cnt2 + 1.0) / (c1.cnt1 + v.vs))", 8)} AS lp
+        FROM bigf b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w = b.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           {sql_srnd("list_sum(list(lp ORDER BY pos)) / count(*)", 4)}
+               AS lp_mean
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (C47): mean Laplace-smoothed conditional
+    log-probability ln((c(w1,w2)+1)/(c(w1)+V)) of each document's
+    adjacent token pairs under the corpus's own bigram model — the
+    second-order upgrade of C29's unigram filter (catches shuffled-
+    word salads that unigram mass can't).
+
+    Scale shape: one doc-keyed window builds bigrams (lead over token
+    position); bigram and unigram counts are term-keyed partial-agg
+    groupBys; the count joins are vocabulary-sized (broadcast here;
+    term-keyed shuffle joins at scale) and V rides a 1-row crossJoin.
+    The per-doc mean folds the per-bigram terms in FIXED position
+    order (collect_list → array_sort → aggregate), each term itself
+    srnd-quantized, so the double sum is bit-identical across engines
+    and partitionings — never an unordered float reduction.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "pos", F.col("w").alias("w1"), "w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
+    c1 = tok.groupBy("w").agg(F.count("*").alias("cnt1"))
+    v = tok.select(F.countDistinct("w").alias("vs"))
+    terms = (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), big["w1"] == c1["w"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            srnd(
+                F.log((F.col("cnt2") + F.lit(1.0)) / (F.col("cnt1") + F.col("vs"))),
+                8,
+            ).alias("lp"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, lp))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lp)"
+        ).alias("__s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        srnd(F.col("__s") / F.col("n_bigrams"), 4).alias("lp_mean"),
+    )

@@ -779,6 +779,53 @@ def q_sstable_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sstable_gen_diff",
+    oracle="""
+    WITH ranked AS (
+        SELECT *, row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier
+    )
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'insert' AS change
+    FROM ranked
+    WHERE rn > 2 * ((SELECT count(*) + 5 FROM supplier) // 3)
+    UNION ALL
+    SELECT 10000001 + i AS s_suppkey,
+           'Phantom#' || CAST(10000001 + i AS VARCHAR) AS s_name,
+           CAST(0 AS INTEGER) AS s_nationkey,
+           0.0 AS s_acctbal,
+           'insert' AS change
+    FROM range(0, 5) t(i)
+    """,
+)
+def q_sstable_gen_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation CDC (A11): diff the snapshot as-of generation 2
+    against as-of generation 3 — the change feed between two flush
+    boundaries, extracted from the immutable generations themselves
+    (no change log needed; the log-structured storage IS the log).
+
+    On the supplier fixture the gen-3 delta is pure inserts: the top
+    third of the key range (the writer deals sorted keys into
+    overlapping slices, gens 1-2 cover the 2w lowest keys) plus the
+    five phantom rows that gen 4 later tombstones — the oracle spells
+    both sets out. Deletes and updates are exercised with planted
+    generations in tests/test_sstable.py (the gen-4 diff is exactly
+    the five phantom deletions).
+
+    Scale: both sides are generation-pruned scans; ONE co-partitioned
+    full-outer shuffle join + row-local null-safe compare
+    (operators/versions.py::snapshot_diff).
+    """
+    from cassowary_spark.operators.versions import snapshot_diff
+    from cassowary_spark.sources.sstable_datasource import read_sstable
+
+    snap = build_sstable_snapshot(sf_dir)
+    old = read_sstable(spark, snap, max_gen="2")
+    new = read_sstable(spark, snap, max_gen="3")
+    return snapshot_diff(
+        old, new, ["s_suppkey"], ["s_name", "s_nationkey", "s_acctbal"]
+    )
+
+
+@query(
     "q_orc_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n_docs,

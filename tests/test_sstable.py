@@ -1033,3 +1033,60 @@ def test_binary_stats_requires_schema_option(spark, tmp_path):
 
     with pytest.raises(Exception, match="schema"):
         read_sstable(spark, d).collect()
+
+
+# ------------------------------------------------------------ A11 gen diff
+
+
+def test_snapshot_diff_insert_update_delete(spark, tmp_path):
+    """snapshot_diff classifies all three change kinds across planted
+    generations: gen 2 updates one row and inserts one, gen 3
+    tombstones one — each adjacent-generation diff shows exactly its
+    delta and nothing else."""
+    from cassowary_spark.operators.versions import snapshot_diff
+
+    d = str(tmp_path)
+    _write(d, 1, [_part(k, name=f"row{k}", score=float(k), ts=1) for k in range(1, 6)])
+    _write(d, 2, [_part(3, score=99.0, ts=2), _part(6, name="row6", score=6.0, ts=2)])
+    write_tombstone_generation(
+        d,
+        {"key": ["id", "LongType"],
+         "columns": [["name", "UTF8Type"], ["score", "DoubleType"]]},
+        [5],
+        generation=3,
+    )
+
+    def view(max_gen):
+        return read_sstable(spark, d, max_gen=str(max_gen))
+
+    d12 = snapshot_diff(view(1), view(2), ["id"], ["name", "score"])
+    got = {(r["id"], r["change"]) for r in d12.collect()}
+    assert got == {(3, "update"), (6, "insert")}
+    upd = {r["id"]: (r["name"], r["score"]) for r in d12.collect()}
+    assert upd[3] == ("row3", 99.0)  # update carries merged NEW values
+    assert upd[6] == ("row6", 6.0)
+
+    d23 = snapshot_diff(view(2), view(3), ["id"], ["name", "score"])
+    got = {(r["id"], r["change"], r["name"], r["score"]) for r in d23.collect()}
+    assert got == {(5, "delete", "row5", 5.0)}  # delete carries OLD values
+
+    d13 = snapshot_diff(view(1), view(3), ["id"], ["name", "score"])
+    got = {(r["id"], r["change"]) for r in d13.collect()}
+    assert got == {(3, "update"), (6, "insert"), (5, "delete")}
+
+
+def test_snapshot_diff_phantom_deletes(spark, sf_dir):
+    """On the supplier fixture, the gen-4 delta is exactly the five
+    phantom-row tombstones."""
+    from cassowary_spark.operators.versions import snapshot_diff
+    from cassowary_spark.queries.scan import build_sstable_snapshot
+
+    snap = build_sstable_snapshot(sf_dir)
+    old = read_sstable(spark, snap, max_gen="3")
+    new = read_sstable(spark, snap, max_gen="4")
+    rows = snapshot_diff(
+        old, new, ["s_suppkey"], ["s_name", "s_nationkey", "s_acctbal"]
+    ).collect()
+    assert {(r["s_suppkey"], r["change"]) for r in rows} == {
+        (10_000_001 + i, "delete") for i in range(5)
+    }
