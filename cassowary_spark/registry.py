@@ -47,7 +47,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_partitioned_lake",
     "q_ann_hamming", "q_temperature_mix", "q_postings_delta",
     "q_pq_encode", "q_recursive_cte", "q_sstable_gen_diff",
-    "q_bigram_logprob",
+    "q_bigram_logprob", "q_sstable_to_lake",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -58,7 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_lateral_explode", "q_stream_tumbling", "q_stream_sliding",
     "q_stream_session", "q_stream_dedup", "q_stream_static_join",
     # oldest r3-green keys (sstable family first — deepest custom code)
-    "q_latest_version", "q_tombstone_filter", "q_sstable_scan",
+    "q_latest_version", "q_tombstone_filter",
 )
 
 

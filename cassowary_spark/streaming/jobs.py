@@ -87,6 +87,25 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """S10: ``dropDuplicatesWithinWatermark`` — dedup by event_id where
+    only events whose EVENT TIMES land within the watermark delay of
+    each other are guaranteed deduplicated, and state for a key is
+    evicted once the watermark passes its first-seen timestamp (plus
+    delay). Unlike S5's ``dropDuplicates`` (state grows until the
+    watermark column itself expires a key — unbounded for re-sent ids
+    with fresh timestamps), this is the at-least-once-ingest dedup
+    whose state is bounded by delay × arrival rate regardless of how
+    far apart retries land, which is the only shape that survives a
+    100 TB/day firehose with replaying producers.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     """S6: stream-static join — the static side broadcasts per batch."""
     return events.join(

@@ -339,3 +339,69 @@ def test_stream_stream_outer_join_emits_nulls(spark, tmp_path):
     assert (3, None) in rows, rows  # closed unmatched view emits NULL row
     assert (4, None) not in rows, rows  # still-open views held back
     assert (5, None) not in rows, rows
+
+
+def test_dedup_within_watermark_cross_batch(spark, tmp_path):
+    """S10: dropDuplicatesWithinWatermark drops a duplicate event_id
+    arriving in a later micro-batch while both rows are inside the
+    watermark delay; a re-send far outside the delay (state already
+    evicted) passes through again."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    # batch 1: the original event + an unrelated one advancing max(ts)
+    batch1 = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (9, base + dt.timedelta(minutes=30), 2, "view", 1.0, "{}"),
+    ]
+    # batch 2: duplicate id 1 re-sent 10 min later (inside 1h delay)
+    batch2 = [(1, base + dt.timedelta(minutes=10), 1, "click", 1.0, "{}")]
+    # batch 3: far-future traffic evicts id 1's state, then batch 4
+    # re-sends id 1 — state gone, so it is emitted a second time
+    batch3 = [(8, base + dt.timedelta(hours=10), 3, "view", 1.0, "{}")]
+    batch4 = [(1, base + dt.timedelta(hours=10), 1, "click", 1.0, "{}")]
+
+    dirs = []
+    for i, rows in enumerate((batch1, batch2, batch3, batch4)):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, jobs.EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        dirs.append(d)
+
+    stream_dir = str(tmp_path / "stream")
+    cp = str(tmp_path / "cp")
+    os.makedirs(stream_dir)
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    def run_once():
+        stream = jobs.read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = (
+            jobs.dedup_events_within_watermark(stream, watermark="1 hour")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i, d in enumerate(dirs):
+        shutil.copy(
+            glob.glob(f"{d}/part-*.parquet")[0], f"{stream_dir}/{i:04d}.parquet"
+        )
+        run_once()
+
+    by_id = {}
+    for r in collected:
+        by_id.setdefault(r.event_id, []).append(r.ts)
+    assert len(by_id[9]) == 1 and len(by_id[8]) == 1
+    # id 1: emitted for batch 1, suppressed in batch 2, re-emitted in
+    # batch 4 after watermark-driven state eviction
+    assert sorted(by_id[1]) == [base, base + dt.timedelta(hours=10)], by_id
