@@ -191,3 +191,38 @@ def test_partitioned_lake_prunes_partitions(q):
     p = plan_of(q["q_partitioned_lake"])
     assert "PartitionFilters" in p
     assert "o_orderstatus" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_ann_hamming_no_exchange(q):
+    """Binary-quantized ANN is scan → broadcast(1 row) → TakeOrdered:
+    no shuffle Exchange anywhere — the whole search is map-local
+    per-partition heaps."""
+    p = plan_of(q["q_ann_hamming"])
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_sstable_to_lake_prunes_partitions(q):
+    """The lake read's nationkey predicate must prune directories."""
+    p = plan_of(q["q_sstable_to_lake"])
+    assert "PartitionFilters" in p
+    assert "s_nationkey" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_gen_diff_is_single_outer_join(q):
+    """Generation CDC is ONE full-outer join — no window, no second
+    join pass, no cartesian."""
+    p = plan_of(q["q_sstable_gen_diff"])
+    # exactly one join node ("Join type:" prints once per join detail)
+    assert p.count("Join type:") == 1
+    assert "FullOuter" in p
+    assert "Window" not in p and "CartesianProduct" not in p
+
+
+def test_pq_encode_broadcasts_codebook(q):
+    """PQ encoding must broadcast the codebook to a map-local join +
+    partial-agg argmin; the only corpus shuffle is the final groupBy."""
+    p = plan_of(q["q_pq_encode"])
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
