@@ -484,3 +484,225 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         srnd(F.col("__s") / F.col("n_bigrams"), 4).alias("lp_mean"),
     )
+
+
+# ------------------------------------------------- C48 cross-corpus novelty
+
+_NOV_K = 8  # 8-token shingles, the contamination-screen gram size
+
+
+def _duck_novelty_shingles() -> str:
+    k = _NOV_K
+    return (
+        "list_distinct(list_transform("
+        f" range(1, greatest(len(string_split(text, ' ')) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')))"
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    bg AS (
+        SELECT doc_id, unnest({_duck_novelty_shingles()}) AS g FROM batch
+    ),
+    cg AS (
+        SELECT DISTINCT unnest({_duck_novelty_shingles()}) AS g FROM corpus
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN cg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           {sql_srnd(
+               "CAST(sum(CASE WHEN cg.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / count(*)", 4)} AS novelty
+    FROM bg LEFT JOIN cg ON bg.g = cg.g
+    GROUP BY bg.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram novelty (C48): for an arriving batch (every
+    10th doc stands in), the fraction of its distinct 8-grams never
+    seen in the existing corpus — the "how much new information does
+    this crawl add" admission metric that complements C11's
+    contamination screen (C11 asks "does it overlap a blocklist";
+    this asks "does it overlap everything we already have").
+
+    Scale shape: both sides explode to per-doc-distinct grams
+    (row-local); the corpus side dedups with a map-side-combining
+    DISTINCT, then ONE gram-keyed shuffle join marks seen grams — the
+    batch side is the small stream, the corpus gram set is the big
+    build side, so at 100 TB this is the shape where the corpus grams
+    live bucketed-by-gram on disk and the batch probes them
+    shuffle-free. The per-doc rollup is a doc-keyed partial agg.
+    """
+    from cassowary_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    bg = batch.select(
+        "doc_id", F.explode(shingles("text", _NOV_K)).alias("g")
+    )
+    cg = corpus.select(F.explode(shingles("text", _NOV_K)).alias("g")).distinct()
+    seen = cg.withColumn("__seen", F.lit(1))
+    j = bg.join(seen, "g", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        srnd(
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("novelty"),
+    )
+
+
+# ------------------------------------------------- C49 embedding centering
+
+_CENTER_OUT_DIMS = 4  # components surfaced for the oracle hash
+
+
+@query(
+    "q_embed_center",
+    oracle=f"""
+    WITH comp AS (
+        SELECT i AS pos, {sql_srnd("avg(embedding[i])", 4)} AS mu
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        GROUP BY i
+    ),
+    m AS (SELECT list(mu ORDER BY pos) AS mv FROM comp),
+    cent AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) - m.mv[i]) AS c
+        FROM embeddings, m
+    ),
+    n AS (
+        SELECT vec_id, c,
+               sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm
+        FROM cent
+    )
+    SELECT vec_id,
+           {sql_srnd("nrm", 6)} AS norm,
+           {", ".join(
+               f'{sql_srnd(f"c[{i + 1}] / nrm", 6)} AS c{i}'
+               for i in range(_CENTER_OUT_DIMS)
+           )}
+    FROM n
+    """,
+)
+def q_embed_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding mean-centering + L2 renormalization (C49): subtract
+    the corpus mean vector and renormalize — the preprocessing that
+    makes C43's sign-bit quantization informative (signs of CENTERED
+    components split the corpus evenly per dim) and cosine geometry
+    isotropic. Output: the new norm and the first 4 renormalized
+    components (the value-hash surface; the full vector stays an
+    array at scale).
+
+    Scale shape: the mean is ONE (pos)-keyed shuffle whose output is
+    dim rows — corpus-independent — collapsed to a single broadcast
+    array; centering + the norm are row-local fixed-order positional
+    folds. No second corpus shuffle, nothing collected.
+
+    Determinism: mean components srnd-quantized BEFORE centering (the
+    avg is the one order-varying reduction); the norm fold is
+    positional, so identical inputs give bit-identical doubles in
+    both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(srnd(F.avg("val"), 4).alias("mu"))
+    )
+    m = comp.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("__s")
+    ).select(F.expr("transform(__s, x -> x.mu)").alias("mv"))
+    cent = e.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        F.expr(
+            "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), mv,"
+            " (a, b) -> a - b)"
+        ).alias("c"),
+    )
+    n = cent.select(
+        "vec_id",
+        "c",
+        F.sqrt(
+            F.expr(
+                "aggregate(c, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+            )
+        ).alias("nrm"),
+    )
+    return n.select(
+        "vec_id",
+        srnd("nrm", 6).alias("norm"),
+        *[
+            srnd(F.expr(f"c[{i}]") / F.col("nrm"), 6).alias(f"c{i}")
+            for i in range(_CENTER_OUT_DIMS)
+        ],
+    )
+
+
+# ------------------------------------------------- C50 token-budget trim
+
+_BUDGET_TOKENS = 20_000  # per-source token budget
+
+
+@query(
+    "q_token_budget_trim",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               md5(text) AS pri
+        FROM documents
+    ),
+    r AS (
+        SELECT *, CAST(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_toks
+        FROM t
+    )
+    SELECT doc_id, source, n_toks, cum_toks
+    FROM r WHERE cum_toks <= {_BUDGET_TOKENS}
+    """,
+)
+def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget trim (C50): keep documents per source,
+    in content-stable hash priority order, until the source's token
+    budget is spent — the BUDGET-denominated sibling of C24's count
+    cap (crawl pipelines budget tokens, not documents, because doc
+    length varies 100×). Hash priority makes the kept set identical
+    across reruns and engines regardless of arrival order.
+
+    Scale shape: token counting is row-local; ONE source-keyed
+    shuffle feeds a running-sum window; the budget predicate is a
+    row-local filter on the cumulative sum. Integer-exact end-to-end
+    — the kept row set can never flip on a float boundary.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.md5("text").alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return r.filter(F.col("cum_toks") <= _BUDGET_TOKENS).select(
+        "doc_id", "source", "n_toks", "cum_toks"
+    )

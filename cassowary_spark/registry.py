@@ -29,10 +29,11 @@ ORACLES: dict[str, str] = {}
 # then keys whose query changed this round
 # (q_dedup_clusters — CC now skips isolated vertices) and
 # q_session_capped (gained an oracle after its rows-only r4 row),
-# then the 11 keys whose latest green is CORRECTNESS_r02 (two rounds
-# stale), then the oldest r3-green keys to fill 50. The r3-green
-# keys that don't fit keep their CORRECTNESS_r03 rows and rotate in
-# next round.
+# then the r2-green keys (evidence two rounds stale) to fill 50.
+# The never-adjudicated group grew to 36 this round, so the r3-green
+# keys (and q_stream_static_join, which also has a rows-only
+# streaming pytest) keep their older green rows and rotate in next
+# round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-adjudicated — first rows
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
@@ -48,6 +49,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ann_hamming", "q_temperature_mix", "q_postings_delta",
     "q_pq_encode", "q_recursive_cte", "q_sstable_gen_diff",
     "q_bigram_logprob", "q_sstable_to_lake",
+    "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -56,9 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r2-green keys — evidence two rounds stale
     "q_scan", "q_join_anti", "q_except", "q_fn_math", "q_fn_hash",
     "q_lateral_explode", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_session", "q_stream_dedup", "q_stream_static_join",
-    # oldest r3-green keys (sstable family first — deepest custom code)
-    "q_latest_version", "q_tombstone_filter",
+    "q_stream_session", "q_stream_dedup",
 )
 
 
