@@ -706,3 +706,134 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("cum_toks") <= _BUDGET_TOKENS).select(
         "doc_id", "source", "n_toks", "cum_toks"
     )
+
+
+# ------------------------------------------------- C51 BPE merge training
+
+_BPE_STEPS = 3
+
+
+def _bpe_oracle(steps: int) -> str:
+    """Unrolled DuckDB mirror of the greedy BPE merge loop: per step,
+    count frequency-weighted adjacent symbol pairs over the current
+    vocab sequences, pick the (cnt DESC, pair ASC) argmax, and apply
+    it with the same left-greedy string fold the Spark side runs."""
+    ctes = [
+        "wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+        ") WHERE word <> '' GROUP BY word)",
+        "v1 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,"
+        " freq FROM wf)",
+    ]
+    for k in range(1, steps + 1):
+        ctes.append(
+            f"p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, freq FROM ("
+            f"SELECT string_split(seq, ' ') AS s, freq FROM v{k}"
+            f"), UNNEST(range(1, len(s))) u(i))"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt"
+            f" FROM p{k} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k + 1} AS (SELECT list_reduce(string_split(seq, ' '),"
+            f" (acc, x) -> CASE WHEN (acc = b{k}.a OR"
+            f" ends_with(acc, ' ' || b{k}.a)) AND x = b{k}.b"
+            f" THEN substr(acc, 1, length(acc) - length(b{k}.a))"
+            f" || b{k}.a || b{k}.b"
+            f" ELSE acc || ' ' || x END) AS seq, freq FROM v{k}, b{k})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt FROM b{k}"
+        for k in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@query("q_bpe_merges", oracle=_bpe_oracle(_BPE_STEPS))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (C51): run C40's pair-count argmax THREE
+    times, applying each winning merge to the vocabulary's symbol
+    sequences before recounting — the actual tokenizer-training loop,
+    producing the ordered merge table (the artifact a BPE tokenizer
+    ships). Merge application is the standard left-greedy fold:
+    "a a a" under merge (a,a) becomes "aa a", never "a aa".
+
+    Scale shape: everything runs over the VOCAB frame (one term-keyed
+    shuffle builds it; it only shrinks as merges apply), never the
+    corpus. Each step is pair-explode (map-local) → alphabet²-keyed
+    partial-agg groupBy → a 1-ROW argmax broadcast back via crossJoin
+    — the winning pair reaches the fold as a column, so no step
+    collects anything to the driver. Step count is fixed (bounded
+    plan, no convergence polling); a production trainer checkpoints
+    the vocab frame every ~50 merges to truncate lineage, the same
+    treatment as C13's connected components.
+
+    Determinism: counts are exact integers; the argmax tie-breaks on
+    the pair lexicographically; the fold orders are identical by
+    construction (probed cross-engine).
+    """
+    d = load_table(spark, sf_dir, "documents").select("text")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = wf.select(
+        F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("seq"), "freq"
+    )
+    merge_rows = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = (
+            cur.filter(F.size(F.split("seq", " ")) >= 2)
+            .select(
+                F.expr(
+                    "explode(transform(sequence(1, size(split(seq, ' ')) - 1),"
+                    " i -> struct(element_at(split(seq, ' '), i) AS a,"
+                    " element_at(split(seq, ' '), i + 1) AS b)))"
+                ).alias("p"),
+                "freq",
+            )
+            .select("p.a", "p.b", "freq")
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.col("a").alias("__ba"),
+                F.col("b").alias("__bb"),
+                F.col("cnt").alias("__bcnt"),
+            )
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("__ba").alias("left_sym"),
+                F.col("__bb").alias("right_sym"),
+                F.concat("__ba", "__bb").alias("merged"),
+                F.col("__bcnt").alias("cnt"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "aggregate(split(seq, ' '), CAST('' AS STRING), (acc, x) ->"
+                    " CASE WHEN (acc = __ba OR endswith(acc, concat(' ', __ba)))"
+                    " AND x = __bb"
+                    " THEN concat(substring(acc, 1, length(acc) - length(__ba)),"
+                    " concat(__ba, __bb))"
+                    " ELSE CASE WHEN acc = '' THEN x"
+                    " ELSE concat(acc, ' ', x) END END)"
+                ).alias("seq"),
+                "freq",
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -154,3 +154,27 @@ class TestRecursiveCte:
         total = sum(r["n_events"] for r in rows)
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         assert total == n_events
+
+
+class TestBpeMerges:
+    def test_greedy_overlap_and_ordering(self, spark, tmp_path):
+        """On a corpus of 'aaab' x3 and 'cd' x1: step 1 must merge
+        (a,a) counting overlaps (mass 6 > others) and apply it
+        left-greedily — 'a a a b' -> 'aa a b', NOT 'a aa b' — so step
+        2 sees pair (aa,a) with mass 3."""
+        rows = [("aaab aaab aaab", "en"), ("cd", "en")]
+        d = _write_docs(tmp_path, rows)
+        out = {r["step"]: r for r in QUERIES["q_bpe_merges"](spark, d).collect()}
+        s1 = out[1]
+        assert (s1["left_sym"], s1["right_sym"], s1["merged"]) == ("a", "a", "aa")
+        assert s1["cnt"] == 6  # 'a a a b' has TWO overlapping (a,a) x 3 words
+        s2 = out[2]
+        # left-greedy application: 'aa a b' => next best pair is (aa,a)
+        # with mass 3 (ties with (aa, b)? no: 'aa a b' pairs = (aa,a),(a,b))
+        assert (s2["left_sym"], s2["right_sym"]) == ("a", "b") or (
+            s2["left_sym"],
+            s2["right_sym"],
+        ) == ("aa", "a")
+        # whichever won step 2, its count must be 3 and step 3 exists
+        assert s2["cnt"] == 3
+        assert 3 in out
