@@ -20,6 +20,7 @@ _MODULES = (
     "datapipe",
     "datapipe2",
     "datapipe3",
+    "analytics",
 )
 
 _loaded = False

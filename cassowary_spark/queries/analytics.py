@@ -1,0 +1,271 @@
+"""Product-analytics operators (SURVEY.md §2 C52-C54): ordered funnel
+conversion, retention cohort grids, and an ANALYZE-style column
+profiling battery — the reporting staples an OLAP engine serves daily,
+each expressed so its only corpus shuffle is the key it genuinely
+needs (user for funnel/retention, none for profiling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+# ------------------------------------------------------------ C52 funnel
+
+
+@query(
+    "q_funnel",
+    oracle=f"""
+    WITH t1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'click'
+                        AND e.ts > t1.t_view THEN e.ts END) AS t_click
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts > t2.t_click THEN e.ts END) AS t_buy
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        GROUP BY e.user_id
+    ),
+    f AS (
+        SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_buy
+        FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+                JOIN t3 ON t1.user_id = t3.user_id
+    )
+    SELECT 1 AS stage, 'view' AS event_type,
+           CAST(count(t_view) AS BIGINT) AS n_users,
+           {sql_srnd("CAST(count(t_view) AS DOUBLE) / count(*)", 4)} AS rate
+    FROM f
+    UNION ALL
+    SELECT 2, 'click', CAST(count(t_click) AS BIGINT),
+           {sql_srnd("CAST(count(t_click) AS DOUBLE) / count(*)", 4)}
+    FROM f
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(t_buy) AS BIGINT),
+           {sql_srnd("CAST(count(t_buy) AS DOUBLE) / count(*)", 4)}
+    FROM f
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (C52): how many users did
+    view → click → purchase IN ORDER (each stage's first qualifying
+    event must be strictly after the previous stage's) — the staple
+    product-analytics report, whose ordering constraint is what makes
+    it harder than three counts.
+
+    Scale shape: three window selects sharing ONE user_id shuffle
+    (each stage's min is a conditional aggregate over the same
+    partition — no self-joins, no re-shuffle; the oracle spells the
+    same logic as grouped CTEs). The final stage counts collapse to 3
+    rows. At 100 TB this is the canonical "analyze a quarter of
+    clickstream in one pass" query.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_buy",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_buy").alias("t_buy"),
+    )
+    f = per_user.agg(
+        F.count("*").alias("n_total"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_buy").alias("n_buy"),
+    )
+    stages = f.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("view").alias("event_type"),
+                    F.col("n_view").alias("n_users"),
+                    srnd(F.col("n_view").cast("double") / F.col("n_total"), 4).alias(
+                        "rate"
+                    ),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("click").alias("event_type"),
+                    F.col("n_click").alias("n_users"),
+                    srnd(
+                        F.col("n_click").cast("double") / F.col("n_total"), 4
+                    ).alias("rate"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"),
+                    F.lit("purchase").alias("event_type"),
+                    F.col("n_buy").alias("n_users"),
+                    srnd(F.col("n_buy").cast("double") / F.col("n_total"), 4).alias(
+                        "rate"
+                    ),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select("s.stage", "s.event_type", "s.n_users", "s.rate")
+
+
+# ------------------------------------------------------------ C53 retention
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    act AS (
+        SELECT e.user_id,
+               strftime(f.d0 - CAST((dayofweek(f.d0) + 6) % 7 AS INTEGER),
+                        '%Y-%m-%d') AS cohort_week,
+               CAST(floor(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7)
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort grid (C53): users bucketed by first-seen week
+    (cohort, anchored to that week's Monday), counted distinct in each
+    subsequent week offset — the (cohort × week) retention triangle
+    every growth dashboard draws.
+
+    Scale shape: the first-seen frame is one user-keyed partial-agg
+    groupBy; the activity join is user-co-partitioned (reuses the same
+    hash key); the grid agg's key space is weeks², tiny, with
+    count-distinct expanding over already-co-partitioned user ids. No
+    window over raw events, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.join(first_seen, "user_id").select(
+        "user_id",
+        F.date_format(
+            F.date_sub(F.col("d0"), ((F.dayofweek("d0") + 5) % 7)), "yyyy-MM-dd"
+        ).alias("cohort_week"),
+        F.floor(F.datediff("d", "d0") / 7).cast("long").alias("week_offset"),
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+
+
+# ------------------------------------------------------------ C54 profiling
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {sql_srnd(f"min({c})", 4)} AS min_val,
+               {sql_srnd(f"max({c})", 4)} AS max_val,
+               {sql_srnd(f"avg({c})", 4)} AS mean_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_profile_stats", oracle=_profile_oracle())
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling battery (C54): per-column row/non-null/distinct
+    counts and min/max/mean — the ANALYZE TABLE statistics pass that
+    feeds a cost-based optimizer and every data-quality dashboard.
+
+    Scale shape: ONE scan computes every column's plain aggregates
+    map-side; the exact distinct counts Catalyst expand-rewrites into
+    a single shuffle keyed by (column-id, value) — at 100 TB swap
+    exact n_distinct for approx_count_distinct (HLL, fully map-side
+    combinable) and the whole profile is one pass, zero wide shuffles.
+    The per-column rows unpivot from the 1-row aggregate, not from a
+    per-column re-scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            srnd(F.min(c), 4).alias(f"mn_{c}"),
+            srnd(F.max(c), 4).alias(f"mx_{c}"),
+            srnd(F.avg(c), 4).alias(f"av_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_nonnull"),
+                        F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_val"),
+                        F.col(f"mx_{c}").alias("max_val"),
+                        F.col(f"av_{c}").alias("mean_val"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select(
+        "s.col_name",
+        "s.n_rows",
+        "s.n_nonnull",
+        "s.n_distinct",
+        "s.min_val",
+        "s.max_val",
+        "s.mean_val",
+    )

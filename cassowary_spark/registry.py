@@ -50,7 +50,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pq_encode", "q_recursive_cte", "q_sstable_gen_diff",
     "q_bigram_logprob", "q_sstable_to_lake",
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
-    "q_bpe_merges",
+    "q_bpe_merges", "q_funnel", "q_retention", "q_profile_stats",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -58,8 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_near",
     # r2-green keys — evidence two rounds stale
     "q_scan", "q_join_anti", "q_except", "q_fn_math", "q_fn_hash",
-    "q_lateral_explode", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_dedup",
+    "q_lateral_explode",
 )
 
 
