@@ -226,3 +226,25 @@ def test_pq_encode_broadcasts_codebook(q):
     p = plan_of(q["q_pq_encode"])
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_cache_table_in_memory_scan(spark):
+    """Shark's signature CACHE TABLE: a cached temp view must serve
+    subsequent queries from the in-memory columnar relation (the
+    Spark lineage of Shark's cached RDD tables), not re-scan parquet."""
+    from cassowary_spark.tables import load_table
+
+    load_table(spark, SF, "nation").createOrReplaceTempView("nation_cached")
+    spark.catalog.cacheTable("nation_cached")
+    try:
+        df = spark.sql(
+            "SELECT n_regionkey, count(*) AS n FROM nation_cached GROUP BY n_regionkey"
+        )
+        df.collect()  # materialize the cache
+        p = plan_of(df)
+        # the aggregate reads "Scan In-memory table"; the parquet scan
+        # appears only as the InMemoryRelation's build lineage
+        assert "Scan In-memory table" in p
+        assert "InMemoryRelation" in p
+    finally:
+        spark.catalog.uncacheTable("nation_cached")
