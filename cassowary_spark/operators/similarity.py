@@ -368,3 +368,145 @@ def quantized_cosine_topk(
         ),
     )
     return scored.orderBy(F.col("cos_q").desc(), F.col(id_col)).limit(k)
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec_col: str,
+    k: int,
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    n_sub: int = 4,
+    cand_rank: int = 100,
+) -> DataFrame:
+    """IVFPQ ANN (the FAISS-style full pipeline): IVF coarse probe →
+    product-quantized asymmetric-distance shortlist → exact re-rank.
+
+    1. ``ivf_assign`` buckets the corpus (cosine routing, scale-
+       invariant); the query probes its ``nprobe`` nearest lists.
+    2. A per-subspace codebook (k_centroids codes = per-cluster
+       sub-centroids) PQ-encodes the PROBED rows only; the shortlist
+       keeps every row whose asymmetric distance RANKS ≤ cand_rank —
+       rank(), not row_number(), so distance ties are never cut (a
+       vector sharing the query's exact codes cannot be dropped, which
+       is what makes the planted-recall gate structural).
+    3. Exact cosine re-ranks the shortlist to the final top-k.
+
+    Scale shape: centroids and codebooks are K×dim / K×n_sub×subdim
+    broadcasts (corpus-independent); encoding touches only the probed
+    ~nprobe/K of the corpus; the asymmetric distance is a broadcast
+    lookup join against an (n_sub × K)-row query-distance table, so
+    candidate scoring reads 4 SMALL codes per vector, not 64 floats —
+    at 100 TB the PQ codes are the only per-row bytes the shortlist
+    pass touches. The rank window runs over one query's candidate
+    set (per-query partition when batched).
+    """
+    assigned, centroids = ivf_assign(corpus, id_col, vec_col, k_centroids)
+
+    # --- probe: nprobe nearest lists by cosine (K-row broadcast)
+    cents_n = centroids.withColumn("_cn", l2_norm(F.col("cvec")))
+    qn = query.withColumn("_qd", as_double(query_vec_col)).withColumn(
+        "_qn", l2_norm(F.col("_qd"))
+    )
+    qc = qn.crossJoin(F.broadcast(cents_n)).select(
+        F.col(query_vec_col), F.col("_qd"), F.col("cid"),
+        (dot(F.col("_qd"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("csim"),
+    )
+    probes = (
+        qc.orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid", query_vec_col, "_qd")
+    )
+
+    # --- per-subspace codebook: code id = cluster id, vector = the
+    # cluster's element-wise mean subvector (K codes per subspace)
+    subs = assigned.select(
+        F.col(id_col).alias("__sid"),
+        F.col("cid").alias("code"),
+        F.expr(
+            f"posexplode(transform(sequence(0, {n_sub - 1}),"
+            f" s -> slice(transform({vec_col}, x -> CAST(x AS DOUBLE)),"
+            f" s * (size({vec_col}) div {n_sub}) + 1,"
+            f" size({vec_col}) div {n_sub})))"
+        ).alias("s", "sv"),
+    )
+    cb = (
+        subs.select("code", "s", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("code", "s", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("code", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("__c"))
+        .select("code", "s", F.expr("transform(__c, x -> x.cv)").alias("cvec_sub"))
+    )
+
+    # --- query-side distance table: d2(query subvector, every code)
+    qsubs = probes.select(
+        "cid",
+        F.expr(
+            f"posexplode(transform(sequence(0, {n_sub - 1}),"
+            f" s -> slice(_qd, s * (size(_qd) div {n_sub}) + 1,"
+            f" size(_qd) div {n_sub})))"
+        ).alias("s", "qsv"),
+    ).select("cid", "s", "qsv")
+    qd = qsubs.join(F.broadcast(cb), "s").select(
+        "cid",
+        "s",
+        "code",
+        F.expr(
+            "aggregate(zip_with(qsv, cvec_sub, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("qdist"),
+    ).select("s", "code", "qdist").distinct()
+
+    # --- PQ-encode the probed rows only, then asymmetric distance
+    cand = assigned.join(F.broadcast(probes.select("cid")), "cid")
+    cand_subs = cand.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(
+            f"posexplode(transform(sequence(0, {n_sub - 1}),"
+            f" s -> slice(transform({vec_col}, x -> CAST(x AS DOUBLE)),"
+            f" s * (size({vec_col}) div {n_sub}) + 1,"
+            f" size({vec_col}) div {n_sub})))"
+        ).alias("s", "sv"),
+    )
+    enc = cand_subs.join(F.broadcast(cb), "s").select(
+        F.col(id_col),
+        "s",
+        "code",
+        F.expr(
+            "aggregate(zip_with(sv, cvec_sub, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    codes = (
+        enc.groupBy(id_col, "s")
+        .agg(F.min(F.struct("d2", "code")).alias("__m"))
+        .select(id_col, "s", F.col("__m.code").alias("code"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qdist").alias("adc"))
+    )
+    wq = Window.partitionBy(F.lit(0)).orderBy(F.col("adc").asc())
+    shortlist = adc.withColumn("__r", F.rank().over(wq)).filter(
+        F.col("__r") <= cand_rank
+    ).select(id_col)
+
+    # --- exact re-rank of the shortlist
+    final = (
+        cand.join(shortlist, id_col)
+        .crossJoin(F.broadcast(qn.select("_qd", "_qn")))
+        .select(
+            F.col(id_col),
+            (
+                dot(as_double(vec_col), F.col("_qd"))
+                / (l2_norm(as_double(vec_col)) * F.col("_qn"))
+            ).alias("cos_sim"),
+        )
+    )
+    return final.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

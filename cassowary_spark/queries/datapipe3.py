@@ -1,16 +1,14 @@
 """Training-data pipeline operators, round 5 third wave (SURVEY.md §2
-C43-C46 + B42).
+C43-C51 + B42).
 
-Five more first-class ops: binary (sign-bit) embedding quantization
-with Hamming-distance top-k — the 64x-compressed candidate-retrieval
-path modern vector stores run before exact re-ranking; temperature-
-scaled source mixing (the multilingual-LM sampling rule: weight
-∝ mass^alpha); gap/delta encoding of inverted-index postings (the
-layout step that makes posting lists compressible); product-
-quantization encoding (per-subspace nearest-centroid codes — the PQ
-half of an IVFPQ index, completing C22/C36's IVF half); and the
-WITH RECURSIVE SQL surface (Spark 4 recursive CTEs) driving a date
-spine + left-join fact rollup.
+Binary (sign-bit) embedding quantization with Hamming-distance top-k;
+temperature-scaled source mixing (weight ∝ mass^alpha); gap/delta
+encoding of inverted-index postings; product-quantization encoding
+(the PQ half of an IVFPQ index, completing C22/C36's IVF half); the
+WITH RECURSIVE SQL surface (Spark 4 recursive CTEs); bigram-LM
+conditional log-prob scoring; cross-corpus n-gram novelty; corpus
+mean-centering with L2 renorm; per-source token-budget trimming; and
+three-round greedy BPE merge training.
 
 Same determinism discipline as datapipe.py/datapipe2.py: integer
 arithmetic wherever a comparison or row-set membership depends on it,

@@ -418,6 +418,28 @@ def q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
 
 
+@query("q_ann_ivfpq_planted", oracle=_ANN_PLANTED_SQL)
+def q_ann_ivfpq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ end-to-end recall gate (C55): the full FAISS-style
+    pipeline — IVF coarse probe, product-quantized asymmetric-distance
+    shortlist, exact cosine re-rank — against the planted brute-force
+    oracle. Recall is structural, not probabilistic: the planted
+    copies share the query's cosine centroid ranking (probe keeps
+    them), quantize to the query's own PQ codes (their asymmetric
+    distance is the global minimum), and the shortlist cuts by
+    rank() — ties at the minimum are never dropped — so all ten reach
+    the exact re-rank, which must score them 1.0.
+    """
+    from cassowary_spark.operators.similarity import ann_ivfpq_topk
+
+    corpus, qdf = _ann_planted_corpus(spark, sf_dir)
+    topk = ann_ivfpq_topk(
+        corpus, qdf, "vec_id", "v", "qv", k=10,
+        k_centroids=8, nprobe=2, n_sub=4, cand_rank=100,
+    )
+    return topk.select("vec_id", srnd("cos_sim", 4).alias("cos_sim"))
+
+
 def build_ivf_index(spark: SparkSession, sf_dir: str, k_centroids: int = 8) -> str:
     """Build-once IVF index over embeddings (cached per sf_dir).
 

@@ -51,6 +51,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bigram_logprob", "q_sstable_to_lake",
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
     "q_bpe_merges", "q_funnel", "q_retention", "q_profile_stats",
+    "q_ann_ivfpq_planted",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
@@ -58,7 +59,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_near",
     # r2-green keys — evidence two rounds stale
     "q_scan", "q_join_anti", "q_except", "q_fn_math", "q_fn_hash",
-    "q_lateral_explode",
 )
 
 
