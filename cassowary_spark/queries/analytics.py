@@ -269,3 +269,110 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s.max_val",
         "s.mean_val",
     )
+
+
+# ------------------------------------------------- B43 multi-insert fan-out
+
+
+@query(
+    "q_multi_insert",
+    oracle=f"""
+    SELECT 'by_type' AS sink, event_type AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_srnd("sum(value)", 2)} AS total
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_hour', CAST(hour(ts) AS VARCHAR),
+           CAST(count(*) AS BIGINT),
+           {sql_srnd("sum(value)", 2)}
+    FROM events GROUP BY hour(ts)
+    """,
+)
+def q_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-insert fan-out (B43): Hive's ``FROM src INSERT ... INSERT
+    ...`` — ONE scan of the fact table feeding two differently-grouped
+    sinks (per-type and per-hour rollups), here unioned into a tagged
+    result so the oracle can gate both branches.
+
+    Scale shape: the source is scanned once and cached (Shark's CACHE
+    TABLE lineage — the InMemoryRelation serves both branches, plan-
+    asserted for the cached path in tests/test_plans.py); each branch
+    is an ordinary partial+final agg on a tiny key space. At 100 TB
+    multi-insert halves the dominant cost (the scan) versus running
+    the two reports separately.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ev = ev.cache()
+    by_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), srnd(F.sum("value"), 2).alias("total")
+    ).select(
+        F.lit("by_type").alias("sink"),
+        F.col("event_type").alias("grp"),
+        "n",
+        "total",
+    )
+    by_hour = ev.groupBy(F.hour("ts").alias("h")).agg(
+        F.count("*").alias("n"), srnd(F.sum("value"), 2).alias("total")
+    ).select(
+        F.lit("by_hour").alias("sink"),
+        F.col("h").cast("string").alias("grp"),
+        "n",
+        "total",
+    )
+    return by_type.unionByName(by_hour)
+
+
+# ------------------------------------------------- B44 IGNORE NULLS windows
+
+
+@query(
+    "q_window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER w AS carried,
+           first_value(v IGNORE NULLS) OVER w AS first_seen,
+           nth_value(v, 2 IGNORE NULLS) OVER w AS second_seen
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window battery (B44): last_value (LOCF carry-
+    forward), first_value, and nth_value over a running frame where
+    'error' rows null out the measure — the observe-through-gaps
+    semantics sensor and clickstream pipelines lean on (C12's gap
+    fill uses the same last(ignorenulls) primitive on a joined spine;
+    this exercises the full IGNORE NULLS surface directly).
+
+    Scale shape: all three functions share ONE user-keyed window
+    shuffle and one running frame — no joins, no spine.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("carried"),
+        F.first("v", ignorenulls=True).over(w).alias("first_seen"),
+        F.nth_value("v", 2, ignoreNulls=True).over(w).alias("second_seen"),
+    )
