@@ -376,3 +376,38 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(w).alias("first_seen"),
         F.nth_value("v", 2, ignoreNulls=True).over(w).alias("second_seen"),
     )
+
+
+# ------------------------------------------------- B45 LATERAL subquery
+
+
+_LATERAL_SQL = """
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_extendedprice
+    FROM orders o,
+         LATERAL (
+             SELECT l_linenumber, l_extendedprice
+             FROM lineitem
+             WHERE l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber
+             LIMIT 2
+         ) AS l
+    WHERE o.o_totalprice > 400000
+"""
+
+
+@query("q_lateral_subquery", oracle=_LATERAL_SQL)
+def q_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (B45): for each qualifying order,
+    its top-2 lineitems by price — the correlated per-row-top-k SQL
+    surface (Spark 3.2+ LATERAL joins; DuckDB runs the identical
+    text). The classic pre-LATERAL rewrite is the window row_number
+    pattern (B29); here the engine's decorrelator does it.
+
+    Scale shape: Catalyst rewrites the correlated LIMIT into a
+    windowed rank over the l_orderkey-keyed join — one key shuffle,
+    WindowGroupLimit prunes past k; the orders filter pushes to the
+    scan, so only qualifying keys join at all.
+    """
+    for t in ["orders", "lineitem"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

@@ -52,13 +52,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
     "q_bpe_merges", "q_funnel", "q_retention", "q_profile_stats",
     "q_ann_ivfpq_planted", "q_multi_insert", "q_window_ignore_nulls",
+    "q_lateral_subquery",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
     "q_dedup_clusters", "q_session_capped", "q_dedup_ngram",
     "q_dedup_near",
     # r2-green keys — evidence two rounds stale
-    "q_scan", "q_join_anti", "q_except",
+    "q_scan", "q_join_anti",
 )
 
 
