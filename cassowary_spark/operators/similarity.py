@@ -404,7 +404,19 @@ def ann_ivfpq_topk(
     pass touches. The rank window runs over one query's candidate
     set (per-query partition when batched).
     """
-    assigned, centroids = ivf_assign(corpus, id_col, vec_col, k_centroids)
+    # lloyd_iters=0: the coarse stage uses the seed assignment as-is —
+    # the PQ codebook below IS a per-cluster mean (the Lloyd M-step),
+    # so refining the coarse centroids first would run the same
+    # corpus passes twice for marginal routing quality.
+    assigned, centroids = ivf_assign(
+        corpus, id_col, vec_col, k_centroids, lloyd_iters=0
+    )
+    # the assignment feeds BOTH the codebook build and the candidate
+    # probe — cache it so its lineage computes once, not once per
+    # consumer. In the offline production layout this is the persisted
+    # partitioned-by-cluster index (write_ivf_index); caching is its
+    # in-session stand-in.
+    assigned = assigned.cache()
 
     # --- probe: nprobe nearest lists by cosine (K-row broadcast)
     cents_n = centroids.withColumn("_cn", l2_norm(F.col("cvec")))

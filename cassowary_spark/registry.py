@@ -29,11 +29,11 @@ ORACLES: dict[str, str] = {}
 # then keys whose query changed this round
 # (q_dedup_clusters — CC now skips isolated vertices) and
 # q_session_capped (gained an oracle after its rows-only r4 row),
-# then the r2-green keys (evidence two rounds stale) to fill 50.
-# The never-adjudicated group grew to 36 this round, so the r3-green
-# keys (and q_stream_static_join, which also has a rows-only
-# streaming pytest) keep their older green rows and rotate in next
-# round.
+# then as many r2-green keys (evidence two rounds stale) as fit.
+# The never-adjudicated group grew to 44 this round, so only two r2
+# keys fit; the remaining r2/r3-green keys (several of which also
+# carry streaming-equivalence or plan pytests) keep their older green
+# rows and rotate in next round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-adjudicated — first rows
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
