@@ -411,3 +411,181 @@ def q_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ["orders", "lineitem"]:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+# ------------------------------------------------- C56 distribution drift
+
+
+@query(
+    "q_distribution_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    c AS (
+        SELECT term,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        FROM tok GROUP BY term
+    ),
+    t AS (
+        SELECT CAST(sum(c_a) AS DOUBLE) AS n_a,
+               CAST(sum(c_b) AS DOUBLE) AS n_b,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM c
+    )
+    SELECT term, c_a, c_b,
+           {sql_srnd(
+               "((c_a + 1.0) / (t.n_a + t.v))"
+               " * ln(((c_a + 1.0) / (t.n_a + t.v))"
+               " / ((c_b + 1.0) / (t.n_b + t.v)))", 8)} AS kl_term
+    FROM c, t
+    """,
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift report (C56): per-term KL-divergence
+    contributions between two corpus halves (doc-id parity stands in
+    for "yesterday's crawl vs today's") with add-1 smoothing over the
+    joint vocabulary — the drift monitor a data pipeline runs before
+    admitting a new batch; Σ kl_term is KL(A‖B), and the biggest
+    per-term contributors ARE the drift explanation.
+
+    Scale shape: one term-keyed partial-agg groupBy builds both halves'
+    counts in the same frame (conditional sums — the two distributions
+    never shuffle separately); totals ride a 1-row broadcast crossJoin;
+    the per-term KL is row-local. Counts are integer-exact; the only
+    floats are the final ratio/ln per row, srnd-quantized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    c = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c_b"),
+    )
+    t = c.agg(
+        F.sum("c_a").cast("double").alias("n_a"),
+        F.sum("c_b").cast("double").alias("n_b"),
+        F.count("*").cast("double").alias("v"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    p = (F.col("c_a") + F.lit(1.0)) / (F.col("n_a") + F.col("v"))
+    q_ = (F.col("c_b") + F.lit(1.0)) / (F.col("n_b") + F.col("v"))
+    return j.select(
+        "term", "c_a", "c_b", srnd(p * F.log(p / q_), 8).alias("kl_term")
+    )
+
+
+# ------------------------------------------------- C57 MAD outliers
+
+
+_MAD_K = 3.0  # flag |x - median| > K * MAD
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT user_id, {sql_srnd("quantile_cont(value, 0.5)", 4)} AS med,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, e.value, m.med, m.n,
+               abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON e.user_id = m.user_id
+    ),
+    mad AS (
+        SELECT user_id, {sql_srnd("quantile_cont(ad, 0.5)", 4)} AS mad
+        FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.value,
+           d.med, mad.mad
+    FROM dev d JOIN mad ON d.user_id = mad.user_id
+    WHERE d.n >= 10 AND mad.mad > 0
+      AND {sql_srnd("abs(d.value - d.med)", 4)} > {_MAD_K} * mad.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers (C57): events farther than
+    3 MAD from their user's median — the ROBUST sibling of C38's
+    z-score screen (a single extreme value inflates mean/stddev and
+    hides itself; median/MAD don't move).
+
+    Scale shape: two user-keyed aggregations (median, then MAD of the
+    deviations) over the same hash key — the join back is
+    co-partitioned, no second shuffle family; degenerate users
+    (n < 10 or MAD 0) are excluded so the row set is well-defined.
+    Determinism: medians and the compared deviation are srnd-quantized
+    BEFORE the threshold compare, so the flagged set can't flip on a
+    float boundary. At 100 TB exact medians become
+    ``approx_percentile`` with a widened guard band.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(
+        srnd(F.expr("percentile(value, 0.5)"), 4).alias("med"),
+        F.count("*").alias("n"),
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        srnd(F.expr("percentile(ad, 0.5)"), 4).alias("mad")
+    )
+    out = dev.join(mad, "user_id").filter(
+        (F.col("n") >= 10)
+        & (F.col("mad") > 0)
+        & (srnd(F.abs(F.col("value") - F.col("med")), 4) > _MAD_K * F.col("mad"))
+    )
+    return out.select("user_id", "event_id", "value", "med", "mad")
+
+
+# ------------------------------------------------- C58 trailing-window rate
+
+
+@query(
+    "q_trailing_rate",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing_hour
+    FROM events
+    """,
+)
+def q_trailing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window event rate (C58): per event, how many of the
+    same user's events fall in the trailing hour — the sliding-rate
+    feature (rate limiting, burst detection, velocity scoring) that a
+    tumbling window can't express because every event anchors its own
+    window.
+
+    Scale shape: ONE user-keyed window with a RANGE frame over epoch
+    seconds — the frame is computed in a single sorted pass per
+    partition (no self-join against the hour's events, which is the
+    quadratic trap); streaming's S2 sliding window approximates the
+    same signal with fixed anchors when per-event anchoring isn't
+    needed.
+
+    Determinism: the frame key is integer epoch seconds (identical
+    truncation both engines), so frame membership is exact.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_trailing_hour"),
+    )

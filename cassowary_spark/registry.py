@@ -27,13 +27,13 @@ ORACLES: dict[str, str] = {}
 # operators new this round — C25-C46 and B42 across
 # datapipe.py/datapipe2.py/datapipe3.py + the ORC/lake connectors),
 # then keys whose query changed this round
-# (q_dedup_clusters — CC now skips isolated vertices) and
-# q_session_capped (gained an oracle after its rows-only r4 row),
-# then as many r2-green keys (evidence two rounds stale) as fit.
-# The never-adjudicated group grew to 44 this round, so only two r2
-# keys fit; the remaining r2/r3-green keys (several of which also
-# carry streaming-equivalence or plan pytests) keep their older green
-# rows and rotate in next round.
+# (q_dedup_clusters — CC now skips isolated vertices; q_dedup_ngram —
+# shared hashed-shingle refactor) and q_session_capped (gained an
+# oracle after its rows-only r4 row). The never-adjudicated group
+# grew to 47 this round, filling the window: the r2/r3-green keys
+# (several also carrying streaming-equivalence or plan pytests) keep
+# their older green rows and rotate in next round; q_dedup_near
+# (rows-only) cedes its slot to its hard gate q_dedup_near_verified.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-adjudicated — first rows
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
@@ -52,14 +52,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
     "q_bpe_merges", "q_funnel", "q_retention", "q_profile_stats",
     "q_ann_ivfpq_planted", "q_multi_insert", "q_window_ignore_nulls",
-    "q_lateral_subquery",
+    "q_lateral_subquery", "q_distribution_drift", "q_mad_outliers",
+    "q_trailing_rate",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
     "q_dedup_clusters", "q_session_capped", "q_dedup_ngram",
-    "q_dedup_near",
-    # r2-green keys — evidence two rounds stale
-    "q_scan", "q_join_anti",
 )
 
 
