@@ -589,3 +589,155 @@ def q_trailing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count("*").over(w).cast("long").alias("n_trailing_hour"),
     )
+
+
+# ------------------------------------------------- C59 centroid affinity
+
+
+@query(
+    "q_centroid_affinity",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, i AS pos,
+               {sql_srnd("avg(embedding[i])", 4)} AS cv
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label, list(cv ORDER BY pos) AS c FROM comp GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {sql_srnd(
+               "list_dot_product(a.c, b.c) /"
+               " (sqrt(list_dot_product(a.c, a.c))"
+               "  * sqrt(list_dot_product(b.c, b.c)))", 6)} AS cos_ab
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def q_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid affinity matrix (C59): pairwise cosine between the
+    per-label centroids — the cluster-confusability diagnostic that
+    tells an IVF/routing layer which labels to merge and a curation
+    pipeline which topic buckets overlap.
+
+    Scale shape: centroids are a labels × dim frame (one corpus
+    shuffle, C22's M-step), collapsing to K rows; the pairwise join is
+    K×K over BROADCAST rows — corpus size never touches the pair
+    stage. Upper triangle only (label_a < label_b).
+
+    Determinism: centroid components srnd-quantized first; the dot
+    products are fixed-order positional folds over identical inputs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(srnd(F.avg("val"), 4).alias("cv"))
+    )
+    cent = (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("__s"))
+        .select("label", F.expr("transform(__s, x -> x.cv)").alias("c"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    j = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dot_ab = F.expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(transform({col}, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    return j.select(
+        "label_a",
+        "label_b",
+        srnd(dot_ab / (nrm("ca") * nrm("cb")), 6).alias("cos_ab"),
+    )
+
+
+# ------------------------------------------------- C60 event transitions
+
+
+@query(
+    "q_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    t AS (SELECT from_type, sum(n) AS row_total FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           {sql_srnd("CAST(c.n AS DOUBLE) / t.row_total", 4)} AS p
+    FROM c JOIN t ON c.from_type = t.from_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (C60): first-order Markov counts
+    and row-normalized probabilities over each user's time-ordered
+    event stream — the behavioral-model input (next-action prediction,
+    anomalous-flow detection) every clickstream pipeline derives.
+
+    Scale shape: ONE user-keyed window builds the (type → next_type)
+    pairs; the count groupBy's key space is event-types², tiny, with
+    map-side combine; row totals join back on that same tiny frame.
+    Counts are integer-exact; only the final normalization is float.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return c.join(t, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        srnd(F.col("n").cast("double") / F.col("row_total"), 4).alias("p"),
+    )
+
+
+# ------------------------------------------------- B46 GROUP BY ALL
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(floor(sum(l_quantity) * 100.0 + 0.5) AS DOUBLE) / 100.0
+               AS sum_qty
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("q_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL surface (B46): the analyst-SQL
+    shorthand (Spark 3.4+; DuckDB originated it) — the IDENTICAL
+    statement text runs on both engines, grouping by every
+    non-aggregate select item and ordering by every output column.
+
+    Plans exactly like the explicit form: partial+final hash agg on
+    the two flag columns, filter pushed to the scan.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL)

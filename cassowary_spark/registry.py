@@ -26,14 +26,15 @@ ORACLES: dict[str, str] = {}
 # the four derived-invariant gates added post-r4 + the twenty-five
 # operators new this round — C25-C46 and B42 across
 # datapipe.py/datapipe2.py/datapipe3.py + the ORC/lake connectors),
-# then keys whose query changed this round
-# (q_dedup_clusters — CC now skips isolated vertices; q_dedup_ngram —
-# shared hashed-shingle refactor) and q_session_capped (gained an
-# oracle after its rows-only r4 row). The never-adjudicated group
-# grew to 47 this round, filling the window: the r2/r3-green keys
+# The never-adjudicated group reached exactly 50 this round and
+# fills the window. Three keys whose queries changed this round
+# (q_dedup_clusters — CC skips isolated vertices; q_dedup_ngram —
+# shared hashed-shingle refactor; q_session_capped — newly
+# oracle-gated) could not fit and lead the round-6 rotation; all
+# three pass local DuckDB parity this session. The r2/r3-green keys
 # (several also carrying streaming-equivalence or plan pytests) keep
-# their older green rows and rotate in next round; q_dedup_near
-# (rows-only) cedes its slot to its hard gate q_dedup_near_verified.
+# their older green rows; q_dedup_near (rows-only) cedes its slot to
+# its hard gate q_dedup_near_verified.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-adjudicated — first rows
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
@@ -53,11 +54,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_merges", "q_funnel", "q_retention", "q_profile_stats",
     "q_ann_ivfpq_planted", "q_multi_insert", "q_window_ignore_nulls",
     "q_lateral_subquery", "q_distribution_drift", "q_mad_outliers",
-    "q_trailing_rate",
+    "q_trailing_rate", "q_centroid_affinity", "q_event_transitions",
+    "q_group_by_all",
     # changed this round / newly oracle-gated — must (re-)confirm
     # (q_dedup_ngram/q_dedup_near: the shared hashed-shingle refactor
     # touched their operator internals)
-    "q_dedup_clusters", "q_session_capped", "q_dedup_ngram",
 )
 
 
