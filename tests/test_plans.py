@@ -248,3 +248,29 @@ def test_cache_table_in_memory_scan(spark):
         assert "InMemoryRelation" in p
     finally:
         spark.catalog.uncacheTable("nation_cached")
+
+
+def test_funnel_single_user_shuffle(q):
+    """The three ordered-stage minima must share ONE user_id exchange —
+    stacking a shuffle per stage is the funnel scale-killer."""
+    import re
+
+    p = plan_of(q["q_funnel"])
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2  # window + final agg
+    assert "CartesianProduct" not in p and p.count("Join type:") == 0
+
+
+def test_trailing_rate_single_window(q):
+    """Per-event trailing-hour rate must be one RANGE-frame window —
+    never a self-join against the hour's events."""
+    p = plan_of(q["q_trailing_rate"])
+    assert p.count("Join type:") == 0
+    assert "Window" in p
+
+
+def test_event_transitions_no_wide_shuffle(q):
+    """Transition matrix: the only corpus exchange is the user window;
+    the count groupBy is keyed event-types² and combines map-side."""
+    p = plan_of(q["q_event_transitions"])
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final on the pair counts
