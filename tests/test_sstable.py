@@ -1090,3 +1090,31 @@ def test_snapshot_diff_phantom_deletes(spark, sf_dir):
     assert {(r["s_suppkey"], r["change"]) for r in rows} == {
         (10_000_001 + i, "delete") for i in range(5)
     }
+
+
+def test_snapshot_diff_reconstructs_new_view(spark, sf_dir):
+    """CDC soundness: applying the diff to the old view — drop deleted
+    keys, upsert inserts/updates — must reproduce the new view exactly
+    (the invariant a downstream materialized view relies on)."""
+    from pyspark.sql import functions as F
+
+    from cassowary_spark.operators.versions import snapshot_diff
+    from cassowary_spark.queries.scan import build_sstable_snapshot
+
+    snap = build_sstable_snapshot(sf_dir)
+    cols = ["s_name", "s_nationkey", "s_acctbal"]
+    old = read_sstable(spark, snap, max_gen="2")
+    new = read_sstable(spark, snap, max_gen="4")
+    diff = snapshot_diff(old, new, ["s_suppkey"], cols)
+
+    deletes = diff.filter(F.col("change") == "delete").select("s_suppkey")
+    upserts = diff.filter(F.col("change") != "delete").select("s_suppkey", *cols)
+    rebuilt = (
+        old.join(diff.select("s_suppkey"), "s_suppkey", "left_anti")
+        .select("s_suppkey", *cols)
+        .unionByName(upserts)
+    )
+    assert deletes.count() == 0  # phantoms never visible at gen 2
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.select("s_suppkey", *cols).collect())
+    )
