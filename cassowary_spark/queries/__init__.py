@@ -21,6 +21,8 @@ _MODULES = (
     "datapipe2",
     "datapipe3",
     "analytics",
+    "retrieval",
+    "tpch",
 )
 
 _loaded = False

@@ -1,0 +1,354 @@
+"""TPC-H report battery (SURVEY.md §2 B47): the classic decision-
+support queries Q1/Q3/Q6/Q10/Q18 adapted to the fixture's star schema
+(FIXTURES.md — no partsupp, prices are doubles, dates are timestamps).
+The reference's entire purpose was running exactly this class of Hive
+reports over SSTable-backed tables (SURVEY.md §0.5); this battery
+proves the full relational surface end-to-end on the canonical
+workload rather than operator-by-operator.
+
+Float discipline: every revenue aggregate quantizes the per-row money
+expression to integer cents BEFORE summing —
+``CAST(floor(x * 100 + 0.5) AS BIGINT)`` is the same IEEE op sequence
+in Spark and DuckDB, and the subsequent sum is exact integer
+arithmetic, so group totals are bit-identical regardless of
+partitioning or summation order (an unordered double sum over 600k
+rows is NOT — SURVEY.md §5 gotchas). The final ``/ 100.0`` is a
+single deterministic division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+
+def _cents(col: Column) -> Column:
+    """Quantize a money expression to exact integer cents."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def _sql_cents(expr: str) -> str:
+    """DuckDB spelling of ``_cents`` (kept textually parallel)."""
+    return f"CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)"
+
+
+# ----------------------------------------------------- Q1 pricing summary
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)    AS sum_qty,
+           sum({_sql_cents("l_extendedprice")}) / 100.0       AS sum_base_price,
+           sum({_sql_cents("l_extendedprice * (1.0 - l_discount)")}) / 100.0
+               AS sum_disc_price,
+           sum({_sql_cents(
+               "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}) / 100.0
+               AS sum_charge,
+           floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0        AS avg_qty,
+           floor(CAST(sum({_sql_cents("l_extendedprice")}) AS DOUBLE)
+                 / count(*) / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           floor(CAST(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / count(*) / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+           count(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (B47): the canonical one-pass
+    aggregation report — 8 aggregates over 4 groups, scanning the
+    fact table once.
+
+    Scale shape: single partial+final hash agg on a 4-value key after
+    a pushed shipdate filter; every aggregate is map-side combinable
+    integer arithmetic (cents/quantity quantized per-row). This is
+    the query whole-stage codegen exists for — one tight JVM loop per
+    partition, 4-row shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("__qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("__base"),
+        F.sum(_cents(disc_price)).alias("__disc_price"),
+        F.sum(_cents(charge)).alias("__charge"),
+        F.sum(
+            F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("__disc"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__qty").alias("sum_qty"),
+        (F.col("__base") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("__disc_price") / F.lit(100.0)).alias("sum_disc_price"),
+        (F.col("__charge") / F.lit(100.0)).alias("sum_charge"),
+        srnd(F.col("__qty").cast("double") / F.col("count_order"), 4).alias(
+            "avg_qty"
+        ),
+        srnd(
+            F.col("__base").cast("double") / F.col("count_order") / F.lit(100.0),
+            4,
+        ).alias("avg_price"),
+        srnd(
+            F.col("__disc").cast("double") / F.col("count_order") / F.lit(100.0),
+            4,
+        ).alias("avg_disc"),
+        "count_order",
+    )
+
+
+# -------------------------------------------------- Q3 shipping priority
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           sum({_sql_cents("l.l_extendedprice * (1.0 - l.l_discount)")}) / 100.0
+               AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (B47): top-10 unshipped orders by
+    potential revenue for one market segment — a 3-table star join
+    feeding an aggregation feeding a top-k.
+
+    Scale shape: the segment-filtered customer side broadcasts (AQE
+    sizes it); orders⋈lineitem is the one real shuffle, co-keyed on
+    the order key so the revenue groupBy reuses the join's partitions;
+    the cut is TakeOrderedAndProject on exact integer-cent revenue
+    with an orderkey tie-break (engine-stable). Revenue ties cannot
+    flap the row set across engines because cents are exact.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    rev = joined.groupBy(
+        "l_orderkey", "o_orderdate", "o_orderpriority"
+    ).agg(
+        (
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            )
+            / F.lit(100.0)
+        ).alias("revenue")
+    )
+    return (
+        rev.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
+    )
+
+
+# -------------------------------------------------- Q6 revenue forecast
+
+
+@query(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT sum({_sql_cents("l_extendedprice * l_discount")}) / 100.0
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change (B47): a pure
+    filter-and-sum — the query that measures scan + predicate
+    throughput with zero join/shuffle noise.
+
+    Scale shape: all four predicates push to the parquet scan
+    (min/max row-group pruning on shipdate); the sum is a map-side
+    partial over integer cents collapsing to ONE row. The discount
+    BETWEEN compares the stored doubles both engines read from the
+    same parquet — identical bits, identical row set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        (
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            / F.lit(100.0)
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --------------------------------------------- Q10 returned-item report
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           sum({_sql_cents("l.l_extendedprice * (1.0 - l.l_discount)")}) / 100.0
+               AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (B47): top-20 customers by
+    revenue lost to returns in a quarter — a 4-table join with a
+    customer-keyed rollup.
+
+    Scale shape: nation broadcasts (25 rows, always); the
+    orders⋈lineitem shuffle is order-keyed, then ONE customer-keyed
+    shuffle serves both the customer join and the rollup; integer-cent
+    revenue makes the top-20 cut exact. AQE turns the quarter-filtered
+    orders side into a broadcast when it fits.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    rev = joined.groupBy(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    ).agg(
+        (
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            )
+            / F.lit(100.0)
+        ).alias("revenue")
+    )
+    return (
+        rev.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ------------------------------------------ Q18 large-volume customers
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 180
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers (B47): orders whose total
+    quantity exceeds a threshold, with their customers — the
+    aggregate-then-semi-join pattern (the HAVING output drives the
+    join, not the other way around).
+
+    Scale shape: the quantity rollup is one order-keyed partial+final
+    agg whose survivors (the HAVING cut) are a tiny frame that AQE
+    broadcasts into the orders join; customer join reuses the
+    orders-side custkey hash. Quantities are integral in the fixture,
+    so the threshold and sort keys are exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    joined = big.join(o, big["l_orderkey"] == o["o_orderkey"]).join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
