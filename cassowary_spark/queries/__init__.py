@@ -23,6 +23,7 @@ _MODULES = (
     "analytics",
     "retrieval",
     "tpch",
+    "datapipe4",
 )
 
 _loaded = False

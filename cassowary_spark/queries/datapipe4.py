@@ -1,0 +1,424 @@
+"""Round-6 second-wave pipeline operators (SURVEY.md §2 C65, C66,
+C68, A14): contrastive negative sampling, BPE tokenizer application,
+per-event EWMA velocity, and corrupt-record-tolerant CSV ingest.
+
+C66 deliberately re-derives the SAME three merge rules as C51
+(`datapipe3.q_bpe_merges`) and then applies them to the corpus — the
+train→apply handoff is the point: the merge table an offline trainer
+ships must reproduce inside the encode job, and the oracle re-derives
+it independently in DuckDB so a drift in either half fails the gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table, table_path
+
+# --------------------------------- C65 contrastive negative sampling
+
+_NEG_K = 3  # negatives per anchor
+
+
+@query(
+    "q_negative_pairs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS anchor_id, a.lang, a.r, a.n,
+               CAST(j.j AS INT) AS offset,
+               ((a.r - 1 + j.j) % a.n) + 1 AS pr,
+               a.source AS anchor_source
+        FROM ranked a, (SELECT unnest(range(1, {_NEG_K} + 1)) AS j) j
+        WHERE a.n > {_NEG_K}
+    )
+    SELECT p.anchor_id, p.offset, b.doc_id AS neg_id,
+           (b.source <> p.anchor_source) AS cross_source
+    FROM pairs p
+    JOIN ranked b ON b.lang = p.lang AND b.r = p.pr
+    """,
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (C65): for each anchor doc,
+    pick k pseudo-random same-language negatives by ring-shifting a
+    content-hash ordering — the contrastive-pair generator for
+    embedding training. Hash-ring selection (not rand()) makes the
+    pairs rerun-stable and engine-stable, the same property C6/C8
+    demand of splits; the ring guarantees every doc serves as a
+    negative exactly k times (balanced usage, no coupon-collector
+    skew), and k < |lang| guarantees no self-pairs.
+
+    Scale shape: ranking partitions by language — each window sorts
+    only its shard (distributed, unlike a global rank); the
+    ring-partner join is (lang, rank)-keyed equi, reusing the same
+    hash; the offset explode is map-local (k tiny). Output = k rows
+    per anchor. At 100 TB, sub-shard the ring by hash prefix so each
+    window sorts a bounded slice — ring adjacency within a shard is
+    still uniformly pseudo-random.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.asc("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("lang"))
+        .cast("long")
+        .alias("n"),
+    )
+    pairs = (
+        ranked.filter(F.col("n") > _NEG_K)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "lang",
+            "r",
+            "n",
+            F.col("source").alias("anchor_source"),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_NEG_K))
+            ).alias("offset"),
+        )
+        .withColumn("offset", F.col("offset").cast("int"))
+        .withColumn(
+            "pr", ((F.col("r") - 1 + F.col("offset")) % F.col("n")) + 1
+        )
+    )
+    b = ranked.select(
+        F.col("lang").alias("b_lang"),
+        F.col("r").alias("b_r"),
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("b_source"),
+    )
+    return pairs.join(
+        b,
+        (F.col("lang") == F.col("b_lang")) & (F.col("pr") == F.col("b_r")),
+    ).select(
+        "anchor_id",
+        "offset",
+        "neg_id",
+        (F.col("b_source") != F.col("anchor_source")).alias("cross_source"),
+    )
+
+
+# ------------------------------------------ C66 BPE encode (apply)
+
+_ENC_STEPS = 3
+
+
+def _bpe_encode_oracle(steps: int) -> str:
+    """DuckDB mirror: re-derive the merge table (same CTE chain as
+    C51's oracle, but carrying the word through each fold) and apply
+    it to the corpus via a word→final-sequence join."""
+    ctes = [
+        "wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+        ") WHERE word <> '' GROUP BY word)",
+        "v1 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+        " AS seq, freq FROM wf)",
+    ]
+    for k in range(1, steps + 1):
+        ctes.append(
+            f"p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, freq FROM ("
+            f"SELECT string_split(seq, ' ') AS s, freq FROM v{k}"
+            f"), UNNEST(range(1, len(s))) u(i))"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt"
+            f" FROM p{k} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k + 1} AS (SELECT word, list_reduce(string_split(seq, ' '),"
+            f" (acc, x) -> CASE WHEN (acc = b{k}.a OR"
+            f" ends_with(acc, ' ' || b{k}.a)) AND x = b{k}.b"
+            f" THEN substr(acc, 1, length(acc) - length(b{k}.a))"
+            f" || b{k}.a || b{k}.b"
+            f" ELSE acc || ' ' || x END) AS seq, freq FROM v{k}, b{k})"
+        )
+    final = f"v{steps + 1}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    , tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    enc AS (
+        SELECT t.lang,
+               length(t.word) AS n_chars,
+               len(string_split(v.seq, ' ')) AS n_toks
+        FROM tok t JOIN {final} v ON v.word = t.word
+        WHERE t.word <> ''
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+           {sql_srnd("CAST(sum(n_toks) AS DOUBLE) / sum(n_chars)", 6)}
+               AS compression
+    FROM enc GROUP BY lang
+    """
+    )
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(_ENC_STEPS))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer application (C66): train C51's three merge rules,
+    then ENCODE the corpus with them — per language, the token count
+    before (character symbols) and after (merged symbols) and the
+    compression ratio. This is the round trip a tokenizer must
+    survive: the merge table the trainer emits, applied left-greedily
+    by the encoder, over the data it was trained on.
+
+    Scale shape: training runs over the VOCAB frame exactly as C51
+    (pair explode → alphabet²-keyed argmax → 1-row broadcast fold per
+    step, vocab only shrinks). Encoding never folds per-corpus-token:
+    the corpus explode equi-joins the final word→sequence vocab map
+    (vocabulary-sized → broadcast; term-keyed shuffle at true scale),
+    and token counts are row-local integer lengths feeding a lang-
+    keyed partial agg. The expensive merge fold runs |vocab| times,
+    not |corpus| times — the whole point of word-level BPE batching.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = wf.select(
+        "word",
+        F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("seq"),
+        "freq",
+    )
+    for _step in range(_ENC_STEPS):
+        pairs = (
+            cur.filter(F.size(F.split("seq", " ")) >= 2)
+            .select(
+                F.expr(
+                    "explode(transform(sequence(1, size(split(seq, ' ')) - 1),"
+                    " i -> struct(element_at(split(seq, ' '), i) AS a,"
+                    " element_at(split(seq, ' '), i + 1) AS b)))"
+                ).alias("p"),
+                "freq",
+            )
+            .select("p.a", "p.b", "freq")
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.col("a").alias("__ba"), F.col("b").alias("__bb"))
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "word",
+            F.expr(
+                "aggregate(split(seq, ' '), CAST('' AS STRING), (acc, x) ->"
+                " CASE WHEN (acc = __ba OR endswith(acc, concat(' ', __ba)))"
+                " AND x = __bb"
+                " THEN concat(substring(acc, 1, length(acc) - length(__ba)),"
+                " concat(__ba, __bb))"
+                " ELSE CASE WHEN acc = '' THEN x"
+                " ELSE concat(acc, ' ', x) END END)"
+            ).alias("seq"),
+            "freq",
+        )
+    vocab = cur.select(
+        "word", F.size(F.split("seq", " ")).alias("n_toks")
+    )
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    enc = tok.join(F.broadcast(vocab), "word").select(
+        "lang", F.length("word").alias("n_chars"), "n_toks"
+    )
+    return enc.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_char_tokens"),
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        srnd(
+            F.sum("n_toks").cast("double") / F.sum("n_chars"), 6
+        ).alias("compression"),
+    )
+
+
+# ----------------------------------------- C68 per-event EWMA velocity
+
+
+@query(
+    "q_ewma_value",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS l1,
+               lag(value, 2) OVER w AS l2,
+               lag(value, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT event_id, user_id,
+           {sql_srnd(
+               "(8.0 * value"
+               " + 4.0 * coalesce(l1, 0.0)"
+               " + 2.0 * coalesce(l2, 0.0)"
+               " + 1.0 * coalesce(l3, 0.0))"
+               " / (8.0"
+               " + CASE WHEN l1 IS NULL THEN 0.0 ELSE 4.0 END"
+               " + CASE WHEN l2 IS NULL THEN 0.0 ELSE 2.0 END"
+               " + CASE WHEN l3 IS NULL THEN 0.0 ELSE 1.0 END)", 6)}
+               AS ewma
+    FROM lagged
+    """,
+)
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event EWMA (C68): exponentially-weighted (α=1/2, depth 4)
+    moving average of each user's event values — the smoothed
+    velocity feature next to C58's raw trailing counts (bursts show
+    before means move). The truncated-depth form is what a feature
+    store actually serves: O(1) state per event, renormalized when
+    history is short.
+
+    Determinism: the window orders by event_id (unique arrival
+    sequence — never a raw ns timestamp, whose µs-vs-ns truncation
+    differs across engines); the weighted sum is one fixed-shape
+    expression over ≤4 doubles evaluated in written order, then srnd.
+
+    Scale shape: ONE user-keyed window shuffle, single sorted pass,
+    lag state is 3 values — no self-join, no spine. Identical plan to
+    the sessionization family; at 100 TB the user key is high-card
+    and unskewed, the best possible shuffle key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+    )
+    num = (
+        F.lit(8.0) * F.col("value")
+        + F.lit(4.0) * F.coalesce("l1", F.lit(0.0))
+        + F.lit(2.0) * F.coalesce("l2", F.lit(0.0))
+        + F.lit(1.0) * F.coalesce("l3", F.lit(0.0))
+    )
+    den = (
+        F.lit(8.0)
+        + F.when(F.col("l1").isNull(), 0.0).otherwise(4.0)
+        + F.when(F.col("l2").isNull(), 0.0).otherwise(2.0)
+        + F.when(F.col("l3").isNull(), 0.0).otherwise(1.0)
+    )
+    return lagged.select(
+        "event_id", "user_id", srnd(num / den, 6).alias("ewma")
+    )
+
+
+# ------------------------------------ A14 corrupt-tolerant CSV ingest
+
+_BAD_LINES = (
+    "not-a-number,en",  # unparseable doc_id
+    "also bad",         # too few columns, unparseable
+    "1,2,3,4,5",        # too many columns (parser quarantines the row)
+)
+
+
+def build_corrupt_csv(sf_dir: str) -> str:
+    """Materialize (doc_id, lang) as a CSV with three malformed lines
+    planted mid-file (idempotent, cached beside the other corpus
+    fixtures) — the dirty hand-off file every real ingest eventually
+    receives."""
+    import pyarrow.parquet as pq
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(
+        repo_root,
+        ".sstable_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+        "corrupt_csv",
+    )
+    path = os.path.join(out, "docs.csv")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(
+        table_path(sf_dir, "documents"), columns=["doc_id", "lang"]
+    )
+    rows = list(
+        zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist())
+    )
+    mid = len(rows) // 2
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for doc_id, lang in rows[:mid]:
+            f.write(f"{doc_id},{lang}\n")
+        for line in _BAD_LINES:
+            f.write(line + "\n")
+        for doc_id, lang in rows[mid:]:
+            f.write(f"{doc_id},{lang}\n")
+    os.rename(tmp, path)
+    return out
+
+
+@query(
+    "q_csv_corrupt",
+    oracle=f"""
+    SELECT (SELECT count(*) FROM documents) AS n_good,
+           CAST({len(_BAD_LINES)} AS BIGINT) AS n_corrupt,
+           (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents)
+               AS sum_ids
+    """,
+)
+def q_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant CSV ingest (A14): read a CSV with malformed
+    lines planted mid-file under PERMISSIVE mode with an explicit
+    schema and a ``_corrupt_record`` column — the row set must
+    partition exactly into the clean rows (all fields parsed) and the
+    planted garbage (quarantined, not dropped, not crashing).
+    Checksumming doc_id over the good rows proves no clean row was
+    eaten by resync after a bad line. (An extra-column row parses its
+    leading fields but is still quarantined — the corrupt column, not
+    field nullness, is the authoritative flag.)
+
+    Scale shape: CSV scan with per-file splits; the quarantine
+    predicate is row-local; the single-row summary is a partial agg.
+    The production pattern is exactly this plus a badRecords sink:
+    quarantined rows land in a side table for replay, clean rows
+    proceed — ingest never stalls on one bad byte.
+    """
+    src = build_corrupt_csv(sf_dir)
+    df = (
+        spark.read.schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+    )
+    good = F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()
+    return df.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.countDistinct(F.when(good, F.col("lang"))).alias("n_langs"),
+        F.sum(F.when(good, F.col("doc_id"))).cast("long").alias("sum_ids"),
+    )

@@ -362,3 +362,67 @@ def view_click_join_outer(
         F.col("v.ts").alias("view_ts"),
         F.col("c.ts").alias("click_ts"),
     )
+
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """S11: per-user running totals via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    handles) that supersedes applyInPandasWithState. Each micro-batch
+    folds its rows into a ValueState of (n, sum) and emits the running
+    totals for the keys it touched (update semantics).
+
+    State is two scalars per user — bounded by key cardinality; the
+    state store shuffles by the group key exactly once. The same
+    processor gains TTL, list/map state, and timers without changing
+    the plumbing — which is why S11 exists alongside S7's older API.
+
+    Runtime dependency: the state-v2 Python runner speaks protobuf to
+    its state server; environments without ``google.protobuf`` fail
+    at query start (the matching pytest skips there and S7 remains
+    the tested stateful path).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, sum_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            if self._totals.exists():
+                prev = self._totals.get()
+                n += int(prev[0])
+                s += float(prev[1])
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -405,3 +405,49 @@ def test_dedup_within_watermark_cross_batch(spark, tmp_path):
     # id 1: emitted for batch 1, suppressed in batch 2, re-emitted in
     # batch 4 after watermark-driven state eviction
     assert sorted(by_id[1]) == [base, base + dt.timedelta(hours=10)], by_id
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to its state server;
+    without the google.protobuf package the runner cannot start."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="state-v2 runtime needs google.protobuf (absent in this env)",
+)
+def test_transform_with_state_running_totals(spark, sf_dir, events_stream_dir):
+    """S11: transformWithStateInPandas running totals — the LAST
+    update emitted per user must equal the batch groupBy totals (the
+    stream replays the same events in 4 micro-batches, so state must
+    accumulate across batches, not reset)."""
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    q = jobs.run_to_memory(
+        jobs.running_totals_tws(stream), "t_tws_totals", "update"
+    )
+    q.awaitTermination()
+    # update mode appends one row per (batch, key); keep each key's last
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC
+            ) AS rk FROM t_tws_totals
+        ) WHERE rk = 1
+        """
+    ).collect()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    )
+    got_map = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in got}
+    batch_map = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in batch}
+    assert got_map == batch_map
