@@ -1,0 +1,129 @@
+"""Planted-input tests for the second-wave operators (C65, C66, C68,
+A14) — semantics oracle parity can't pin down: negative sampling must
+be balanced and self-pair-free with small languages excluded, the BPE
+round trip must learn the hand-derivable merges and hit the exact
+compression, EWMA must renormalize short history, and the corrupt CSV
+reader must quarantine without eating neighbors.
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cassowary_spark import registry
+from cassowary_spark.registry import QUERIES
+
+registry.load_all()
+
+
+def _write_docs(tmp_path, rows):
+    """rows = (doc_id, text, lang, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    """rows = (event_id, user_id, value)."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=r[0]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+class TestNegativePairs:
+    def test_balanced_no_self_small_lang_excluded(self, spark, tmp_path):
+        """5-doc language: every anchor gets k=3 distinct negatives,
+        never itself, and ring-shifting uses every doc as a negative
+        exactly 3 times. A 2-doc language (n ≤ k) is excluded."""
+        sf = _write_docs(
+            tmp_path,
+            [(i, f"text {i}", "en", f"s{i % 2}") for i in range(5)]
+            + [(10, "tiny a", "zz", "s0"), (11, "tiny b", "zz", "s1")],
+        )
+        out = QUERIES["q_negative_pairs"](spark, sf).collect()
+        assert all(r["anchor_id"] < 10 for r in out), "small lang must drop"
+        per_anchor = collections.defaultdict(set)
+        neg_usage = collections.Counter()
+        for r in out:
+            assert r["neg_id"] != r["anchor_id"], "self-pair"
+            per_anchor[r["anchor_id"]].add(r["neg_id"])
+            neg_usage[r["neg_id"]] += 1
+        assert set(per_anchor) == set(range(5))
+        assert all(len(v) == 3 for v in per_anchor.values())
+        assert all(neg_usage[i] == 3 for i in range(5)), "ring must balance"
+
+
+class TestBpeEncode:
+    def test_hand_derivable_merges(self, spark, tmp_path):
+        """Corpus of one word 'abcd': merges must cascade
+        (a,b)→(ab,c)→(abc,d) by the lex tie-break, so every word
+        encodes to ONE token — compression exactly 1/4."""
+        sf = _write_docs(
+            tmp_path,
+            [(i, "abcd abcd abcd", "en", "s0") for i in range(4)],
+        )
+        out = QUERIES["q_bpe_encode"](spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_words"] == 12
+        assert r["n_char_tokens"] == 48
+        assert r["n_bpe_tokens"] == 12, "each word must merge to 1 token"
+        assert abs(r["compression"] - 0.25) < 1e-9
+
+
+class TestEwma:
+    def test_short_history_renormalizes(self, spark, tmp_path):
+        """First event: ewma = value exactly (weights renormalize);
+        second: (8·v2+4·v1)/12; depth caps at 4 events."""
+        sf = _write_events(
+            tmp_path, [(1, 7, 1.0), (2, 7, 2.0), (3, 7, 3.0),
+                       (4, 7, 4.0), (5, 7, 5.0)]
+        )
+        out = {
+            r["event_id"]: r["ewma"]
+            for r in QUERIES["q_ewma_value"](spark, sf).collect()
+        }
+        assert abs(out[1] - 1.0) < 1e-9
+        assert abs(out[2] - (8 * 2 + 4 * 1) / 12.0) < 1e-6
+        assert abs(out[3] - (8 * 3 + 4 * 2 + 2 * 1) / 14.0) < 1e-6
+        assert abs(out[4] - (8 * 4 + 4 * 3 + 2 * 2 + 1) / 15.0) < 1e-6
+        # event 5 drops v1 entirely — window depth is 4, not "all"
+        assert abs(out[5] - (8 * 5 + 4 * 4 + 2 * 3 + 2) / 15.0) < 1e-6
+
+
+class TestCsvCorrupt:
+    def test_quarantine_does_not_eat_neighbors(self, spark, tmp_path):
+        """With bad lines planted mid-file, every clean row must
+        survive (count + id checksum) and exactly the planted lines
+        quarantine."""
+        rows = [(i, f"w{i}", "en", "s0") for i in range(10)]
+        sf = _write_docs(tmp_path, rows)
+        out = QUERIES["q_csv_corrupt"](spark, sf).collect()[0]
+        assert out["n_good"] == 10
+        assert out["n_corrupt"] == 3
+        assert out["sum_ids"] == sum(range(10))
