@@ -422,3 +422,196 @@ def q_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(good, F.col("lang"))).alias("n_langs"),
         F.sum(F.when(good, F.col("doc_id"))).cast("long").alias("sum_ids"),
     )
+
+
+# ------------------------------------ C77 source coverage curve
+
+
+@query(
+    "q_coverage_curve",
+    oracle="""
+    WITH sw AS (
+        SELECT CAST(substr(source, 4) AS INT) AS src_rank, w
+        FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    first_seen AS (
+        SELECT w, min(src_rank) AS first_rank FROM sw GROUP BY w
+    ),
+    per_rank AS (
+        SELECT first_rank, CAST(count(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY first_rank
+    )
+    SELECT 'src' || CAST(first_rank AS VARCHAR) AS source,
+           first_rank AS src_rank,
+           n_new AS n_new_terms,
+           CAST(sum(n_new) OVER (ORDER BY first_rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_terms
+    FROM per_rank
+    """,
+)
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source coverage curve (C77): with sources in a fixed order,
+    how many NEW distinct terms each source contributes beyond all
+    earlier ones — the marginal-information curve that prices a crawl
+    source (complements C48's batch novelty: this ranks sources
+    against each other, not a batch against the corpus).
+
+    Scale shape: ONE term-keyed min-groupBy (map-side combinable —
+    min(src_rank) folds early) collapses the corpus to |vocab| rows;
+    the per-rank rollup and running sum act on ≤ #sources rows. No
+    joins, no self-comparison — the curve falls out of a single
+    aggregation because "first source" is just min(rank).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sw = d.select(
+        F.substring("source", 4, 10).cast("int").alias("src_rank"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    first_seen = sw.groupBy("w").agg(F.min("src_rank").alias("first_rank"))
+    per_rank = first_seen.groupBy("first_rank").agg(
+        F.count("*").cast("long").alias("n_new_terms")
+    )
+    w = Window.orderBy("first_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_rank.select(
+        F.concat(F.lit("src"), F.col("first_rank").cast("string")).alias(
+            "source"
+        ),
+        F.col("first_rank").alias("src_rank"),
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("long").alias("cum_terms"),
+    )
+
+
+# ------------------------------------ C81 per-user cadence quantiles
+
+
+@query(
+    "q_user_cadence",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor(date_part('epoch', lead(ts) OVER w))
+                    - floor(date_part('epoch', ts)) AS BIGINT) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    g AS (SELECT user_id, gap_s FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           {sql_srnd("quantile_cont(gap_s, 0.5)", 4)} AS median_gap_s,
+           {sql_srnd("quantile_cont(gap_s, 0.9)", 4)} AS p90_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+)
+def q_user_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cadence quantiles (C81): median / p90 / max
+    inter-event gap per user — the robust rhythm feature (bots have
+    eerily tight medians; churning users have exploding p90s) that
+    C38/C57's value-outlier screens don't see because it lives in the
+    time axis.
+
+    Determinism: gaps are integer seconds (epoch-floored on BOTH
+    engines before differencing, so µs-vs-ns timestamp resolution
+    can't skew a gap); exact linear-interpolation percentiles over
+    integers interpolate on binary-exact fractions, then srnd.
+
+    Scale shape: ONE user-keyed window (ordered by event_id) computes
+    gaps, and the same user hash serves the percentile groupBy —
+    Exchange reuse, single shuffle. Exact percentiles hold per-user
+    state = that user's gap list; at whale-user scale swap in
+    approx_percentile (mergeable sketch) — same plan, bounded state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.floor(F.unix_timestamp(F.lead("ts").over(w)))
+            - F.floor(F.unix_timestamp("ts"))
+        )
+        .cast("long")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        srnd(F.expr("percentile(gap_s, 0.5)"), 4).alias("median_gap_s"),
+        srnd(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+
+
+# ------------------------------------ A15 schema-evolution lake read
+
+
+def build_evolved_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize two parquet 'generations' of the documents table
+    with different column sets (idempotent, cached): generation 1
+    wrote (doc_id, lang), generation 2 added n_chars — the schema
+    drift every long-lived lake accumulates."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(
+        repo_root,
+        ".sstable_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+        "evolved_lake",
+    )
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "lang").write.mode("overwrite").parquet(
+        os.path.join(out, "gen=1")
+    )
+    d.select("doc_id", "lang", "n_chars").write.mode("overwrite").parquet(
+        os.path.join(out, "gen=2")
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+@query(
+    "q_schema_merge",
+    oracle="""
+    SELECT lang,
+           CAST(2 * count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_with_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution lake read (A15): read two parquet generations
+    whose schemas differ (a column added later) through
+    ``mergeSchema=true`` — old files surface the new column as NULL,
+    new files carry it, and one query spans both. This is the Hive
+    external-table reality the reference lived in: table DDL evolves,
+    files on disk don't.
+
+    Scale shape: schema merge is a footer-only planning step (reads
+    each file's parquet schema, not its data); the scan stays
+    columnar with pushdown intact, and the aggregate proves exactly
+    which generation carried the evolved column (count vs non-null
+    count). At 100 TB, pin the merged schema in a catalog instead of
+    re-inferring per query — same read path, one less planning scan.
+    """
+    lake = build_evolved_lake(spark, sf_dir)
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(lake)
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("n_chars").cast("long").alias("n_with_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

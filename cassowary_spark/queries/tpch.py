@@ -352,3 +352,112 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --------------------------------------- Q4 order-priority checking
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (B47, adapted: the fixture has
+    no commit/receipt dates, so "late" = any line shipped >60 days
+    after the order date): count a quarter's orders with at least one
+    late line, per priority — the canonical EXISTS-subquery shape.
+
+    Scale shape: Catalyst rewrites EXISTS to a LEFT SEMI join on the
+    order key — each order emits at most once no matter how many lines
+    are late; the date filter prunes orders before the join and the
+    rollup key has 5 values (map-side combine collapses it). Runs as
+    one SQL statement so the decorrelation is the planner's, not
+    hand-built.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("__q4_orders")
+    li.createOrReplaceTempView("__q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM __q4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM __q4_lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+# ------------------------------------------- Q14 promotion effect
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT
+        floor((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN {_sql_cents("l.l_extendedprice * (1.0 - l.l_discount)")}
+                   ELSE 0 END)
+               / sum({_sql_cents("l.l_extendedprice * (1.0 - l.l_discount)")}))
+              * 10000.0 + 0.5) / 10000.0 AS promo_revenue_pct,
+        sum(CASE WHEN p.p_type = 'PROMO'
+            THEN {_sql_cents("l.l_extendedprice * (1.0 - l.l_discount)")}
+            ELSE 0 END) / 100.0 AS promo_revenue,
+        count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect (B47): the share of one month's
+    revenue earned by promotional parts — a fact⋈dim join feeding a
+    conditional-aggregate ratio.
+
+    Scale shape: the month filter prunes lineitem at the scan; part is
+    the dim side (broadcast under AQE at this cardinality, hash join
+    on p_partkey beyond). Both sums ride one partial agg over integer
+    cents; the ratio is a single driver-free division on the 1-row
+    result.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    cents = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    promo_cents = F.when(F.col("p_type") == "PROMO", cents).otherwise(
+        F.lit(0)
+    )
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    agg = joined.agg(
+        F.sum(promo_cents).alias("__promo"),
+        F.sum(cents).alias("__total"),
+        F.count("*").alias("n_lines"),
+    )
+    return agg.select(
+        srnd(
+            F.lit(100.0) * F.col("__promo") / F.col("__total"), 4
+        ).alias("promo_revenue_pct"),
+        (F.col("__promo") / F.lit(100.0)).alias("promo_revenue"),
+        "n_lines",
+    )

@@ -28,17 +28,19 @@ ORACLES: dict[str, str] = {}
 # (q_dedup_clusters — CC skips isolated vertices; q_dedup_ngram —
 # shared hashed-shingle refactor; q_session_capped — newly
 # oracle-gated), then the round-6 additions (retrieval layer C61-C64 +
-# A13 + the TPC-H battery B47 + the second wave C65/C66/C68/A14),
-# then the round-5 backlog. Seventeen round-5 keys are deferred to
-# round 7 to fit the 50-key window — chosen as exactly the ones
-# already carrying dedicated local pytest gates beyond oracle parity
-# (planted-input/property/soundness tests: q_substring_dedup,
-# q_centroid_assign, q_quality_gauntlet, q_value_outliers,
-# q_graph_pagerank, q_bpe_pairs, q_bpe_merges, q_ann_hamming,
-# q_postings_delta, q_recursive_cte, q_funnel, q_retention,
-# q_sstable_gen_diff, q_trailing_rate, q_event_transitions,
-# q_pq_encode, q_zorder_layout) — so every key in this window is one
-# whose ONLY hard gate would otherwise be the driver's.
+# A13 + the TPC-H battery B47 incl. Q4/Q14 + the later waves
+# C65/C66/C68/C77/C81/A14/A15), then the round-5 backlog. Twenty-two
+# round-5 keys are deferred to round 7 to fit the 50-key window —
+# chosen as exactly the ones already carrying dedicated local pytest
+# gates beyond oracle parity (planted-input/property/soundness tests:
+# q_substring_dedup, q_centroid_assign, q_quality_gauntlet,
+# q_value_outliers, q_graph_pagerank, q_bpe_pairs, q_bpe_merges,
+# q_ann_hamming, q_postings_delta, q_recursive_cte, q_funnel,
+# q_retention, q_sstable_gen_diff, q_trailing_rate,
+# q_event_transitions, q_pq_encode, q_zorder_layout,
+# q_heavy_hitters, q_doc_chunks, q_matryoshka, q_length_band,
+# q_mad_outliers) — so every key in this window is one whose ONLY
+# hard gate would otherwise be the driver's.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # queries changed in round 5 — green rows are stale, re-confirm
     "q_dedup_clusters", "q_dedup_ngram", "q_session_capped",
@@ -47,21 +49,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rolling_distinct", "q_binary_ingest",
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
     "q_negative_pairs", "q_bpe_encode", "q_ewma_value", "q_csv_corrupt",
+    "q_tpch_q4", "q_tpch_q14", "q_coverage_curve", "q_user_cadence",
+    "q_schema_merge",
     # round-5 backlog — never adjudicated (window never ran)
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
     "q_ann_lsh_planted", "q_ann_ivf_planted",
-    "q_dedup_normalized", "q_inverted_index", "q_heavy_hitters",
+    "q_dedup_normalized", "q_inverted_index",
     "q_corpus_mix", "q_unigram_logprob", "q_skew_stats",
-    "q_compaction_plan", "q_doc_chunks",
+    "q_compaction_plan",
     "q_pmi_pairs",
-    "q_length_band", "q_matryoshka", "q_orc_roundtrip",
+    "q_orc_roundtrip",
     "q_partitioned_lake",
     "q_temperature_mix",
     "q_bigram_logprob", "q_sstable_to_lake",
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
     "q_profile_stats",
     "q_ann_ivfpq_planted", "q_multi_insert", "q_window_ignore_nulls",
-    "q_lateral_subquery", "q_distribution_drift", "q_mad_outliers",
+    "q_lateral_subquery", "q_distribution_drift",
     "q_centroid_affinity", "q_group_by_all",
 )
 

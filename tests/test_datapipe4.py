@@ -127,3 +127,58 @@ class TestCsvCorrupt:
         assert out["n_good"] == 10
         assert out["n_corrupt"] == 3
         assert out["sum_ids"] == sum(range(10))
+
+
+class TestCoverageCurve:
+    def test_planted_marginal_gains(self, spark, tmp_path):
+        """src0={a,b}, src1={b,c}, src2={a} → gains 2,1,0; the
+        zero-gain source still appears with its cumulative."""
+        sf = _write_docs(
+            tmp_path,
+            [
+                (1, "a b", "en", "src0"),
+                (2, "b c", "en", "src1"),
+                (3, "a", "en", "src2"),
+            ],
+        )
+        out = {
+            r["src_rank"]: r
+            for r in QUERIES["q_coverage_curve"](spark, sf).collect()
+        }
+        assert out[0]["n_new_terms"] == 2 and out[0]["cum_terms"] == 2
+        assert out[1]["n_new_terms"] == 1 and out[1]["cum_terms"] == 3
+        # src2 contributes nothing new -> no first_seen row for it
+        assert 2 not in out
+
+    def test_curve_totals_match_vocab(self, spark, sf_dir):
+        """The last cumulative must equal the corpus's distinct-term
+        count — the curve partitions the vocabulary exactly."""
+        rows = QUERIES["q_coverage_curve"](spark, sf_dir).collect()
+        total = sum(r["n_new_terms"] for r in rows)
+        assert rows and max(r["cum_terms"] for r in rows) == total
+
+
+class TestUserCadence:
+    def test_planted_gaps(self, spark, tmp_path):
+        """Gaps 60s,120s,600s: median 120, p90 = linear interp
+        between 120 and 600 at 0.8 of the way: 120+0.8*480=504."""
+        sf = _write_events(
+            tmp_path, [(0, 5, 1.0), (1, 5, 1.0), (3, 5, 1.0), (13, 5, 1.0)]
+        )
+        out = QUERIES["q_user_cadence"](spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_gaps"] == 3
+        assert abs(r["median_gap_s"] - 120.0) < 1e-9
+        assert abs(r["p90_gap_s"] - 504.0) < 1e-9
+        assert r["max_gap_s"] == 600
+
+
+class TestSchemaMerge:
+    def test_old_files_null_new_column(self, spark, sf_dir):
+        """Every language must show n_rows == 2 × n_with_chars: the
+        old generation lacks the evolved column entirely."""
+        out = QUERIES["q_schema_merge"](spark, sf_dir).collect()
+        assert out
+        for r in out:
+            assert r["n_rows"] == 2 * r["n_with_chars"]
