@@ -274,3 +274,58 @@ def test_event_transitions_no_wide_shuffle(q):
     p = plan_of(q["q_event_transitions"])
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # partial + final on the pair counts
+
+
+def test_tpch_q6_pushdown_and_pruning(q):
+    """Q6's four predicates must reach the parquet scan and the read
+    schema must carry exactly the four referenced columns."""
+    p = plan_of(q["q_tpch_q6"])
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual(l_shipda" in p  # shipdate range pushed
+    read = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    assert "l_returnflag" not in read and "l_tax" not in read
+
+
+def test_tpch_q3_no_sort_merge_at_fixture_scale(q):
+    """The filtered dims must broadcast (AQE) — a sort-merge join here
+    means the broadcast threshold logic regressed."""
+    p = plan_of(q["q_tpch_q3"])
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_user_cadence_single_exchange(q):
+    """The gap window and the percentile groupBy must share ONE
+    user-keyed Exchange — the single-shuffle claim in SCALE.md."""
+    p = plan_of(q["q_user_cadence"])
+    assert p.count(") Exchange") == 1
+
+
+def test_coverage_curve_partial_min(q):
+    """min(src_rank) must fold map-side: two HashAggregates (partial +
+    final) around the term-keyed exchange."""
+    p = plan_of(q["q_coverage_curve"])
+    assert p.count("HashAggregate") >= 2
+    assert "min(" in p
+
+
+def test_bm25_broadcasts_stats_no_cartesian(q):
+    """idf/avgdl are broadcast; the only joins are hash joins."""
+    p = plan_of(q["q_bm25"])
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_binary_ingest_no_shuffle(q):
+    """The binaryFile projection is row-local — no Exchange at all."""
+    p = plan_of(q["q_binary_ingest"])
+    assert "Exchange" not in p
+
+
+def test_ewma_single_window_shuffle(q):
+    """All three lags ride one user-keyed window Exchange."""
+    p = plan_of(q["q_ewma_value"])
+    assert p.count(") Exchange") == 1
+    assert p.count(") Window") == 1
