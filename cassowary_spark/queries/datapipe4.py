@@ -615,3 +615,112 @@ def q_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").cast("long").alias("n_with_chars"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ------------------------------------ C85 embedding-norm QA screen
+
+# Fixture embeddings are unit-normalized, so the screen plants its own
+# corruption (the q_ann_*_planted pattern): a hash-selected subset is
+# scaled 3x (un-normalized batch) and another zeroed (failed write) —
+# the gate is that EXACTLY the planted vectors flag.
+
+
+@query(
+    "q_embed_norm_qa",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * 3.0)
+        FROM embeddings WHERE vec_id % 97 = 3
+        UNION ALL
+        SELECT vec_id + 20000000, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.0)
+        FROM embeddings WHERE vec_id % 89 = 7
+    ),
+    n AS (
+        SELECT vec_id, label,
+               {sql_srnd(
+                   "sqrt(list_sum(list_transform(v, x -> x * x)))", 6)}
+                   AS nrm
+        FROM corpus
+    ),
+    med AS (SELECT {sql_srnd("quantile_cont(nrm, 0.5)", 6)} AS m FROM n)
+    SELECT n.vec_id, n.label, n.nrm AS norm,
+           {sql_srnd("n.nrm / med.m", 4)} AS ratio_to_median
+    FROM n, med
+    WHERE n.nrm < 0.8 * med.m OR n.nrm > 1.25 * med.m
+    """,
+)
+def q_embed_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA screen (C85): vectors whose L2 norm deviates
+    more than ±20-25% from the corpus MEDIAN norm — the cheap
+    bad-embedding detector (truncated writes, all-zero failures,
+    un-normalized mixed batches) that should run before any ANN index
+    build (C3\'/C43/C55 all assume comparable norms). The fixture\'s
+    vectors are unit-normalized, so the query plants both failure
+    modes on a hash-selected subset (3x-scaled and zeroed copies) and
+    the oracle requires exactly those to flag.
+
+    Median, not mean/std: the corrupt vectors being hunted would
+    drag a mean toward themselves; the median ignores them — and
+    exact percentile interpolation over srnd-quantized norms is
+    bit-deterministic where an unordered mean of doubles is not.
+
+    Scale shape: the norm is a row-local fixed-order positional fold
+    (scan throughput, zero shuffle); the median is one single-column
+    aggregate whose 1-row result broadcasts back; the flag predicate
+    is row-local. Swap exact median for approx_percentile at
+    billion-vector scale — same plan, mergeable state.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    scaled = e.filter(F.col("vec_id") % 97 == 3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 3.0)").alias(
+            "v"
+        ),
+    )
+    zeroed = e.filter(F.col("vec_id") % 89 == 7).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.0)").alias(
+            "v"
+        ),
+    )
+    corpus = base.unionByName(scaled).unionByName(zeroed)
+    n = corpus.select(
+        "vec_id",
+        "label",
+        srnd(
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(v, x -> x * x),"
+                    " CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+                )
+            ),
+            6,
+        ).alias("nrm"),
+    )
+    med = n.agg(srnd(F.expr("percentile(nrm, 0.5)"), 6).alias("m"))
+    return (
+        n.crossJoin(F.broadcast(med))
+        .filter(
+            (F.col("nrm") < 0.8 * F.col("m"))
+            | (F.col("nrm") > 1.25 * F.col("m"))
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("nrm").alias("norm"),
+            srnd(F.col("nrm") / F.col("m"), 4).alias("ratio_to_median"),
+        )
+    )

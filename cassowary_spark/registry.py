@@ -39,8 +39,8 @@ ORACLES: dict[str, str] = {}
 # q_retention, q_sstable_gen_diff, q_trailing_rate,
 # q_event_transitions, q_pq_encode, q_zorder_layout,
 # q_heavy_hitters, q_doc_chunks, q_matryoshka, q_length_band,
-# q_mad_outliers) — so every key in this window is one whose ONLY
-# hard gate would otherwise be the driver's.
+# q_mad_outliers, q_temperature_mix) — so every key in this window is
+# one whose ONLY hard gate would otherwise be the driver's.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # queries changed in round 5 — green rows are stale, re-confirm
     "q_dedup_clusters", "q_dedup_ngram", "q_session_capped",
@@ -50,7 +50,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
     "q_negative_pairs", "q_bpe_encode", "q_ewma_value", "q_csv_corrupt",
     "q_tpch_q4", "q_tpch_q14", "q_coverage_curve", "q_user_cadence",
-    "q_schema_merge",
+    "q_schema_merge", "q_embed_norm_qa",
     # round-5 backlog — never adjudicated (window never ran)
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
     "q_ann_lsh_planted", "q_ann_ivf_planted",
@@ -60,7 +60,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pmi_pairs",
     "q_orc_roundtrip",
     "q_partitioned_lake",
-    "q_temperature_mix",
     "q_bigram_logprob", "q_sstable_to_lake",
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
     "q_profile_stats",

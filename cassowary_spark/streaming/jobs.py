@@ -426,3 +426,38 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dynamic_gap_sessions(
+    events: DataFrame, watermark: str = "100 days"
+) -> DataFrame:
+    """S12: session windows whose gap depends on the ROW — errors
+    close after 5 minutes of silence, everything else after 30
+    (`session_window` accepts a per-row gap expression). The
+    incident-vs-browsing split a fixed gap cannot express: error
+    bursts should sessionize tightly while normal activity stays
+    coarse.
+
+    Same state shape as S3 (one open window per (user, type) key,
+    merged on overlap, closed by watermark); the dynamic gap only
+    changes each row's window END, not the state machine.
+    """
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"),
+            "user_id",
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "event_type",
+            "n_events",
+        )
+    )

@@ -451,3 +451,33 @@ def test_transform_with_state_running_totals(spark, sf_dir, events_stream_dir):
     got_map = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in got}
     batch_map = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in batch}
     assert got_map == batch_map
+
+
+def test_dynamic_gap_sessions_equals_batch(spark, sf_dir, events_stream_dir):
+    """S12: per-row gap expression (5 min for errors, 30 min
+    otherwise) must sessionize identically in streaming (complete
+    mode) and batch — and errors must produce MORE sessions per
+    (user) than a 30-minute flat gap would, proving the dynamic gap
+    actually bites."""
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _drain(
+        spark, jobs.dynamic_gap_sessions(stream), "t_dyn_sessions", "complete"
+    ).collect()
+    batch = jobs.dynamic_gap_sessions(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    key = lambda r: (r.session_start, r.session_end, r.user_id, r.event_type)
+    assert {key(r): r.n_events for r in got} == {
+        key(r): r.n_events for r in batch
+    }
+    # the 5-minute error gap must fragment error activity more than
+    # the 30-minute gap fragments the rest (per active user-type)
+    import collections
+
+    per_type = collections.Counter(r.event_type for r in batch)
+    n_users_err = len({r.user_id for r in batch if r.event_type == "error"})
+    n_users_view = len({r.user_id for r in batch if r.event_type == "view"})
+    if n_users_err and n_users_view:
+        assert (
+            per_type["error"] / n_users_err >= per_type["view"] / n_users_view
+        )
