@@ -724,3 +724,171 @@ def q_embed_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             srnd(F.col("nrm") / F.col("m"), 4).alias("ratio_to_median"),
         )
     )
+
+
+# ---------------------------------- A16 corrupt-file-tolerant scan
+
+
+def build_corrupt_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents table as parquet plus one garbage
+    file wearing a .parquet name (idempotent, cached) — the torn
+    upload / half-written object every long-lived lake accumulates."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(
+        repo_root,
+        ".sstable_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+        "corrupt_lake",
+    )
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d.write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "part-torn-upload.parquet"), "wb") as f:
+        f.write(b"PAR1this is not a real parquet footer")
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+@query(
+    "q_corrupt_files",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def q_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file-tolerant scan (A16): a parquet directory
+    containing one torn file (valid magic, garbage footer) must still
+    serve every intact row under ``ignoreCorruptFiles=true`` — the
+    file-level sibling of A14's row-level quarantine. The id checksum
+    proves no intact file was skipped along with the torn one.
+
+    Scale shape: corruption is detected per-file at footer read; the
+    skip costs one failed open, the surviving scan is unchanged
+    (columnar, pushdown intact). The production pattern pairs this
+    with a listing-reconciliation job that reports skipped files —
+    tolerate at read time, alarm out of band.
+    """
+    lake = build_corrupt_lake(spark, sf_dir)
+    df = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(lake)
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ------------------------------------- C88 k-anonymity cell screen
+
+_KANON_K = 5
+
+
+@query(
+    "q_kanon_screen",
+    oracle=f"""
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang, source
+    HAVING count(*) < {_KANON_K}
+    """,
+)
+def q_kanon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity cell screen (C88): quasi-identifier cells
+    (lang × source) holding fewer than k documents — the groups whose
+    members a release would expose to re-identification, flagged
+    BEFORE export (the privacy sibling of C10's content redaction:
+    C10 scrubs what a row says, this catches what a row's mere
+    membership reveals).
+
+    Scale shape: one (lang, source)-keyed partial-agg groupBy — counts
+    fold map-side, the HAVING cut is post-agg row-local, and output is
+    bounded by cell cardinality, never corpus size. Generalization /
+    suppression downstream consumes exactly this frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") < _KANON_K)
+    )
+
+
+# ------------------------------------------- C92 corpus card
+
+
+@query(
+    "q_corpus_card",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+    SELECT
+        (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+        (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+        (SELECT count(*) FROM tok WHERE w <> '') AS n_tokens,
+        (SELECT count(DISTINCT w) FROM tok WHERE w <> '') AS n_terms,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT text FROM documents GROUP BY text HAVING count(*) > 1
+        )) AS n_dup_texts,
+        (SELECT {sql_srnd("quantile_cont(n_chars, 0.5)", 4)}
+         FROM documents) AS median_chars
+    """,
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card (C92): the one-row dataset summary a corpus ships
+    with — doc/lang/source counts, token mass, vocabulary size,
+    exact-duplicate groups, median length. The admission report that
+    fronts every operator in the C-family; cheap enough to recompute
+    per release and diff (C56 then explains any drift).
+
+    Scale shape: one corpus scan feeds the token counts (explode +
+    partial aggs), one text-keyed shuffle finds duplicate groups, the
+    scalar stats are 1-row aggregates; the seven results join as
+    broadcast singletons. At 100 TB the distincts swap to HLL and the
+    median to approx_percentile — same card, mergeable sketches.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    scalars = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        srnd(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+    )
+    tok_stats = tok.agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_terms"),
+    )
+    dups = (
+        d.groupBy("text")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .agg(F.count("*").cast("long").alias("n_dup_texts"))
+    )
+    return (
+        scalars.crossJoin(F.broadcast(tok_stats))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "n_tokens",
+            "n_terms",
+            "n_dup_texts",
+            "median_chars",
+        )
+    )

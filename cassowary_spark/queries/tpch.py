@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassowary_spark.exprs import srnd
+from cassowary_spark.exprs import sql_srnd, srnd
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -460,4 +460,266 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         (F.col("__promo") / F.lit(100.0)).alias("promo_revenue"),
         "n_lines",
+    )
+
+
+# --------------------------------------------- Q7 volume shipping
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           sum({_sql_cents("l.l_extendedprice * (1.0 - l.l_discount)")}) / 100.0
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping (B47): trade volume between two
+    nations by year and direction — the double-dimension join where
+    the SAME dim table joins twice under different roles.
+
+    Scale shape: both nation aliases broadcast (25 rows); the
+    nation-pair disjunction prunes AFTER the cheap broadcast joins,
+    so only qualifying rows reach the (supp_nation, cust_nation,
+    year) rollup — 4 output rows. lineitem⋈orders is the one real
+    shuffle; supplier/customer ride AQE broadcasts at this scale and
+    bucket-join at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("n1_key"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("n2_key"),
+                              F.col("n_name").alias("cust_nation")))
+    joined = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        (
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            )
+            / F.lit(100.0)
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------- Q13 customer distribution
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution (B47, adapted: the join filter
+    excludes urgent orders instead of comment-pattern matching — the
+    fixture has no comments): how many customers placed 0, 1, 2, …
+    qualifying orders. The LEFT JOIN is the point: customers with no
+    orders must appear in the 0 bucket, which an inner join silently
+    drops.
+
+    Scale shape: the filtered orders side shuffles on custkey once;
+    the per-customer count and the distribution rollup are both
+    partial-aggregable; the second groupBy key (c_count) has tiny
+    cardinality, collapsing map-side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(
+        F.col("c_count").cast("long").alias("c_count")
+    ).agg(F.count("*").alias("custdist"))
+
+
+# ------------------------------------------ Q19 discounted revenue
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT sum({_sql_cents("l.l_extendedprice * (1.0 - l.l_discount)")}) / 100.0
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (B47): a disjunction of
+    brand/size/quantity envelopes spanning BOTH join sides — the
+    query that punishes engines that can't push mixed-side OR
+    predicates into a join.
+
+    Scale shape: Catalyst derives the single-side implications
+    (brand IN (..), quantity bounds, size bounds) and pushes them to
+    both scans, so the join sees pre-filtered inputs; the residual OR
+    evaluates post-join row-locally. One 1-row integer-cent partial
+    agg. part broadcasts under AQE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    env = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(env).agg(
+        (
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            )
+            / F.lit(100.0)
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------- Q22 global sales opportunity
+
+
+@query(
+    "q_tpch_q22",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {sql_srnd("avg(c_acctbal)", 4)} AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    eligible AS (
+        SELECT substr(c.c_name, 17, 2) AS cntry, c.c_acctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+    )
+    SELECT cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           sum({_sql_cents("c_acctbal")}) / 100.0 AS totacctbal
+    FROM eligible GROUP BY cntry
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (B47, adapted: the "country
+    code" is a slice of the customer name — the fixture has no phone
+    column — and "never ordered" becomes "no order since 2000", the
+    lapsed-customer reading, because every fixture customer has SOME
+    order): high-balance customers gone quiet, grouped by code. Combines a scalar subquery (the global
+    average) with NOT EXISTS (an anti join) — the two subquery shapes
+    that stress a decorrelator together.
+
+    Determinism note: the average balance is an unordered double
+    reduction, so both engines srnd it to 4 decimals BEFORE the
+    threshold compare; fixture balances carry 2 decimals and sit ~1e-7
+    apart at closest, so the rounded cut cannot flap a row.
+
+    Scale shape: the scalar average is a 1-row broadcast; NOT EXISTS
+    becomes a LEFT ANTI join on custkey against order keys only
+    (orders projects one column before shuffling); the rollup key is
+    ~100 codes. No correlated re-execution anywhere.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        srnd(F.avg("c_acctbal"), 4).alias("ab")
+    )
+    eligible = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+    )
+    return eligible.groupBy(
+        F.substring("c_name", 17, 2).alias("cntry")
+    ).agg(
+        F.count("*").cast("long").alias("numcust"),
+        (F.sum(_cents(F.col("c_acctbal"))) / F.lit(100.0)).alias(
+            "totacctbal"
+        ),
     )

@@ -39,8 +39,12 @@ ORACLES: dict[str, str] = {}
 # q_retention, q_sstable_gen_diff, q_trailing_rate,
 # q_event_transitions, q_pq_encode, q_zorder_layout,
 # q_heavy_hitters, q_doc_chunks, q_matryoshka, q_length_band,
-# q_mad_outliers, q_temperature_mix) — so every key in this window is
-# one whose ONLY hard gate would otherwise be the driver's.
+# q_mad_outliers, q_temperature_mix, q_sstable_to_lake,
+# q_partitioned_lake, q_distribution_drift, q_corpus_mix,
+# q_compaction_plan, q_skew_stats, q_profile_stats) — so every key in
+# this window is one whose ONLY hard gate would otherwise be the
+# driver's. (Deferred count is now 29; with 188 keys and a 50-slot
+# window, ~3 rounds cycle the full registry.)
 DRIVER_PRIORITY: tuple[str, ...] = (
     # queries changed in round 5 — green rows are stale, re-confirm
     "q_dedup_clusters", "q_dedup_ngram", "q_session_capped",
@@ -51,20 +55,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_negative_pairs", "q_bpe_encode", "q_ewma_value", "q_csv_corrupt",
     "q_tpch_q4", "q_tpch_q14", "q_coverage_curve", "q_user_cadence",
     "q_schema_merge", "q_embed_norm_qa",
+    "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
+    "q_corrupt_files", "q_kanon_screen", "q_corpus_card",
     # round-5 backlog — never adjudicated (window never ran)
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
     "q_ann_lsh_planted", "q_ann_ivf_planted",
     "q_dedup_normalized", "q_inverted_index",
-    "q_corpus_mix", "q_unigram_logprob", "q_skew_stats",
-    "q_compaction_plan",
+    "q_unigram_logprob",
     "q_pmi_pairs",
     "q_orc_roundtrip",
-    "q_partitioned_lake",
-    "q_bigram_logprob", "q_sstable_to_lake",
+    "q_bigram_logprob",
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
-    "q_profile_stats",
     "q_ann_ivfpq_planted", "q_multi_insert", "q_window_ignore_nulls",
-    "q_lateral_subquery", "q_distribution_drift",
+    "q_lateral_subquery",
     "q_centroid_affinity", "q_group_by_all",
 )
 

@@ -182,3 +182,69 @@ class TestSchemaMerge:
         assert out
         for r in out:
             assert r["n_rows"] == 2 * r["n_with_chars"]
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows = (orderkey, quantity, extendedprice, discount, tax)."""
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([1] * len(rows), pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array(list(range(len(rows))), pa.int32()),
+            "l_quantity": pa.array([float(r[1]) for r in rows], pa.float64()),
+            "l_extendedprice": pa.array(
+                [float(r[2]) for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "l_tax": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+            "l_shipdate": pa.array(
+                [dt.datetime(1996, 1, 1)] * len(rows), pa.timestamp("ms")
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+class TestSkewStats:
+    def test_planted_hot_key(self, spark, tmp_path):
+        """A user holding 6 of 10 rows must top the report with a 60%
+        share; equal-count keys order by user_id."""
+        rows = [(i, 99, 1.0) for i in range(6)]  # hot user 99
+        rows += [(6, 1, 1.0), (7, 2, 1.0), (8, 3, 1.0), (9, 4, 1.0)]
+        sf = _write_events(tmp_path, rows)
+        out = QUERIES["q_skew_stats"](spark, sf).collect()
+        assert out[0]["user_id"] == 99
+        assert out[0]["cnt"] == 6
+        assert abs(out[0]["share_pct"] - 60.0) < 1e-9
+        # singleton keys tie → user_id ascending
+        assert [r["user_id"] for r in out[1:]] == [1, 2, 3, 4]
+
+
+class TestProfileStats:
+    def test_planted_exact_profile(self, spark, tmp_path):
+        """Hand-computable column battery: counts, distincts, min/max,
+        mean over four planted rows."""
+        sf = _write_lineitem(
+            tmp_path,
+            [
+                (1, 10.0, 100.0, 0.0, 0.01),
+                (2, 20.0, 200.0, 0.1, 0.01),
+                (3, 20.0, 300.0, 0.2, 0.01),
+                (4, 30.0, 400.0, 0.3, 0.01),
+            ],
+        )
+        out = {
+            r["col_name"]: r
+            for r in QUERIES["q_profile_stats"](spark, sf).collect()
+        }
+        q = out["l_quantity"]
+        assert (q["n_rows"], q["n_nonnull"], q["n_distinct"]) == (4, 4, 3)
+        assert (q["min_val"], q["max_val"], q["mean_val"]) == (10.0, 30.0, 20.0)
+        d = out["l_discount"]
+        assert d["n_distinct"] == 4 and abs(d["mean_val"] - 0.15) < 1e-9
+        t = out["l_tax"]
+        assert t["n_distinct"] == 1 and t["min_val"] == t["max_val"] == 0.01
