@@ -144,12 +144,14 @@ def _bpe_encode_oracle(steps: int) -> str:
             f" FROM p{k} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"
         )
         ctes.append(
-            f"v{k + 1} AS (SELECT word, list_reduce(string_split(seq, ' '),"
-            f" (acc, x) -> CASE WHEN (acc = b{k}.a OR"
-            f" ends_with(acc, ' ' || b{k}.a)) AND x = b{k}.b"
-            f" THEN substr(acc, 1, length(acc) - length(b{k}.a))"
-            f" || b{k}.a || b{k}.b"
-            f" ELSE acc || ' ' || x END) AS seq, freq FROM v{k}, b{k})"
+            f"v{k + 1} AS (SELECT word, CASE WHEN b.a IS NULL THEN seq"
+            f" ELSE list_reduce(string_split(seq, ' '),"
+            f" (acc, x) -> CASE WHEN (acc = b.a OR"
+            f" ends_with(acc, ' ' || b.a)) AND x = b.b"
+            f" THEN substr(acc, 1, length(acc) - length(b.a))"
+            f" || b.a || b.b"
+            f" ELSE acc || ' ' || x END) END AS seq, freq"
+            f" FROM v{k} LEFT JOIN b{k} b ON true)"
         )
     final = f"v{steps + 1}"
     return (
@@ -228,16 +230,21 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.col("a").alias("__ba"), F.col("b").alias("__bb"))
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
+        # LEFT join: a converged vocab (no pairs anywhere) yields an
+        # EMPTY best frame — a crossJoin would wipe the vocabulary and
+        # silently encode nothing (both engines alike, so only the
+        # python-reference property test catches it)
+        cur = cur.join(F.broadcast(best), F.lit(True), "left").select(
             "word",
             F.expr(
-                "aggregate(split(seq, ' '), CAST('' AS STRING), (acc, x) ->"
+                "CASE WHEN __ba IS NULL THEN seq ELSE"
+                " aggregate(split(seq, ' '), CAST('' AS STRING), (acc, x) ->"
                 " CASE WHEN (acc = __ba OR endswith(acc, concat(' ', __ba)))"
                 " AND x = __bb"
                 " THEN concat(substring(acc, 1, length(acc) - length(__ba)),"
                 " concat(__ba, __bb))"
                 " ELSE CASE WHEN acc = '' THEN x"
-                " ELSE concat(acc, ' ', x) END END)"
+                " ELSE concat(acc, ' ', x) END END) END"
             ).alias("seq"),
             "freq",
         )

@@ -167,3 +167,54 @@ def q_transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return li.mapInPandas(transform, "l_orderkey long, q2 long, flag string")
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE lang = 'fr'
+    )
+    SELECT doc_id,
+           CAST(c.c AS INT) AS chunk_id,
+           array_to_string(
+               list_slice(t, (c.c * 10) + 1, (c.c + 1) * 10), ' '
+           ) AS chunk,
+           CAST(least(10, len(t) - c.c * 10) AS INT) AS n_tokens
+    FROM tk, UNNEST(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) c(c)
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered Python UDTF (U5): Spark 4's ``@udtf`` class
+    surface — a table function callable FROM SQL with lateral-join
+    semantics, the modern replacement for Hive's ``LATERAL VIEW``
+    over a Java UDTF (U3's mapInPandas is the DataFrame-side spelling;
+    this is the SQL-side one the reference's HiveQL users would
+    actually write). Splits each doc into 10-token chunks with
+    per-chunk ids — C32's chunker as a reusable SQL function.
+
+    Scale shape: the UDTF runs row-local inside the scan's partitions
+    (LATERAL join against the source — no shuffle introduced); each
+    eval yields ≤ tokens/10 rows. Arrow-batched row transport; the
+    planner treats output cardinality like any generator (explode).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 10):
+                piece = toks[i : i + 10]
+                yield i // 10, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM __udtf_docs d, LATERAL chunk_doc(d.text) c
+        """
+    )

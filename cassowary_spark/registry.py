@@ -41,10 +41,11 @@ ORACLES: dict[str, str] = {}
 # q_heavy_hitters, q_doc_chunks, q_matryoshka, q_length_band,
 # q_mad_outliers, q_temperature_mix, q_sstable_to_lake,
 # q_partitioned_lake, q_distribution_drift, q_corpus_mix,
-# q_compaction_plan, q_skew_stats, q_profile_stats) — so every key in
-# this window is one whose ONLY hard gate would otherwise be the
-# driver's. (Deferred count is now 29; with 188 keys and a 50-slot
-# window, ~3 rounds cycle the full registry.)
+# q_compaction_plan, q_skew_stats, q_profile_stats,
+# q_centroid_affinity) — so every key in this window is one whose
+# ONLY hard gate would otherwise be the driver's. (Deferred count is
+# now 30; with 189 keys and a 50-slot window, ~3 rounds cycle the
+# full registry.)
 DRIVER_PRIORITY: tuple[str, ...] = (
     # queries changed in round 5 — green rows are stale, re-confirm
     "q_dedup_clusters", "q_dedup_ngram", "q_session_capped",
@@ -57,6 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_schema_merge", "q_embed_norm_qa",
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
     "q_corrupt_files", "q_kanon_screen", "q_corpus_card",
+    "q_udtf_python",
     # round-5 backlog — never adjudicated (window never ran)
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
     "q_ann_lsh_planted", "q_ann_ivf_planted",
@@ -68,7 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
     "q_ann_ivfpq_planted", "q_multi_insert", "q_window_ignore_nulls",
     "q_lateral_subquery",
-    "q_centroid_affinity", "q_group_by_all",
+    "q_group_by_all",
 )
 
 

@@ -461,3 +461,33 @@ def dynamic_gap_sessions(
             "n_events",
         )
     )
+
+
+def view_click_join_full(
+    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """S13: stream-stream FULL OUTER interval join — unmatched VIEWS
+    emit NULL-click rows AND unmatched CLICKS emit NULL-view rows,
+    each once its side's watermark closes the possible match window.
+    The audit shape: "every view and every click accounted for,
+    matched or not" — S9b only accounts for the view side.
+
+    State bounds are identical to the inner/left joins (watermark +
+    interval per side); the extra semantics is held-back emission on
+    BOTH sides.
+    """
+    v = events.filter(F.col("event_type") == "view").withWatermark("ts", watermark).alias("v")
+    c = events.filter(F.col("event_type") == "click").withWatermark("ts", watermark).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {within}"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("v.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )

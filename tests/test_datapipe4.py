@@ -248,3 +248,44 @@ class TestProfileStats:
         assert d["n_distinct"] == 4 and abs(d["mean_val"] - 0.15) < 1e-9
         t = out["l_tax"]
         assert t["n_distinct"] == 1 and t["min_val"] == t["max_val"] == 0.01
+
+
+class TestCentroidAffinity:
+    def test_planted_orthogonal_and_identical(self, spark, tmp_path):
+        """Two labels on orthogonal axes → cosine 0; a label whose
+        centroid duplicates another's → cosine 1; the 45° label lands
+        at 1/√2. Upper triangle only (label_a < label_b)."""
+        import math
+
+        def vec(axis, n=8):
+            v = [0.0] * n
+            for a in axis:
+                v[a] = 1.0
+            return v
+
+        rows = [
+            (1, vec([0]), 0), (2, vec([0]), 0),      # centroid = e0
+            (3, vec([1]), 1), (4, vec([1]), 1),      # centroid = e1
+            (5, vec([0]), 2), (6, vec([0]), 2),      # centroid = e0 again
+            (7, vec([0, 1]), 3),                     # 45° between e0,e1
+        ]
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        out = {
+            (r["label_a"], r["label_b"]): r["cos_ab"]
+            for r in QUERIES["q_centroid_affinity"](spark, str(tmp_path)).collect()
+        }
+        assert len(out) == 6  # C(4,2) upper triangle
+        assert all(a < b for a, b in out)
+        assert abs(out[(0, 1)] - 0.0) < 1e-6
+        assert abs(out[(0, 2)] - 1.0) < 1e-6
+        assert abs(out[(1, 2)] - 0.0) < 1e-6
+        assert abs(out[(0, 3)] - 1 / math.sqrt(2)) < 1e-4

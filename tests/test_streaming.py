@@ -481,3 +481,69 @@ def test_dynamic_gap_sessions_equals_batch(spark, sf_dir, events_stream_dir):
         assert (
             per_type["error"] / n_users_err >= per_type["view"] / n_users_view
         )
+
+
+def test_stream_stream_full_outer_accounts_both_sides(spark, tmp_path):
+    """S13: FULL OUTER stream-stream join — the orphan view emits a
+    NULL-click row AND the orphan click emits a NULL-view row once
+    the watermark closes their windows; the matched pair emits
+    joined. Same 3-batch choreography as the LEFT OUTER test (each
+    watermark-advancing batch carries both event types because each
+    side's watermark is computed after its filter; eviction lands one
+    batch after the watermark moves)."""
+    import os
+
+    d = str(tmp_path / "full_stream")
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b1 = spark.createDataFrame(
+        [
+            ev(1, "2024-01-01 00:00:00", 1, "view"),
+            ev(2, "2024-01-01 00:10:00", 1, "click"),   # matches view 1
+            ev(3, "2024-01-01 00:05:00", 2, "view"),    # orphan view
+            ev(4, "2024-01-01 00:07:00", 3, "click"),   # orphan click
+        ],
+        cols,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [
+            ev(5, "2024-01-02 00:00:00", 99, "view"),
+            ev(6, "2024-01-02 00:00:00", 97, "click"),
+        ],
+        cols,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b3 = spark.createDataFrame(
+        [
+            ev(7, "2024-01-02 00:00:01", 98, "view"),
+            ev(8, "2024-01-02 00:00:01", 96, "click"),
+        ],
+        cols,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(d + f"/b{i}")
+    os.makedirs(d + "/in")
+    for i in range(3):
+        src = next(
+            f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet")
+        )
+        dst = f"{d}/in/batch{i}.parquet"
+        os.rename(f"{d}/b{i}/{src}", dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = jobs.read_events_stream(spark, d + "/in")
+    got = _drain(
+        spark,
+        jobs.view_click_join_full(
+            stream, watermark="1 hour", within="30 minutes"
+        ),
+        "t_ssfull",
+    ).collect()
+    rows = {(r.view_id, r.click_id) for r in got}
+    assert (1, 2) in rows, rows       # matched pair
+    assert (3, None) in rows, rows    # orphan view accounted
+    assert (None, 4) in rows, rows    # orphan click accounted
+    assert (5, None) not in rows, rows  # still-open windows held back
+    assert (None, 6) not in rows, rows
