@@ -1,0 +1,59 @@
+"""Shuffle-budget regression guard: every registered query's physical
+plan must stay within its checked-in Exchange budget
+(tests/plan_budgets.json, regenerated via scripts/gen_plan_budgets.py).
+
+At 100 TB an extra Exchange is the difference between a report and an
+outage; this test turns "someone's refactor added a shuffle" from a
+silent perf cliff into a red test whose fix is either restoring the
+plan or consciously committing a higher budget.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+
+import pytest
+
+from cassowary_spark import registry
+
+registry.load_all()
+
+BUDGET_PATH = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
+with open(BUDGET_PATH) as _f:
+    BUDGETS = json.load(_f)
+
+
+def _counts(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    return {
+        "exchanges": p.count(") Exchange"),
+        "cartesian": p.count(") CartesianProduct"),
+    }
+
+
+def test_every_query_has_a_budget():
+    """A new operator must land with a conscious shuffle budget."""
+    missing = sorted(set(registry.QUERIES) - set(BUDGETS))
+    assert not missing, (
+        f"queries without a plan budget: {missing} — run "
+        "scripts/gen_plan_budgets.py and review+commit the diff"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(name, spark, sf_dir):
+    if name not in registry.QUERIES:
+        pytest.skip("budget for a removed query")
+    got = _counts(registry.QUERIES[name](spark, sf_dir))
+    assert got["cartesian"] == 0, f"{name}: cartesian product appeared"
+    assert got["exchanges"] <= BUDGETS[name]["exchanges"], (
+        f"{name}: plan now has {got['exchanges']} exchanges, budget is "
+        f"{BUDGETS[name]['exchanges']} — an extra shuffle crept in "
+        "(restore the plan or consciously regen the budget)"
+    )
