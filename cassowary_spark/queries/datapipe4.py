@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
 from cassowary_spark.registry import query
-from cassowary_spark.tables import load_table, table_path
+from cassowary_spark.tables import fixture_cache_dir, load_table, table_path
 
 # --------------------------------- C65 contrastive negative sampling
 
@@ -356,15 +356,7 @@ def build_corrupt_csv(sf_dir: str) -> str:
     receives."""
     import pyarrow.parquet as pq
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    out = os.path.join(
-        repo_root,
-        ".sstable_cache",
-        os.path.basename(sf_dir.rstrip("/")),
-        "corrupt_csv",
-    )
+    out = fixture_cache_dir(sf_dir, "corrupt_csv")
     path = os.path.join(out, "docs.csv")
     if os.path.exists(path):
         return out
@@ -562,15 +554,7 @@ def build_evolved_lake(spark: SparkSession, sf_dir: str) -> str:
     with different column sets (idempotent, cached): generation 1
     wrote (doc_id, lang), generation 2 added n_chars — the schema
     drift every long-lived lake accumulates."""
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    out = os.path.join(
-        repo_root,
-        ".sstable_cache",
-        os.path.basename(sf_dir.rstrip("/")),
-        "evolved_lake",
-    )
+    out = fixture_cache_dir(sf_dir, "evolved_lake")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -740,15 +724,7 @@ def build_corrupt_lake(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the documents table as parquet plus one garbage
     file wearing a .parquet name (idempotent, cached) — the torn
     upload / half-written object every long-lived lake accumulates."""
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    out = os.path.join(
-        repo_root,
-        ".sstable_cache",
-        os.path.basename(sf_dir.rstrip("/")),
-        "corrupt_lake",
-    )
+    out = fixture_cache_dir(sf_dir, "corrupt_lake")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

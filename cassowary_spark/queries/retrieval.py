@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
 from cassowary_spark.registry import query
-from cassowary_spark.tables import load_table, table_path
+from cassowary_spark.tables import fixture_cache_dir, load_table, table_path
 
 # --------------------------------------------------------- C61 BM25
 
@@ -411,15 +411,7 @@ def build_binary_corpus(sf_dir: str) -> str:
     exists, and the input the binaryFile connector ingests."""
     import pyarrow.parquet as pq
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    out = os.path.join(
-        repo_root,
-        ".sstable_cache",
-        os.path.basename(sf_dir.rstrip("/")),
-        "binary_corpus",
-    )
+    out = fixture_cache_dir(sf_dir, "binary_corpus")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

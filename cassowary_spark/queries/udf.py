@@ -201,7 +201,9 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_id int, chunk string, n_tokens int")
+    # useArrow: without it @udtf evaluates row-at-a-time
+    # (BatchEvalPythonUDTF) — the slow path this module bans
+    @udtf(returnType="chunk_id int, chunk string, n_tokens int", useArrow=True)
     class ChunkDoc:
         def eval(self, text: str):
             toks = text.split(" ")

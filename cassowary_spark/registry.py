@@ -29,7 +29,7 @@ ORACLES: dict[str, str] = {}
 # shared hashed-shingle refactor; q_session_capped — newly
 # oracle-gated), then the round-6 additions (retrieval layer C61-C64 +
 # A13 + the TPC-H battery B47 incl. Q4/Q14 + the later waves
-# C65/C66/C68/C77/C81/A14/A15), then the round-5 backlog. Twenty-two
+# C65/C66/C68/C77/C81/A14/A15), then the round-5 backlog. Thirty-one
 # round-5 keys are deferred to round 7 to fit the 50-key window —
 # chosen as exactly the ones already carrying dedicated local pytest
 # gates beyond oracle parity (planted-input/property/soundness tests:
@@ -43,9 +43,8 @@ ORACLES: dict[str, str] = {}
 # q_partitioned_lake, q_distribution_drift, q_corpus_mix,
 # q_compaction_plan, q_skew_stats, q_profile_stats,
 # q_centroid_affinity) — so every key in this window is one whose
-# ONLY hard gate would otherwise be the driver's. (Deferred count is
-# now 30; with 189 keys and a 50-slot window, ~3 rounds cycle the
-# full registry.)
+# ONLY hard gate would otherwise be the driver's. (With 189 keys and
+# a 50-slot window, ~3 rounds cycle the full registry.)
 DRIVER_PRIORITY: tuple[str, ...] = (
     # queries changed in round 5 — green rows are stale, re-confirm
     "q_dedup_clusters", "q_dedup_ngram", "q_session_capped",

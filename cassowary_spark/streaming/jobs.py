@@ -113,17 +113,19 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "value", "c_mktsegment")
 
 
-def view_click_join(
-    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+def _view_click_join(
+    events: DataFrame, watermark: str, within: str, how: str
 ) -> DataFrame:
-    """Stream-stream interval join: each view pairs with the same
-    user's clicks in [view_ts, view_ts + within].
-
-    Both sides carry watermarks and the join condition bounds event
-    time, so per-side state retention is watermark + interval — the
-    state store never grows unboundedly. Inner joins emit on match
-    (no watermark wait); the equi-key (user_id) keeps the shuffle an
-    ordinary hash partition on both streams.
+    """Shared body of the stream-stream interval joins (S9/S9b/S13):
+    views pair with the same user's clicks in [view_ts, view_ts +
+    within]. Both sides carry watermarks and the join condition
+    bounds event time, so per-side state retention is watermark +
+    interval — the state store never grows unboundedly; the equi-key
+    (user_id) keeps the shuffle an ordinary hash partition on both
+    streams. The join type is the ONLY semantic difference between
+    the three jobs (inner emits on match; outer variants hold back
+    unmatched-side emission until the watermark closes the window),
+    so the condition/watermark/projection live here exactly once.
     """
     v = events.filter(F.col("event_type") == "view").withWatermark("ts", watermark).alias("v")
     c = events.filter(F.col("event_type") == "click").withWatermark("ts", watermark).alias("c")
@@ -132,13 +134,24 @@ def view_click_join(
         F.expr(
             f"v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {within}"
         ),
+        how,
     ).select(
-        F.col("v.user_id").alias("user_id"),
+        # coalesce: only fullOuter can NULL the view side, but the
+        # spelling is correct (and free) for all three join types
+        F.coalesce(F.col("v.user_id"), F.col("c.user_id")).alias("user_id"),
         F.col("v.event_id").alias("view_id"),
         F.col("c.event_id").alias("click_id"),
         F.col("v.ts").alias("view_ts"),
         F.col("c.ts").alias("click_ts"),
     )
+
+
+def view_click_join(
+    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """S9: INNER stream-stream interval join — emits on match, no
+    watermark wait (see _view_click_join for the shared shape)."""
+    return _view_click_join(events, watermark, within, "inner")
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
@@ -347,21 +360,7 @@ def view_click_join_outer(
     Same bounded-state shape as the inner join; the extra cost of
     outer semantics is held-back emission, not held-back state.
     """
-    v = events.filter(F.col("event_type") == "view").withWatermark("ts", watermark).alias("v")
-    c = events.filter(F.col("event_type") == "click").withWatermark("ts", watermark).alias("c")
-    return v.join(
-        c,
-        F.expr(
-            f"v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {within}"
-        ),
-        "leftOuter",
-    ).select(
-        F.col("v.user_id").alias("user_id"),
-        F.col("v.event_id").alias("view_id"),
-        F.col("c.event_id").alias("click_id"),
-        F.col("v.ts").alias("view_ts"),
-        F.col("c.ts").alias("click_ts"),
-    )
+    return _view_click_join(events, watermark, within, "leftOuter")
 
 
 RUNNING_TOTALS_OUTPUT = T.StructType(
@@ -476,18 +475,4 @@ def view_click_join_full(
     interval per side); the extra semantics is held-back emission on
     BOTH sides.
     """
-    v = events.filter(F.col("event_type") == "view").withWatermark("ts", watermark).alias("v")
-    c = events.filter(F.col("event_type") == "click").withWatermark("ts", watermark).alias("c")
-    return v.join(
-        c,
-        F.expr(
-            f"v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {within}"
-        ),
-        "fullOuter",
-    ).select(
-        F.coalesce(F.col("v.user_id"), F.col("c.user_id")).alias("user_id"),
-        F.col("v.event_id").alias("view_id"),
-        F.col("c.event_id").alias("click_id"),
-        F.col("v.ts").alias("view_ts"),
-        F.col("c.ts").alias("click_ts"),
-    )
+    return _view_click_join(events, watermark, within, "fullOuter")

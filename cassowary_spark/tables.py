@@ -9,6 +9,8 @@ cassowary-native path — the query layer is source-agnostic either way.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -70,3 +72,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def fixture_cache_dir(sf_dir: str, name: str, dep: str = "documents") -> str:
+    """Cache directory for derived fixtures (binary corpus, corrupt
+    CSV, evolved lake, …), keyed by the SOURCE table's identity —
+    path + size + mtime of the dep parquet — not just the sf_dir
+    basename. Planted tests write different documents.parquet files
+    under same-named tmp dirs across runs; a basename-only key would
+    serve the previous run's derivation (observed: stale
+    `.sstable_cache/test_*` entries). The digest makes cache hits
+    mean "same input bytes", which is the only safe meaning.
+    """
+    import hashlib
+
+    src = table_path(sf_dir, dep)
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        sig = os.path.abspath(src)
+    digest = hashlib.md5(sig.encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(
+        repo_root,
+        ".sstable_cache",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{digest}",
+        name,
+    )

@@ -16,8 +16,6 @@ and commit the diff — the diff IS the review artifact.
 
 from __future__ import annotations
 
-import contextlib
-import io
 import json
 import os
 import sys
@@ -25,6 +23,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cassowary_spark import registry
+from cassowary_spark.plancheck import node_counts
 from cassowary_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
@@ -33,19 +32,6 @@ OUT = os.path.join(
     "tests",
     "plan_budgets.json",
 )
-
-
-def plan_counts(df) -> dict[str, int]:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    p = buf.getvalue()
-    return {
-        "exchanges": p.count(") Exchange"),
-        "broadcasts": p.count(") BroadcastExchange"),
-        "scans": p.count(") Scan ") + p.count(") BatchScan"),
-        "cartesian": p.count(") CartesianProduct"),
-    }
 
 
 def main() -> None:
@@ -61,7 +47,7 @@ def main() -> None:
     budgets: dict[str, dict[str, int]] = {}
     for name in sorted(registry.QUERIES):
         try:
-            budgets[name] = plan_counts(registry.QUERIES[name](spark, SF))
+            budgets[name] = node_counts(registry.QUERIES[name](spark, SF))
         except Exception as exc:  # pragma: no cover - regen-time visibility
             print(f"SKIP {name}: {exc}", file=sys.stderr)
     with open(OUT, "w") as f:

@@ -10,31 +10,19 @@ plan or consciously committing a higher budget.
 
 from __future__ import annotations
 
-import contextlib
-import io
 import json
 import os
 
 import pytest
 
 from cassowary_spark import registry
+from cassowary_spark.plancheck import node_counts
 
 registry.load_all()
 
 BUDGET_PATH = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
 with open(BUDGET_PATH) as _f:
     BUDGETS = json.load(_f)
-
-
-def _counts(df) -> dict[str, int]:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    p = buf.getvalue()
-    return {
-        "exchanges": p.count(") Exchange"),
-        "cartesian": p.count(") CartesianProduct"),
-    }
 
 
 def test_every_query_has_a_budget():
@@ -50,7 +38,7 @@ def test_every_query_has_a_budget():
 def test_exchange_budget(name, spark, sf_dir):
     if name not in registry.QUERIES:
         pytest.skip("budget for a removed query")
-    got = _counts(registry.QUERIES[name](spark, sf_dir))
+    got = node_counts(registry.QUERIES[name](spark, sf_dir))
     assert got["cartesian"] == 0, f"{name}: cartesian product appeared"
     assert got["exchanges"] <= BUDGETS[name]["exchanges"], (
         f"{name}: plan now has {got['exchanges']} exchanges, budget is "

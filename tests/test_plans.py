@@ -11,6 +11,7 @@ import io
 import pytest
 
 from cassowary_spark import registry
+from cassowary_spark.plancheck import formatted_plan
 
 registry.load_all()
 
@@ -18,10 +19,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(df)
 
 
 @pytest.fixture(scope="module")
