@@ -84,7 +84,18 @@ def rows_to_partitions(
             cells.append(Cell(name.encode(), col_enc[name](v), timestamp))
         parts.append(Partition(key, cells=cells))
     parts.sort(key=lambda p: p.key)
-    return parts
+    # Merge same-key rows into one partition (later row's cells append,
+    # winning LWW ties by list order) — the distributed sink does the
+    # same; without it SSTableWriter.append raises "ascending key
+    # order" on the second duplicate, a confusing crash for a fixture
+    # generator fed un-deduplicated rows.
+    merged: list[Partition] = []
+    for p in parts:
+        if merged and merged[-1].key == p.key:
+            merged[-1].cells.extend(p.cells)
+        else:
+            merged.append(p)
+    return merged
 
 
 def write_snapshot(
@@ -315,8 +326,6 @@ def write_clustered_snapshot(
     tiebreak (greater value bytes per cell — numeric max for positive
     BE-encoded numerics), which an aggregate oracle can reproduce.
     """
-    from cassowary_spark.sources.sstable_format import encode_composite
-
     key_v = get_validator(validator_for_arrow(table.schema.field(key_col).type))
     cluster_vs = [
         (c, get_validator(validator_for_arrow(table.schema.field(c).type)))

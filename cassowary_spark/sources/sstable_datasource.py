@@ -322,7 +322,10 @@ class SSTableDataSourceReader(DataSourceReader):
                 if r.generation >= min_gen
                 and (max_gen is None or r.generation <= max_gen)
             ]
-        if not readers:
+        if not readers and not options.get("schema"):
+            # With an explicit schema the source can serve an EMPTY
+            # table instead — required by streaming consumers that
+            # start before the producer flushes its first generation.
             raise ValueError(f"no sstables (*-Data.db) found under {self.path}")
         # Every generation written in typed comparator order → range
         # clustering-slice bounds can push into the promoted index;
@@ -343,7 +346,11 @@ class SSTableDataSourceReader(DataSourceReader):
 
             stats_schema = _json.loads(options["schema"])
         else:
-            stats_schema = readers[0].schema
+            # NEWEST generation wins (matches compact_snapshot): the
+            # schema evolves forward, so a column added in a later
+            # append must surface (older generations emit it as NULL)
+            # — taking readers[0] silently dropped evolved columns.
+            stats_schema = readers[-1].schema
             if stats_schema is None:
                 raise ValueError(
                     "this snapshot's Statistics.db is Cassandra's binary "
@@ -557,6 +564,11 @@ class SSTableDataSourceReader(DataSourceReader):
         return lo, hi
 
     def partitions(self) -> list[InputPartition]:
+        if not self._prefixes:
+            # explicit-schema read of a not-yet-populated snapshot
+            # (streaming consumer started before the producer): one
+            # no-op partition serving zero rows with the right schema
+            return [SSTablePartition(exact=(), name_lo=None, name_hi=None)]
         readers = {p: SSTableReader(p) for p in self._prefixes}
         name_lo, name_hi = self._name_bounds()
 
@@ -572,7 +584,27 @@ class SSTableDataSourceReader(DataSourceReader):
                 )
                 if ranges:
                     exact.append((k, ranges))
-            return [SSTablePartition(exact=tuple(exact), name_lo=name_lo, name_hi=name_hi)]
+            if not exact:
+                return [
+                    SSTablePartition(
+                        exact=(), name_lo=name_lo, name_hi=name_hi
+                    )
+                ]
+            # Chunk the point lookups across tasks: a 1000-key IN list
+            # on one InputPartition serializes 1000 random reads onto
+            # a single worker while the cluster idles. Keys are sorted,
+            # so contiguous chunks also keep each task's reads
+            # index-local.
+            n_chunks = max(1, min(self.n_splits, len(exact)))
+            step = (len(exact) + n_chunks - 1) // n_chunks
+            return [
+                SSTablePartition(
+                    exact=tuple(exact[i : i + step]),
+                    name_lo=name_lo,
+                    name_hi=name_hi,
+                )
+                for i in range(0, len(exact), step)
+            ]
 
         lo = self._lo[0] if self._lo else None
         if self._lo and not self._lo[1]:
@@ -1096,9 +1128,21 @@ def _raw_column_array(col, v):
         w = dt.itemsize
         z = b"\x00" * w
         mask = np.fromiter(
-            (c is None or len(c) != w for c in col), np.bool_, count=len(col)
+            (c is None for c in col), np.bool_, count=len(col)
         )
-        joined = b"".join(c if (c is not None and len(c) == w) else z for c in col)
+        # A present cell with the wrong width is corruption or a
+        # mislabeled user schema — raise like the row-tuple decode
+        # path does; masking it to NULL (the old behavior) turned
+        # schema mistakes into silent data loss on exactly one of the
+        # two decode paths.
+        for c in col:
+            if c is not None and len(c) != w:
+                raise ValueError(
+                    f"{v.name}: fixed-width cell of {len(c)} bytes where "
+                    f"{w} expected — wrong validator in the supplied "
+                    "schema, or a corrupt cell"
+                )
+        joined = b"".join(c if c is not None else z for c in col)
         arr = np.frombuffer(joined, dtype=dt)
         null_count = int(mask.sum())
         if v.name == "BooleanType":
@@ -1237,6 +1281,7 @@ _SPARK_TO_VALIDATOR = {
 class SSTableCommitMessage(WriterCommitMessage):
     staged_prefix: str | None  # None for empty tasks
     rows: int
+    partition_id: int = 0  # final-generation precedence (ts-tie LWW)
 
 
 class SSTableDataSourceWriter(DataSourceWriter):
@@ -1292,7 +1337,16 @@ class SSTableDataSourceWriter(DataSourceWriter):
         # executors without the repo on PYTHONPATH.
         from pyspark import TaskContext
 
-        gen = (TaskContext.get().partitionId() if TaskContext.get() else 0) + 1
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else 0
+        # Staged-file uniqueness must be per task ATTEMPT, not per
+        # partition: under speculation/zombie retries two attempts of
+        # the same partition run concurrently, and partition-derived
+        # names would interleave writes into the same staging files.
+        # taskAttemptId is unique app-wide; the FINAL generation is
+        # assigned at commit (ordered by partition_id), so the staged
+        # number is just a collision-free name.
+        gen = (ctx.taskAttemptId() if ctx else 0) + 1
         key_enc = get_validator(self.table_schema["key"][1]).encode
         col_enc = {n: get_validator(v).encode for n, v in self.table_schema["columns"]}
         col_names = [n for n, _ in self.table_schema["columns"]]
@@ -1311,7 +1365,7 @@ class SSTableDataSourceWriter(DataSourceWriter):
             ]
             parts.append(Partition(key, cells=cells))
         if not parts:
-            return SSTableCommitMessage(None, 0)
+            return SSTableCommitMessage(None, 0, part_id)
         parts.sort(key=lambda p: p.key)
         w = SSTableWriter(
             self.staging, self.keyspace, self.table, gen, self.table_schema,
@@ -1332,15 +1386,22 @@ class SSTableDataSourceWriter(DataSourceWriter):
             w.append(last)
             n += 1
         prefix = w.close()
-        return SSTableCommitMessage(prefix, n)
+        return SSTableCommitMessage(prefix, n, part_id)
 
     def commit(self, messages) -> None:
         import glob
         import shutil
 
-        staged = sorted(
-            m.staged_prefix for m in messages if m is not None and m.staged_prefix
-        )
+        # Order final generations by partition id: deterministic
+        # timestamp-tie LWW precedence regardless of which task
+        # attempt won or how staged names sort as strings.
+        staged = [
+            m.staged_prefix
+            for m in sorted(
+                (m for m in messages if m is not None and m.staged_prefix),
+                key=lambda m: m.partition_id,
+            )
+        ]
         if self.overwrite:
             for f in glob.glob(os.path.join(self.path, f"{self.keyspace}-{self.table}-*")):
                 os.remove(f)
@@ -1353,6 +1414,16 @@ class SSTableDataSourceWriter(DataSourceWriter):
                 )
             ]
             base = max(existing, default=0)
+        if not staged and self.overwrite:
+            # Overwrite-with-empty must leave a READABLE empty
+            # snapshot (schema-bearing components, zero rows) — not a
+            # bare directory that read_sstable refuses to open.
+            w = SSTableWriter(
+                self.path, self.keyspace, self.table, 1,
+                self.table_schema, compression=self.compression,
+                expected_keys=0, layout=self.layout,
+            )
+            w.close()
         for i, prefix in enumerate(staged):
             final_gen = base + i + 1
             for comp in glob.glob(prefix + "-*"):

@@ -1441,10 +1441,6 @@ def discover_sstables(directory: str) -> list[SSTableReader]:
     return readers
 
 
-def bisect_right_keys(keys: list[bytes], key: bytes) -> int:
-    return bisect_right(keys, key)
-
-
 # ------------------------------------------------------------ composites
 # CQL3 CompositeType cell names (public Cassandra encoding): each
 # component is `u16 length | bytes | 0x00 end-of-component`. A CQL3

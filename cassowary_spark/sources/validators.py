@@ -101,14 +101,23 @@ def _dec_varint(b: bytes) -> decimal.Decimal:
 def _enc_decimal(v: Any) -> bytes:
     d = decimal.Decimal(v)
     sign, digits, exponent = d.as_tuple()
-    unscaled = int(d.scaleb(-exponent))
+    # Build the unscaled integer from the digit tuple directly:
+    # Decimal.scaleb runs under the ambient context (28 significant
+    # digits by default) and silently ROUNDS a decimal(38,18) value's
+    # low digits away — exact integer arithmetic cannot.
+    unscaled = int("".join(map(str, digits)) or "0")
+    if sign:
+        unscaled = -unscaled
     return struct.pack(">i", -exponent) + _enc_varint(unscaled)
 
 
 def _dec_decimal(b: bytes) -> decimal.Decimal:
     scale = struct.unpack(">i", b[:4])[0]
     unscaled = int.from_bytes(b[4:], "big", signed=True)
-    return decimal.Decimal(unscaled).scaleb(-scale)
+    # Tuple construction is exact; scaleb would round through the
+    # ambient 28-digit context (the encode side's bug, mirrored).
+    digits = tuple(int(c) for c in str(abs(unscaled)))
+    return decimal.Decimal((1 if unscaled < 0 else 0, digits, -scale))
 
 
 def _enc_timestamp(v: Any) -> bytes:
