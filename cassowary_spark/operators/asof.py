@@ -60,12 +60,26 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry the WHOLE dim row as one struct and take the last non-null
+    # struct: per-column ignorenulls carries would skip a dim row whose
+    # value is legitimately NULL (returning a stale older value) and
+    # could stitch columns from DIFFERENT dim rows into one output row.
+    dim_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"{prefix}{c}").alias(c) for c in dim_value_cols]),
+    )
     carried = unioned.select(
         *fact_cols,
         F.col("__side"),
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in dim_value_cols
-        ],
+        F.last(dim_struct, ignorenulls=True).over(w).alias("__dim_row"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *fact_cols,
+            *[
+                F.col(f"__dim_row.{c}").alias(f"{prefix}{c}")
+                for c in dim_value_cols
+            ],
+        )
+    )

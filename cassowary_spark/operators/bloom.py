@@ -144,4 +144,10 @@ def bloom_prefilter_join(
     filtered = probe.join(F.broadcast(bloom), how="cross").filter(
         bloom_might_contain(probe_hash_col, bitmap_col, m_bits, k_hashes)
     ).drop(bitmap_col)
+    if probe_key == build_key:
+        # name-based join collapses the key to ONE output column —
+        # matching the documented probe.join(build, key, how)
+        # equivalence (an expression join would keep both same-named
+        # columns and poison downstream by-name references)
+        return filtered.join(build, probe_key, how)
     return filtered.join(build, filtered[probe_key] == build[build_key], how)

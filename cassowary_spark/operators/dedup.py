@@ -29,9 +29,20 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     groupBy on sha2 gets map-side partial aggregation; at 100 TB the
     shuffle carries one row per distinct hash, not per row.
     """
+    # NULL text never dedups against other NULLs: sha2(NULL)=NULL and
+    # groupBy treats NULLs as equal, so a dirty ingest with >1
+    # null-text row would keep one and silently delete the rest —
+    # rows sharing no content. NULLs pass through untouched.
+    nonnull = df.filter(F.col(text_col).isNotNull())
     h = F.sha2(F.col(text_col), 256).alias("__h")
-    keep = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    keep = (
+        nonnull.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return nonnull.join(keep, id_col, "left_semi").unionByName(
+        df.filter(F.col(text_col).isNull())
+    )
 
 
 def shingles(text_col: str, k: int = 3) -> F.Column:
@@ -155,6 +166,13 @@ def band_candidates(
     more selective bands, and docs identical enough to flood EVERY
     band belong to exact dedup by content hash).
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # indivisible: trailing minhashes would silently drop out of
+        # every band (wrong collision math); bands > num_hashes would
+        # make every band signature a CONSTANT, flooding one bucket
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),

@@ -32,7 +32,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, zero-norm-safe: a zero vector's cosine is
+    pinned to -1.0 (sinks in every descending top-k) instead of the
+    0/0 NaN that Spark's ordering treats as LARGER than any number —
+    unguarded, k garbage vectors would displace every true match."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(-1.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -85,15 +90,21 @@ def cosine_pairs_blocked(
         v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col].iloc[order]])
         g = v @ v.T
         norms = np.sqrt(np.diag(g))
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing (cos→0)
         cos = g / np.outer(norms, norms)
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, ib] >= threshold
+        # strict id inequality: duplicate ids inside a block would
+        # otherwise emit id_a == id_b rows, violating the contract
+        keep = (cos[ia, ib] >= threshold) & (ids[ia] != ids[ib])
         return pd.DataFrame(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_sim": cos[ia[keep], ib[keep]]}
         )
 
+    # id dtype follows the input schema — hardcoding bigint breaks
+    # (or silently coerces) string/int32 id columns at Arrow transfer
+    id_t = corpus.schema[id_col].dataType.simpleString()
     return corpus.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
-        block_pairs, f"id_a bigint, id_b bigint, cos_sim double"
+        block_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double"
     )
 
 

@@ -72,8 +72,11 @@ def cms_estimate(
     probes = terms.select(
         F.col(term_col), F.explode(_probe_cells(term_col, depth, width)).alias("__c")
     ).select(term_col, F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+    # LEFT join + coalesce: an untouched counter cell is an implicit
+    # ZERO — an inner join would exclude it from the min (inflating the
+    # estimate) and drop all-absent terms entirely instead of est=0.
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(term_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

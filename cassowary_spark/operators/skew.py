@@ -42,8 +42,6 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
-    bk = F.col(big_key) if isinstance(big_key, str) else big_key
-    sk = F.col(small_key) if isinstance(small_key, str) else small_key
     b = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)).cast("int"),
@@ -51,5 +49,10 @@ def salted_join(
     s = small.withColumn(
         "__rep", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
-    joined = b.join(s, (bk == sk) & (F.col("__salt") == F.col("__rep")), how)
+    # Frame-qualified key refs: unresolved F.col(name) is AMBIGUOUS
+    # when both sides share the key's column name — the most common
+    # equi-join shape.
+    bk = b[big_key] if isinstance(big_key, str) else big_key
+    sk = s[small_key] if isinstance(small_key, str) else small_key
+    joined = b.join(s, (bk == sk) & (b["__salt"] == s["__rep"]), how)
     return joined.drop("__salt", "__rep")

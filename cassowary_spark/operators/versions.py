@@ -58,12 +58,15 @@ def suppress_tombstones(
     tts = tombstone_ts_col or ts_col
     # Reduce tombstones to one max-ts row per key (partial agg map-side,
     # tiny result → broadcastable), then a single equi-join + filter.
+    # No broadcast hint: AQE broadcasts the summary when it is small;
+    # a hint would PIN a billion-key tombstone set as a broadcast
+    # relation and OOM at exactly the scale this module targets.
     tomb = tombstones.groupBy(*keys).agg(F.max(tts).alias("__tomb_ts"))
     cond = None
     for k in keys:
         c = df[k] == tomb[k]
         cond = c if cond is None else (cond & c)
-    joined = df.join(F.broadcast(tomb), cond, "left")
+    joined = df.join(tomb, cond, "left")
     survived = joined.filter(
         F.col("__tomb_ts").isNull() | (F.col(ts_col) > F.col("__tomb_ts"))
     )
@@ -71,8 +74,11 @@ def suppress_tombstones(
 
 
 def ttl_expire(df: DataFrame, ts_col: str, ttl_col: Column, now: Column) -> DataFrame:
-    """Expiring-cell semantics: a row older than its TTL acts deleted."""
-    return df.filter(F.col(ts_col) + ttl_col > now)
+    """Expiring-cell semantics: a row older than its TTL acts deleted.
+    NULL TTL = no TTL = never expires (Cassandra's default) — without
+    the isNull arm the three-valued predicate silently deletes every
+    non-expiring row."""
+    return df.filter(ttl_col.isNull() | (F.col(ts_col) + ttl_col > now))
 
 
 def snapshot_diff(

@@ -398,3 +398,108 @@ def test_survey_inventory_keys_are_registered():
     cited = set(re.findall(r"`(q_[a-z0-9_]+)`", text))
     missing = sorted(cited - set(registry.QUERIES))
     assert not missing, f"SURVEY.md cites unregistered queries: {missing}"
+
+
+class TestRound6OperatorReviewFixes:
+    """Regression tests for the round-6 operator review findings."""
+
+    def test_zero_norm_vectors_sink_in_topk(self, spark):
+        """A zero vector must never outrank real matches (NaN would
+        sort as the LARGEST value in a descending top-k)."""
+        from cassowary_spark.operators.similarity import cosine_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+            "id long, v array<double>",
+        )
+        query = spark.createDataFrame([([1.0, 0.0],)], "q array<double>")
+        got = cosine_topk(df, query, "id", "v", "q", k=2).collect()
+        assert [r.id for r in got] == [1, 2], got
+
+    def test_asof_join_null_dim_value_not_skipped(self, spark):
+        """An as-of dim row whose value is legitimately NULL must win
+        over an older non-null row (no per-column carry stitching)."""
+        from cassowary_spark.operators.asof import asof_join
+
+        dim = spark.createDataFrame(
+            [(1, 1, 10.0, "x"), (1, 2, None, "y")],
+            "k long, ts long, price double, tag string",
+        )
+        fact = spark.createDataFrame([(1, 3)], "k long, ts long")
+        out = asof_join(
+            fact, dim, on=["k"], fact_ts="ts", dim_ts="ts",
+            dim_value_cols=["price", "tag"],
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["asof_price"] is None  # ts=2 row, not stale ts=1
+        assert out[0]["asof_tag"] == "y"     # columns from ONE dim row
+
+    def test_ttl_null_means_never_expires(self, spark):
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.operators.versions import ttl_expire
+
+        df = spark.createDataFrame(
+            [(1, 100, 50), (2, 100, None)], "id long, ts long, ttl long"
+        )
+        out = ttl_expire(df, "ts", F.col("ttl"), F.lit(1000)).collect()
+        assert [r.id for r in out] == [2], "NULL TTL must survive"
+
+    def test_cms_absent_cells_are_zero(self, spark):
+        """A term whose counters were never touched estimates 0 (one
+        row per probed term), never a fabricated positive min."""
+        from cassowary_spark.operators.sketch import cms_build, cms_estimate
+
+        stream = spark.createDataFrame([("a",)] * 5, "w string")
+        sketch = cms_build(stream, "w")
+        probes = spark.createDataFrame([("a",), ("never-seen",)], "w string")
+        got = {r.w: r.est for r in cms_estimate(probes, sketch, "w").collect()}
+        assert got["a"] >= 5
+        assert got["never-seen"] == 0
+
+    def test_dedup_exact_keeps_all_null_texts(self, spark):
+        from cassowary_spark.operators.dedup import dedup_exact
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x"), (4, "x")],
+            "doc_id long, text string",
+        )
+        got = sorted(r.doc_id for r in dedup_exact(df, "text", "doc_id").collect())
+        assert got == [1, 2, 3], "NULL texts share no content — keep both"
+
+    def test_salted_join_same_named_key(self, spark):
+        from cassowary_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        small = spark.createDataFrame([(1, "dim1")], "k long, d string")
+        out = salted_join(big, small, "k", "k", salts=4).collect()
+        assert len(out) == 1 and out[0]["d"] == "dim1"
+
+    def test_band_candidates_validates_band_split(self, spark):
+        import pytest as _pytest
+
+        from cassowary_spark.operators.dedup import band_candidates
+
+        sigs = spark.createDataFrame([(1, [1, 2, 3, 4])], "id long, sig array<long>")
+        with _pytest.raises(ValueError, match="must divide"):
+            band_candidates(sigs, "id", num_hashes=4, bands=3, bucket_cap=None)
+
+    def test_bloom_join_same_key_single_column(self, spark):
+        from cassowary_spark.operators.bloom import bloom_prefilter_join
+
+        probe = spark.createDataFrame([(1, "p")], "k long, pv string")
+        build = spark.createDataFrame([(1, "b")], "k long, bv string")
+        out = bloom_prefilter_join(probe, build, "k", "k")
+        assert out.columns.count("k") == 1, out.columns
+        assert out.count() == 1
+
+    def test_blocked_pairs_string_ids_no_self_pairs(self, spark):
+        from cassowary_spark.operators.similarity import cosine_pairs_blocked
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 0.0], 0), ("b", [1.0, 0.0], 0), ("b", [1.0, 0.0], 0)],
+            "id string, v array<double>, blk int",
+        )
+        got = cosine_pairs_blocked(df, "id", "v", "blk", 0.9).collect()
+        assert all(r.id_a != r.id_b for r in got)
+        assert {(r.id_a, r.id_b) for r in got} == {("a", "b")}
