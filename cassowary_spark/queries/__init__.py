@@ -24,6 +24,7 @@ _MODULES = (
     "retrieval",
     "tpch",
     "datapipe4",
+    "tpch2",
 )
 
 _loaded = False

@@ -58,18 +58,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
     "q_corrupt_files", "q_kanon_screen", "q_corpus_card",
     "q_udtf_python",
-    # round-5 backlog — never adjudicated (window never ran)
+    # TPC-H completion wave (round 6, latest) — never adjudicated
+    "q_tpch_q2", "q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",
+    "q_tpch_q12", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q20", "q_tpch_q21",
+    # round-5 backlog — never adjudicated (window never ran); the
+    # eleven tail keys (q_pmi_pairs … q_group_by_all) are deferred to
+    # the next rotation to fit the TPC-H completion wave above — all
+    # eleven are oracle-gated and pass tests/test_oracle_parity.py
+    # locally at sf0.01 (the same compare the driver runs).
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
     "q_ann_lsh_planted", "q_ann_ivf_planted",
     "q_dedup_normalized", "q_inverted_index",
     "q_unigram_logprob",
-    "q_pmi_pairs",
-    "q_orc_roundtrip",
-    "q_bigram_logprob",
-    "q_ngram_novelty", "q_embed_center", "q_token_budget_trim",
-    "q_ann_ivfpq_planted", "q_multi_insert", "q_window_ignore_nulls",
-    "q_lateral_subquery",
-    "q_group_by_all",
 )
 
 
