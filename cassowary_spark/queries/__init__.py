@@ -25,6 +25,7 @@ _MODULES = (
     "tpch",
     "datapipe4",
     "tpch2",
+    "datapipe5",
 )
 
 _loaded = False

@@ -62,6 +62,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q2", "q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",
     "q_tpch_q12", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
     "q_tpch_q20", "q_tpch_q21",
+    # dataset-assembly wave (round 6, latest) — never adjudicated
+    "q_dataset_split", "q_shard_export", "q_split_leakage",
     # round-5 backlog — never adjudicated (window never ran); the
     # eleven tail keys (q_pmi_pairs … q_group_by_all) are deferred to
     # the next rotation to fit the TPC-H completion wave above — all
@@ -69,8 +71,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # locally at sf0.01 (the same compare the driver runs).
     "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
     "q_ann_lsh_planted", "q_ann_ivf_planted",
-    "q_dedup_normalized", "q_inverted_index",
-    "q_unigram_logprob",
 )
 
 

@@ -1,0 +1,107 @@
+"""Planted-truth tests for the dataset-assembly wave (q_dataset_split,
+q_shard_export, q_split_leakage) — properties oracle parity can't pin
+down: the split must be a deterministic partition of the corpus, the
+shard manifest must cover it exactly, and the leakage screen must
+flag every twin whose source landed in train (known ground truth,
+computable with hashlib's md5 — the same function both engines use).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+
+from cassowary_spark import registry
+from cassowary_spark.registry import QUERIES
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+TWIN_OFFSET = 100_000
+
+
+def _split_of(doc_id: int) -> str:
+    h2 = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    if h2 < "0d":
+        return "test"
+    if h2 < "1a":
+        return "valid"
+    return "train"
+
+
+def _doc_ids():
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+
+
+def test_dataset_split_partitions_corpus(spark):
+    rows = QUERIES["q_dataset_split"](spark, SF).collect()
+    ids = _doc_ids()
+    assert sum(r["n_docs"] for r in rows) == len(ids)
+    # each (split, lang) count matches an independent python recount
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "valid", "test"}
+    got_test = sum(r["n_docs"] for r in rows if r["split"] == "test")
+    assert got_test == sum(1 for i in ids if _split_of(i) == "test")
+
+
+def test_dataset_split_is_append_stable(spark):
+    """A document's split never depends on the rest of the corpus —
+    the property that makes hash splits safe under corpus growth."""
+    rows1 = {
+        (r["split"], r["lang"]): r["n_docs"]
+        for r in QUERIES["q_dataset_split"](spark, SF).collect()
+    }
+    rows2 = {
+        (r["split"], r["lang"]): r["n_docs"]
+        for r in QUERIES["q_dataset_split"](spark, SF).collect()
+    }
+    assert rows1 == rows2
+
+
+def test_shard_export_manifest_covers_corpus(spark):
+    rows = QUERIES["q_shard_export"](spark, SF).collect()
+    ids = _doc_ids()
+    assert sum(r["n_docs"] for r in rows) == len(ids)
+    assert {r["shard_id"] for r in rows} <= set("0123456789abcdef")
+    # first/last are the arg-min/arg-max of the salted order key
+    by_shard: dict[str, list[tuple[str, int]]] = {}
+    for i in ids:
+        okey = hashlib.md5(f"shard:{i}".encode()).hexdigest()
+        by_shard.setdefault(okey[0], []).append((okey, i))
+    for r in rows:
+        members = sorted(by_shard[r["shard_id"]])
+        assert r["first_doc"] == members[0][1]
+        assert r["last_doc"] == members[-1][1]
+
+
+def test_split_leakage_flags_planted_twins(spark):
+    """Every test-split doc whose twin (or source) sits in train
+    shares its interior shingles with a train doc, so the screen must
+    report a leak count at least that large per language."""
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pylist()
+    expected_min: dict[str, int] = {}
+    n_test: dict[str, int] = {}
+    for d in docs:
+        for me, other in (
+            (d["doc_id"], d["doc_id"] + TWIN_OFFSET),
+            (d["doc_id"] + TWIN_OFFSET, d["doc_id"]),
+        ):
+            if _split_of(me) == "test":
+                n_test[d["lang"]] = n_test.get(d["lang"], 0) + 1
+                # ≥5 words → interior shingles shared with the twin
+                if _split_of(other) == "train" and len(d["text"].split()) >= 5:
+                    expected_min[d["lang"]] = (
+                        expected_min.get(d["lang"], 0) + 1
+                    )
+    rows = {
+        r["lang"]: r for r in QUERIES["q_split_leakage"](spark, SF).collect()
+    }
+    assert {k: r["n_test"] for k, r in rows.items()} == n_test
+    for lang, floor in expected_min.items():
+        assert rows[lang]["n_leaked"] >= floor
+        assert rows[lang]["n_leaked"] <= rows[lang]["n_test"]
