@@ -332,3 +332,39 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("k_shr"),
         F.bit_count(k).alias("k_popcount"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(NULL AS BIGINT) AS missing_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS k_mod
+    FROM events
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType JSON path (B38 sibling): ``parse_json``
+    into the binary Variant encoding, then typed ``variant_get``
+    extraction — the modern engine-native JSON path (single parse,
+    binary-encoded traversal) vs B38's per-path string extraction.
+    ``try_variant_get`` on an absent path returns NULL instead of
+    erroring — the lenient form pipelines need on heterogeneous
+    payloads. The variant column itself never reaches the output
+    (engines don't share a wire format for it); every output is a
+    typed extraction.
+
+    Scale shape: zero shuffle — parse and traversal are row-local
+    JVM expressions; one parse serves all three extractions (vs one
+    re-parse per get_json_object path in the string form).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_path"),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
+    )

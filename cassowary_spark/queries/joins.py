@@ -356,3 +356,45 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         srnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(l_returnflag, 'N') AS k, count(*) AS n_small
+        FROM lineitem WHERE l_quantity < 25.0 GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(l_returnflag, 'N') AS k, count(*) AS n_large
+        FROM lineitem WHERE l_quantity >= 25.0 GROUP BY 1
+    )
+    SELECT coalesce(a.k, '<null>') AS flag, a.n_small, b.n_large
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (B-family): `<=>` / IS NOT DISTINCT
+    FROM — the join where NULL matches NULL exactly once instead of
+    matching nothing. The nullable key is NULLIF(l_returnflag, 'N'),
+    so the NULL bucket is real data ('N' lines), and a plain `=` join
+    would silently drop it — the row this query exists to keep.
+
+    Scale shape: `<=>` is a plain hash-joinable equality to Spark
+    (EqualNullSafe is a valid hash key) — same single-shuffle
+    sort-merge/broadcast plans as `=`, no null-bucket skew surprise
+    here because each side pre-aggregates to ≤3 rows first.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k")
+    a = li.filter(F.col("l_quantity") < 25.0).groupBy(k).agg(
+        F.count("*").alias("n_small")
+    )
+    b = li.filter(F.col("l_quantity") >= 25.0).groupBy(k).agg(
+        F.count("*").alias("n_large")
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        F.coalesce(a["k"], F.lit("<null>")).alias("flag"),
+        "n_small",
+        "n_large",
+    )

@@ -73,3 +73,55 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_custs = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     p_custs = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
     return f_custs.subtract(p_custs)
+
+
+@query(
+    "q_setops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, custkey, count(*) AS n FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY custkey
+    UNION ALL
+    SELECT 'except_all' AS op, custkey, count(*) AS n FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY custkey
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (B31/B32, bag semantics): per
+    customer, finished-order keys intersected/subtracted against
+    open-order keys AS MULTISETS — intersectAll keeps
+    min(multiplicity), exceptAll keeps the count difference. These are
+    different answers from the DISTINCT variants whenever a customer
+    has several orders in a status, which most do; the output
+    re-aggregates to (op, key, multiplicity) so the bag cardinalities
+    themselves are what the oracle hashes.
+
+    Scale shape: Spark plans both ALL variants as a single count-
+    per-key aggregation + generate (no pairwise matching) — one
+    shuffle per operand, the same cost as the DISTINCT forms.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    f_custs = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o_custs = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    inter = (
+        f_custs.intersectAll(o_custs)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
+    )
+    exc = (
+        f_custs.exceptAll(o_custs)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "custkey", "n")
+    )
+    return inter.unionByName(exc)

@@ -64,13 +64,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20", "q_tpch_q21",
     # dataset-assembly wave (round 6, latest) — never adjudicated
     "q_dataset_split", "q_shard_export", "q_split_leakage",
+    # distinct-semantics wave (round 6, latest) — never adjudicated
+    "q_setops_all", "q_join_nullsafe", "q_variant_json",
     # round-5 backlog — never adjudicated (window never ran); the
     # eleven tail keys (q_pmi_pairs … q_group_by_all) are deferred to
     # the next rotation to fit the TPC-H completion wave above — all
     # eleven are oracle-gated and pass tests/test_oracle_parity.py
     # locally at sf0.01 (the same compare the driver runs).
-    "q_source_cap", "q_dedup_near_verified", "q_simhash_dup",
-    "q_ann_lsh_planted", "q_ann_ivf_planted",
+    "q_source_cap", "q_dedup_near_verified",
 )
 
 
