@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 from cassowary_spark.exprs import sql_srnd, srnd
 from cassowary_spark.operators.dedup import shingles
 from cassowary_spark.queries.llm import (
-    MUTATION_SUFFIX,
-    TWIN_OFFSET,
+    _docs_twins_sql,
+    _docs_with_twins,
     _duck_shingles,
 )
 from cassowary_spark.registry import query
@@ -143,13 +143,7 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_split_leakage",
     oracle=f"""
-    WITH corpus AS (
-        SELECT doc_id, text, lang FROM documents
-        UNION ALL
-        SELECT doc_id + {TWIN_OFFSET} AS doc_id,
-               text || '{MUTATION_SUFFIX}' AS text, lang
-        FROM documents
-    ),
+    WITH corpus AS ({_docs_twins_sql(("lang",))}),
     tagged AS (
         SELECT doc_id, text, lang, {_SPLIT_CASE_SQL} AS split FROM corpus
     ),
@@ -201,16 +195,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps stop-phrase shingles from exploding the join). The
     per-lang rollup is a broadcast-size frame.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang"
-    )
-    corpus = docs.unionAll(
-        docs.select(
-            (F.col("doc_id") + F.lit(TWIN_OFFSET)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(MUTATION_SUFFIX)).alias("text"),
-            "lang",
-        )
-    )
+    corpus = _docs_with_twins(spark, sf_dir, ("lang",))
     tagged = corpus.withColumn("split", _split_col())
     sh0 = tagged.select(
         "doc_id",

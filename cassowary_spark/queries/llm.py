@@ -44,21 +44,39 @@ MUTATION_SUFFIX = " extra token tail"
 TWIN_OFFSET = 100_000
 
 
-def _docs_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ suffix-mutated copy (ids shifted by TWIN_OFFSET)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _docs_with_twins(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """documents ∪ suffix-mutated copy (ids shifted by TWIN_OFFSET).
+
+    ``extra_cols`` carry additional document columns (e.g. ``lang``)
+    through both halves unchanged — the twin scheme stays defined in
+    exactly one place (here + ``_docs_twins_sql``).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", *extra_cols
+    )
     twin = d.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(MUTATION_SUFFIX)).alias("text"),
+        *extra_cols,
     )
     return d.unionByName(twin)
 
-_DOCS_TWINS_SQL = f"""
-        SELECT doc_id, text FROM documents
+
+def _docs_twins_sql(extra_cols: tuple[str, ...] = ()) -> str:
+    """DuckDB spelling of ``_docs_with_twins`` (kept textually parallel)."""
+    extra = "".join(f", {c}" for c in extra_cols)
+    return f"""
+        SELECT doc_id, text{extra} FROM documents
         UNION ALL
-        SELECT doc_id + {TWIN_OFFSET} AS doc_id, text || '{MUTATION_SUFFIX}' AS text
+        SELECT doc_id + {TWIN_OFFSET} AS doc_id,
+               text || '{MUTATION_SUFFIX}' AS text{extra}
         FROM documents
 """
+
+
+_DOCS_TWINS_SQL = _docs_twins_sql()
 
 def _duck_shingles(k: int) -> str:
     """DuckDB expression mirroring operators.dedup.shingles."""

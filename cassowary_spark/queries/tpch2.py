@@ -658,7 +658,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
           AND l.l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY l.l_suppkey, l.l_partkey
-        HAVING sum(CAST(l.l_quantity AS BIGINT)) > 25
+        HAVING sum(CAST(floor(l.l_quantity) AS BIGINT)) > 25
     )
     """,
 )
@@ -690,7 +690,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     movers = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__qty"))
+        # floor() both sides: DuckDB's double→BIGINT cast rounds to
+        # nearest while Spark's truncates — floor-then-cast is the
+        # same op sequence in both engines even for non-integral
+        # quantities
+        .agg(F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("__qty"))
         .filter(F.col("__qty") > 25)
         .select("l_suppkey")
         .distinct()

@@ -66,11 +66,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dataset_split", "q_shard_export", "q_split_leakage",
     # distinct-semantics wave (round 6, latest) — never adjudicated
     "q_setops_all", "q_join_nullsafe", "q_variant_json",
-    # round-5 backlog — never adjudicated (window never ran); the
-    # eleven tail keys (q_pmi_pairs … q_group_by_all) are deferred to
-    # the next rotation to fit the TPC-H completion wave above — all
-    # eleven are oracle-gated and pass tests/test_oracle_parity.py
-    # locally at sf0.01 (the same compare the driver runs).
+    # round-5 backlog — never adjudicated (window never ran).
+    # Seventeen backlog keys are deferred to the next rotation to fit
+    # the three round-6 late waves above (TPC-H completion, dataset
+    # assembly, distinct semantics): q_simhash_dup, q_ann_lsh_planted,
+    # q_ann_ivf_planted, q_dedup_normalized, q_inverted_index,
+    # q_unigram_logprob, q_pmi_pairs, q_orc_roundtrip,
+    # q_bigram_logprob, q_ngram_novelty, q_embed_center,
+    # q_token_budget_trim, q_ann_ivfpq_planted, q_multi_insert,
+    # q_window_ignore_nulls, q_lateral_subquery, q_group_by_all.
+    # All seventeen are oracle-gated and pass
+    # tests/test_oracle_parity.py locally at sf0.01 (the same compare
+    # the driver runs), and several carry planted-input pytest gates
+    # besides; q_source_cap and q_dedup_near_verified stay in-window
+    # because they have never been adjudicated in ANY round and were
+    # the round-4 verdict's top follow-up.
     "q_source_cap", "q_dedup_near_verified",
 )
 

@@ -9,16 +9,18 @@ computable with hashlib's md5 — the same function both engines use).
 from __future__ import annotations
 
 import hashlib
+import os
 
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from cassowary_spark import registry
+from cassowary_spark.queries.llm import TWIN_OFFSET
 from cassowary_spark.registry import QUERIES
 
 registry.load_all()
 
-SF = "/root/testdata/sf0.001"
-TWIN_OFFSET = 100_000
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _split_of(doc_id: int) -> str:
@@ -47,18 +49,31 @@ def test_dataset_split_partitions_corpus(spark):
     assert got_test == sum(1 for i in ids if _split_of(i) == "test")
 
 
-def test_dataset_split_is_append_stable(spark):
+def test_dataset_split_is_append_stable(spark, tmp_path):
     """A document's split never depends on the rest of the corpus —
-    the property that makes hash splits safe under corpus growth."""
-    rows1 = {
+    the property that makes hash splits safe under corpus growth.
+    Recompute the split on a HALVED corpus and assert the per-
+    (split, lang) composition equals the full-corpus assignment
+    restricted to the surviving ids — a row_number()- or RNG-seeded
+    split would reshuffle and disagree."""
+    full = pq.read_table(f"{SF}/documents.parquet")
+    ids = full["doc_id"].to_pylist()
+    cutoff = sorted(ids)[len(ids) // 2]
+    subset = full.filter(pc.less(full["doc_id"], cutoff))
+    sub_dir = tmp_path / "subset_sf"
+    sub_dir.mkdir()
+    pq.write_table(subset, str(sub_dir / "documents.parquet"))
+    got = {
         (r["split"], r["lang"]): r["n_docs"]
-        for r in QUERIES["q_dataset_split"](spark, SF).collect()
+        for r in QUERIES["q_dataset_split"](spark, str(sub_dir)).collect()
     }
-    rows2 = {
-        (r["split"], r["lang"]): r["n_docs"]
-        for r in QUERIES["q_dataset_split"](spark, SF).collect()
-    }
-    assert rows1 == rows2
+    expected: dict[tuple[str, str], int] = {}
+    for i, lang in zip(
+        subset["doc_id"].to_pylist(), subset["lang"].to_pylist()
+    ):
+        key = (_split_of(i), lang)
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected
 
 
 def test_shard_export_manifest_covers_corpus(spark):
