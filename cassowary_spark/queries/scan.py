@@ -942,3 +942,73 @@ def q_sstable_to_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sup"),
         srnd(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+@query(
+    "q_lake_backfill",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_lake_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite backfill (A5/A7 family): the lake
+    maintenance op static overwrite cannot express — replace ONE
+    corrupted partition of a Hive-partitioned table while every other
+    partition's files stay untouched. The cache seeds the lake with
+    the 'P' partition's prices doubled (the bad backfill input), then
+    rewrites only that partition under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``; the oracle
+    is the plain orders aggregate, which only matches if the
+    untouched partitions survived AND the bad partition was fully
+    replaced — a static overwrite (whole-table truncate) or an append
+    (doubled rows) both fail the hash.
+
+    Scale shape: the rewrite shuffles only the target partition's
+    rows; commit is per-partition directory swap, so backfilling one
+    day of a 10-year table moves 1/3650th of the data. The conf is
+    set per-write and restored (session-conf hygiene for the shared
+    driver session).
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cache = os.path.join(repo_root, ".file_cache", "v2", os.path.basename(sf_dir.rstrip("/")))
+    p = os.path.join(cache, "orders_backfill")
+    done = os.path.join(p, "_BACKFILL_DONE")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"
+    )
+    if not os.path.exists(done):
+        # seed: the 'P' partition lands with doubled prices (bad data)
+        seeded = o.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderstatus") == "P",
+                F.col("o_totalprice") * F.lit(2.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        seeded.repartition(4).write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(p)
+        # backfill: rewrite ONLY the P partition with corrected rows
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            o.filter(F.col("o_orderstatus") == "P").repartition(
+                2
+            ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    lake = spark.read.parquet(p)
+    return lake.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        srnd(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
