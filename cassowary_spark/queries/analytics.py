@@ -741,3 +741,109 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@query(
+    "q_data_contract",
+    oracle="""
+    WITH o AS (
+        SELECT count(*) AS n,
+               count(*) - count(DISTINCT o_orderkey) AS pk_dups,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+               sum(CASE WHEN o_orderstatus NOT IN ('P', 'O', 'F')
+                   THEN 1 ELSE 0 END) AS bad_status,
+               sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+                   AS bad_price
+        FROM orders
+    ),
+    l AS (
+        SELECT sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                   THEN 1 ELSE 0 END) AS bad_disc
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT count(*) AS orphans FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT chk.check_name,
+           CAST(chk.violations AS BIGINT) AS violations,
+           CASE WHEN chk.violations = 0 THEN 'pass' ELSE 'fail' END
+               AS verdict
+    FROM o, l, fk,
+    LATERAL (VALUES
+        ('pk_unique_orderkey', o.pk_dups),
+        ('fk_lineitem_orders', fk.orphans),
+        ('non_null_custkey', o.null_cust),
+        ('status_in_domain', o.bad_status),
+        ('positive_totalprice', o.bad_price),
+        ('discount_in_unit_range', l.bad_disc)
+    ) AS chk(check_name, violations)
+    """,
+)
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract verification gate (C-family, Deequ-shaped): the
+    named constraint battery a pipeline runs before publishing a
+    table — primary-key uniqueness, referential integrity
+    (lineitem→orders), completeness, domain membership, and bound
+    checks — emitted as (check, violation count, verdict) rows so the
+    gate is itself queryable ("fail the job if any verdict='fail'").
+
+    Scale shape: all single-table checks ride ONE map-side partial
+    agg per table (count/sum-of-CASE — no per-check scans); the PK
+    uniqueness dup count is the one distinct shuffle; referential
+    integrity is a LEFT ANTI join on the order key counting orphans
+    (at 100 TB the anti join's right side projects the key column
+    only). The verdict rows assemble from three 1-row frames — a
+    broadcast-only crossJoin, then a row-local stack().
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_aggs = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("null_cust"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)
+        ).alias("bad_price"),
+    )
+    l_aggs = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1
+            ).otherwise(0)
+        ).alias("bad_disc")
+    )
+    orphans = (
+        li.join(
+            o.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orphans"))
+    )
+    one = o_aggs.crossJoin(F.broadcast(l_aggs)).crossJoin(
+        F.broadcast(orphans)
+    )
+    stacked = one.select(
+        F.expr(
+            "stack(6,"
+            " 'pk_unique_orderkey', pk_dups,"
+            " 'fk_lineitem_orders', orphans,"
+            " 'non_null_custkey', null_cust,"
+            " 'status_in_domain', bad_status,"
+            " 'positive_totalprice', bad_price,"
+            " 'discount_in_unit_range', bad_disc"
+            ") AS (check_name, violations)"
+        )
+    )
+    return stacked.select(
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        F.when(F.col("violations") == 0, "pass")
+        .otherwise("fail")
+        .alias("verdict"),
+    )
