@@ -120,3 +120,53 @@ def test_split_leakage_flags_planted_twins(spark):
     for lang, floor in expected_min.items():
         assert rows[lang]["n_leaked"] >= floor
         assert rows[lang]["n_leaked"] <= rows[lang]["n_test"]
+
+
+def test_data_contract_flags_planted_violations(spark, tmp_path):
+    """Build a tiny lake with exactly one violation of each kind and
+    assert the gate reports exact per-check counts — proof the checks
+    are wired to the right columns, not merely green on clean data."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    ts = dt.datetime(1996, 1, 1)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 2, 3, 4], pa.int64()),  # dup 2
+            "o_custkey": pa.array([10, 11, 12, None, 13], pa.int64()),
+            "o_orderstatus": pa.array(["P", "O", "F", "F", "X"]),  # bad X
+            "o_totalprice": pa.array([5.0, 6.0, 7.0, -1.0, 8.0]),  # bad -1
+            "o_orderdate": pa.array([ts] * 5, pa.timestamp("ms")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 5),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 99], pa.int64()),  # orphan 99
+            "l_discount": pa.array([0.05, 1.5, 0.1]),  # bad 1.5
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r["check_name"]: r
+        for r in QUERIES["q_data_contract"](spark, str(tmp_path)).collect()
+    }
+    expected = {
+        "pk_unique_orderkey": 1,
+        "fk_lineitem_orders": 1,
+        "non_null_custkey": 1,
+        "status_in_domain": 1,
+        "positive_totalprice": 1,
+        "discount_in_unit_range": 1,
+    }
+    assert {k: r["violations"] for k, r in rows.items()} == expected
+    assert all(r["verdict"] == "fail" for r in rows.values())
+
+
+def test_data_contract_clean_corpus_passes(spark):
+    rows = QUERIES["q_data_contract"](spark, SF).collect()
+    assert len(rows) == 6
+    assert all(r["verdict"] == "pass" for r in rows)
+    assert all(r["violations"] == 0 for r in rows)
