@@ -235,3 +235,101 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_rate"),
         )
     )
+
+
+# ------------------------------------------- end-to-end pipeline capstone
+
+
+@query(
+    "q_corpus_pipeline_e2e",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               '  ' || upper(text) || '  ' AS text, lang
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+        FROM corpus
+    ),
+    dedup AS (
+        SELECT ntext, min(doc_id) AS doc_id, min(lang) AS lang
+        FROM norm GROUP BY ntext
+    ),
+    qual AS (
+        SELECT doc_id, lang,
+               len(string_split(ntext, ' ')) AS n_tokens
+        FROM dedup
+        WHERE len(string_split(ntext, ' ')) >= 5
+    ),
+    tagged AS (
+        SELECT doc_id, lang, n_tokens, {_SPLIT_CASE_SQL} AS split
+        FROM qual
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_id
+    FROM tagged GROUP BY split, lang
+    """,
+)
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep capstone (C-family): the whole
+    assembly line as ONE composed DataFrame program — normalize
+    (lowercase + whitespace collapse), exact-dedup on normalized
+    text, quality-gate (≥5 tokens), hash-split, per-(split, lang)
+    token accounting. The corpus is augmented with case/extra-
+    whitespace twins so the normalize→dedup stages provably collapse
+    them (the twin survives normalization identical to its source;
+    min-id keeps the original): output counts match the raw corpus,
+    not the doubled one — a pipeline that skipped either stage fails
+    the hash.
+
+    Scale shape: this is the composition argument — normalize and the
+    quality gate are row-local; dedup is ONE normalized-text-keyed
+    shuffle (the sha2-grouping shape of C1 — here the text itself is
+    the key because the survivor's id must be the group min); split
+    assignment is a row-local md5 prefix on the SURVIVOR id (so it
+    matches q_dataset_split's assignment of the same doc); the final
+    rollup is a ≤15-key partial agg. Catalyst pipelines all
+    row-local stages into the scan — the whole program is one
+    corpus pass (two scans here only because the planted-twin demo
+    unions the table with itself), one dedup shuffle, one rollup
+    exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+            F.concat(
+                F.lit("  "), F.upper("text"), F.lit("  ")
+            ).alias("text"),
+            "lang",
+        )
+    )
+    norm = corpus.select(
+        "doc_id",
+        "lang",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+        ).alias("ntext"),
+    )
+    dedup = norm.groupBy("ntext").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    qual = dedup.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("ntext", " ")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 5)
+    tagged = qual.withColumn("split", _split_col())
+    return tagged.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("min_id"),
+    )
