@@ -750,20 +750,27 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n,
                count(*) - count(DISTINCT o_orderkey) AS pk_dups,
                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
-               sum(CASE WHEN o_orderstatus NOT IN ('P', 'O', 'F')
+               sum(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('P', 'O', 'F')
                    THEN 1 ELSE 0 END) AS bad_status,
-               sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
-                   AS bad_price
+               sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0
+                   THEN 1 ELSE 0 END) AS bad_price
         FROM orders
     ),
     l AS (
-        SELECT sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+        SELECT sum(CASE WHEN l_discount IS NULL
+                        OR l_discount < 0.0 OR l_discount > 1.0
                    THEN 1 ELSE 0 END) AS bad_disc
         FROM lineitem
     ),
     fk AS (
-        SELECT count(*) AS orphans FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        -- NOT EXISTS (not NOT IN): matches the Spark side's LEFT ANTI
+        -- semantics exactly — a NULL l_orderkey counts as an orphan,
+        -- and a NULL o_orderkey cannot vacuously zero the check
+        SELECT count(*) AS orphans FROM lineitem l2
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l2.l_orderkey
+        )
     )
     SELECT chk.check_name,
            CAST(chk.violations AS BIGINT) AS violations,
@@ -803,17 +810,32 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
         ).alias("null_cust"),
+        # NULL is a violation for domain/bound checks (a NULL status or
+        # price is exactly the broken-backfill data the gate must
+        # block); without the explicit isNull the tri-valued compare
+        # would fall through to otherwise(0) and NULLs would pass
         F.sum(
-            F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1).otherwise(0)
+            F.when(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("P", "O", "F"),
+                1,
+            ).otherwise(0)
         ).alias("bad_status"),
         F.sum(
-            F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)
+            F.when(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") <= 0.0),
+                1,
+            ).otherwise(0)
         ).alias("bad_price"),
     )
     l_aggs = li.agg(
         F.sum(
             F.when(
-                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0.0)
+                | (F.col("l_discount") > 1.0),
+                1,
             ).otherwise(0)
         ).alias("bad_disc")
     )

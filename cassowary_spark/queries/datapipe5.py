@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from cassowary_spark.exprs import sql_srnd, srnd
 from cassowary_spark.operators.dedup import shingles
 from cassowary_spark.queries.llm import (
+    TWIN_OFFSET,
     _docs_twins_sql,
     _docs_with_twins,
     _duck_shingles,
@@ -246,7 +247,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
         SELECT doc_id, text, lang FROM documents
         UNION ALL
-        SELECT doc_id + 100000 AS doc_id,
+        SELECT doc_id + {TWIN_OFFSET} AS doc_id,
                '  ' || upper(text) || '  ' AS text, lang
         FROM documents
     ),
@@ -305,7 +306,7 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(
         docs.select(
-            (F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+            (F.col("doc_id") + F.lit(TWIN_OFFSET)).alias("doc_id"),
             F.concat(
                 F.lit("  "), F.upper("text"), F.lit("  ")
             ).alias("text"),

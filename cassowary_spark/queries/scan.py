@@ -973,9 +973,11 @@ def q_lake_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     set per-write and restored (session-conf hygiene for the shared
     driver session).
     """
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cache = os.path.join(repo_root, ".file_cache", "v2", os.path.basename(sf_dir.rstrip("/")))
-    p = os.path.join(cache, "orders_backfill")
+    from cassowary_spark.tables import fixture_cache_dir
+
+    # keyed by the orders parquet's identity (path+size+mtime), so a
+    # regenerated same-named fixture can never serve a stale backfill
+    p = fixture_cache_dir(sf_dir, "orders_backfill", dep="orders")
     done = os.path.join(p, "_BACKFILL_DONE")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"

@@ -133,18 +133,22 @@ def test_data_contract_flags_planted_violations(spark, tmp_path):
     ts = dt.datetime(1996, 1, 1)
     orders = pa.table(
         {
-            "o_orderkey": pa.array([1, 2, 2, 3, 4], pa.int64()),  # dup 2
-            "o_custkey": pa.array([10, 11, 12, None, 13], pa.int64()),
-            "o_orderstatus": pa.array(["P", "O", "F", "F", "X"]),  # bad X
-            "o_totalprice": pa.array([5.0, 6.0, 7.0, -1.0, 8.0]),  # bad -1
-            "o_orderdate": pa.array([ts] * 5, pa.timestamp("ms")),
-            "o_orderpriority": pa.array(["1-URGENT"] * 5),
+            # dup key 2; row 6 carries NULL status + NULL price (NULL
+            # must count as a domain/bound violation, not pass)
+            "o_orderkey": pa.array([1, 2, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([10, 11, 12, None, 13, 14], pa.int64()),
+            "o_orderstatus": pa.array(["P", "O", "F", "F", "X", None]),
+            "o_totalprice": pa.array([5.0, 6.0, 7.0, -1.0, 8.0, None]),
+            "o_orderdate": pa.array([ts] * 6, pa.timestamp("ms")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 6),
         }
     )
     lineitem = pa.table(
         {
-            "l_orderkey": pa.array([1, 2, 99], pa.int64()),  # orphan 99
-            "l_discount": pa.array([0.05, 1.5, 0.1]),  # bad 1.5
+            # orphan 99; NULL l_orderkey is ALSO an orphan (anti-join
+            # and NOT EXISTS agree); NULL discount violates the range
+            "l_orderkey": pa.array([1, 2, 99, None], pa.int64()),
+            "l_discount": pa.array([0.05, 1.5, 0.1, None]),
         }
     )
     pq.write_table(orders, str(tmp_path / "orders.parquet"))
@@ -155,11 +159,11 @@ def test_data_contract_flags_planted_violations(spark, tmp_path):
     }
     expected = {
         "pk_unique_orderkey": 1,
-        "fk_lineitem_orders": 1,
+        "fk_lineitem_orders": 2,
         "non_null_custkey": 1,
-        "status_in_domain": 1,
-        "positive_totalprice": 1,
-        "discount_in_unit_range": 1,
+        "status_in_domain": 2,
+        "positive_totalprice": 2,
+        "discount_in_unit_range": 2,
     }
     assert {k: r["violations"] for k, r in rows.items()} == expected
     assert all(r["verdict"] == "fail" for r in rows.values())
