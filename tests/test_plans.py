@@ -327,3 +327,31 @@ def test_ewma_single_window_shuffle(q):
     p = plan_of(q["q_ewma_value"])
     assert p.count(") Exchange") == 1
     assert p.count(") Window") == 1
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """§4 optimizer surface: the three join-strategy hints must reach
+    the physical planner — BROADCAST forces a BroadcastHashJoin even
+    on a large side, SHUFFLE_HASH forces ShuffledHashJoin, MERGE
+    forces SortMergeJoin even where broadcast would win. This is the
+    control a 100 TB operator reaches for when AQE's estimates are
+    wrong (e.g. a filtered dim whose stats say 'huge')."""
+    from cassowary_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    li.createOrReplaceTempView("__hint_li")
+    o.createOrReplaceTempView("__hint_o")
+
+    def plan(hint):
+        return formatted_plan(
+            spark.sql(
+                f"SELECT /*+ {hint} */ count(*) AS n "
+                "FROM __hint_li l JOIN __hint_o o "
+                "ON l.l_orderkey = o.o_orderkey"
+            )
+        )
+
+    assert "BroadcastHashJoin" in plan("BROADCAST(o)")
+    assert "ShuffledHashJoin" in plan("SHUFFLE_HASH(o)")
+    assert "SortMergeJoin" in plan("MERGE(o)")
