@@ -303,3 +303,67 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "q_hll_rollup",
+    oracle="""
+    WITH seg AS (
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS seg_distinct
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT CAST((SELECT count(*) FROM seg) AS BIGINT) AS n_segments,
+           CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT)
+               AS exact_distinct,
+           CAST((SELECT sum(seg_distinct) FROM seg) AS BIGINT)
+               AS naive_sum,
+           CAST(1 AS BIGINT) AS union_within_5pct
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (B16 sibling, Spark 3.5
+    datasketches): build one HLL sketch PER SEGMENT
+    (hll_sketch_agg over each l_returnflag), then merge the segment
+    sketches (hll_union_agg) and estimate global distinct suppliers —
+    the pre-aggregated rollup-table pattern OLAP stores serve
+    count-distinct from without rescanning raw data. The output
+    carries the naive per-segment sum (which OVERCOUNTS shared
+    suppliers — the bug sketches exist to avoid) and a
+    union-within-5% gate against the exact count, so the oracle
+    hash-checks the sketch's accuracy claim, not an
+    engine-specific estimate.
+
+    Scale shape: each segment sketch is a fixed-size binary built
+    map-side (partial-aggregable); the union is a ~KB merge of 3
+    sketches regardless of row count. At 100 TB the segment sketches
+    persist in a rollup table and the union serves any segment
+    combination without touching raw data — count distinct over an
+    arbitrary slice becomes a metadata-sized read.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    seg = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_suppkey").alias("sketch"),
+        F.countDistinct("l_suppkey").alias("seg_distinct"),
+    )
+    rolled = seg.agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est"),
+        F.sum("seg_distinct").cast("long").alias("naive_sum"),
+    )
+    exact = li.agg(
+        F.countDistinct("l_suppkey").cast("long").alias("exact_distinct")
+    )
+    return rolled.crossJoin(F.broadcast(exact)).select(
+        "n_segments",
+        "exact_distinct",
+        "naive_sum",
+        (
+            (
+                F.abs(F.col("__est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            )
+            <= F.lit(0.05)
+        )
+        .cast("long")
+        .alias("union_within_5pct"),
+    )

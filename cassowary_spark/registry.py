@@ -52,10 +52,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bm25", "q_rank_fusion", "q_source_overlap",
     "q_rolling_distinct", "q_binary_ingest",
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
-    # (q_csv_corrupt, q_bpe_encode, q_ewma_value deferred from this
-    # window: all carry dedicated planted pytest gates beyond oracle
-    # parity)
-    "q_negative_pairs",
+    # (q_csv_corrupt, q_bpe_encode, q_ewma_value, q_negative_pairs
+    # deferred from this window: all carry dedicated planted pytest
+    # gates beyond oracle parity)
     "q_tpch_q4", "q_tpch_q14", "q_coverage_curve", "q_user_cadence",
     "q_schema_merge", "q_embed_norm_qa",
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
@@ -70,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # distinct-semantics wave (round 6, latest) — never adjudicated
     "q_setops_all", "q_join_nullsafe", "q_variant_json",
     "q_lake_backfill", "q_data_contract", "q_corpus_pipeline_e2e",
+    "q_hll_rollup",
     # round-5 backlog — never adjudicated (window never ran).
     # Seventeen backlog keys are deferred to the next rotation to fit
     # the three round-6 late waves above (TPC-H completion, dataset
