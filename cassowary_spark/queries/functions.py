@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassowary_spark.exprs import srnd
+from cassowary_spark.exprs import sql_srnd, srnd
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -367,4 +367,125 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_typed"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_path"),
         (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
+    )
+
+
+@query(
+    "q_try_arithmetic",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_extendedprice / (l_quantity - l_quantity)
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS div_zero_nulls,
+           CAST(sum(CASE WHEN TRY_CAST(l_returnflag AS BIGINT) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_cast_nulls,
+           CAST(sum(CASE WHEN TRY_CAST(CAST(l_linenumber AS VARCHAR)
+                                       AS BIGINT) IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS good_cast_rows,
+           {sql_srnd("avg(l_extendedprice / l_quantity)", 4)} AS avg_unit
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient arithmetic battery (B40 sibling): ``try_divide`` /
+    ``try_cast`` — the NULL-on-failure forms that matter because this
+    engine (Spark 4) runs with ANSI mode ON, where a plain division
+    by zero or a bad cast THROWS and kills the whole job. At 100 TB
+    "one malformed row aborts a 6-hour pipeline" is the failure mode;
+    try_* turns it into a countable NULL. The oracle exploits
+    DuckDB's NULL-on-zero-division semantics and TRY_CAST for the
+    same row-level outcomes.
+
+    Scale shape: all row-local expressions inside one partial agg on
+    a 3-value key — zero overhead vs the throwing forms.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    div0 = F.try_divide(
+        F.col("l_extendedprice"),
+        F.col("l_quantity") - F.col("l_quantity"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(div0.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("div_zero_nulls"),
+        F.sum(
+            F.when(F.col("l_returnflag").try_cast("bigint").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_cast_nulls"),
+        F.sum(
+            F.when(
+                F.col("l_linenumber")
+                .cast("string")
+                .try_cast("bigint")
+                .isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("good_cast_rows"),
+        srnd(
+            F.avg(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+            ),
+            4,
+        ).alias("avg_unit"),
+    )
+
+
+@query(
+    "q_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 1 THEN upper(p_name)
+                    ELSE p_name END AS name
+        FROM part
+    )
+    SELECT count(*) AS n_matches,
+           CAST(sum(CASE WHEN m.name <> p.p_name THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_case
+    FROM mixed m
+    JOIN part p ON lower(m.name) = lower(p.p_name)
+    """,
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware equality (Spark 4 collated strings, B33
+    sibling): a case-insensitive join expressed with
+    ``collate(..., 'UNICODE_CI')`` on BOTH keys — the engine-native
+    form of "join on lower()" that keeps the original strings intact
+    and lets the join use collation-aware hashing instead of
+    materializing a derived key column. Half the left side is
+    uppercased, so ~half the matches cross case — a case-SENSITIVE
+    join would drop them, which is what n_cross_case pins. The
+    oracle spells the same semantics as lower()=lower() (DuckDB has
+    no collated join).
+
+    Scale shape: a plain hash equi-join — the collation rides the
+    key's hash/equality functions, no extra shuffle or projection.
+    """
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.col("p_partkey"),
+        F.when(
+            F.col("p_partkey") % 2 == 1, F.upper("p_name")
+        ).otherwise(F.col("p_name")).alias("name"),
+    )
+    orig = p.select(F.col("p_name"))
+    joined = mixed.join(
+        orig,
+        F.collate(mixed["name"], "UNICODE_CI")
+        == F.collate(orig["p_name"], "UNICODE_CI"),
+    )
+    return joined.agg(
+        F.count("*").alias("n_matches"),
+        F.sum(
+            F.when(F.col("name") != F.col("p_name"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cross_case"),
     )
