@@ -476,3 +476,42 @@ def view_click_join_full(
     BOTH sides.
     """
     return _view_click_join(events, watermark, within, "fullOuter")
+
+
+def view_click_join_semi(
+    events: DataFrame, watermark: str = "1 hour", within: str = "30 minutes"
+) -> DataFrame:
+    """S14: stream-stream LEFT SEMI interval join — emit each view
+    ONCE if any click lands in its window, with no click columns in
+    the output. The existence-check shape ("which views converted?")
+    that an inner join gets wrong by duplicating the view per click
+    and an outer join answers with NULL bookkeeping the consumer must
+    re-filter.
+
+    State bounds are identical to the inner join (watermark +
+    interval per side); the semi form additionally guarantees
+    at-most-once emission per left row, so downstream counts need no
+    dedup.
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .alias("v")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .alias("c")
+    )
+    return v.join(
+        c,
+        F.expr(
+            f"v.user_id = c.user_id AND c.ts >= v.ts "
+            f"AND c.ts <= v.ts + INTERVAL {within}"
+        ),
+        "left_semi",
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("v.ts").alias("view_ts"),
+    )

@@ -547,3 +547,53 @@ def test_stream_stream_full_outer_accounts_both_sides(spark, tmp_path):
     assert (None, 4) in rows, rows    # orphan click accounted
     assert (5, None) not in rows, rows  # still-open windows held back
     assert (None, 6) not in rows, rows
+
+
+def test_stream_stream_semi_join_emits_once(spark, tmp_path):
+    """LEFT SEMI stream-stream join: a view with TWO clicks in its
+    window emits exactly once (inner would emit twice); a view with
+    no click never emits; no click columns appear in the schema."""
+    import os
+
+    d = str(tmp_path / "semi_stream")
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b1 = spark.createDataFrame(
+        [
+            ev(1, "2024-01-01 00:00:00", 1, "view"),
+            ev(2, "2024-01-01 00:05:00", 1, "click"),
+            ev(3, "2024-01-01 00:10:00", 1, "click"),
+            ev(4, "2024-01-01 00:00:00", 2, "view"),  # never clicked
+        ],
+        cols,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [
+            ev(5, "2024-01-02 00:00:00", 99, "view"),
+            ev(6, "2024-01-02 00:00:00", 97, "click"),
+        ],
+        cols,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(d + "/b1")
+    b2.coalesce(1).write.parquet(d + "/b2")
+    os.makedirs(d + "/in")
+    for i, sub in enumerate(("b1", "b2")):
+        src = next(
+            f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")
+        )
+        dst = f"{d}/in/batch{i}.parquet"
+        os.rename(f"{d}/{sub}/{src}", dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = jobs.read_events_stream(spark, d + "/in")
+    out = jobs.view_click_join_semi(
+        stream, watermark="1 hour", within="30 minutes"
+    )
+    assert "click_id" not in out.columns
+    got = _drain(spark, out, "t_sssemi").collect()
+    view_ids = [r.view_id for r in got]
+    assert view_ids.count(1) == 1, view_ids  # double-clicked view: once
+    assert 4 not in view_ids, view_ids  # unclicked view: never
