@@ -43,6 +43,18 @@ def _split_col() -> F.Column:
     )
 
 
+def shard_order_key() -> F.Column:
+    """Salted intra-shard order key — the single definition the
+    manifest query AND the real export (tests drive it) share, so the
+    write path and the manifest are provably on the same key."""
+    return F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+
+
+def shard_id_col() -> F.Column:
+    """16-way shard = first hex digit of ``shard_order_key``."""
+    return F.substring(shard_order_key(), 1, 1)
+
+
 # ------------------------------------------------ deterministic split
 
 
@@ -123,10 +135,7 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same partial agg — no sort anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.withColumn(
-        "okey",
-        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
-    )
+    keyed = docs.withColumn("okey", shard_order_key())
     return keyed.groupBy(
         F.substring("okey", 1, 1).alias("shard_id")
     ).agg(

@@ -43,8 +43,8 @@ ORACLES: dict[str, str] = {}
 # q_partitioned_lake, q_distribution_drift, q_corpus_mix,
 # q_compaction_plan, q_skew_stats, q_profile_stats,
 # q_centroid_affinity) — so every key in this window is one whose
-# ONLY hard gate would otherwise be the driver's. (With 189 keys and
-# a 50-slot window, ~3 rounds cycle the full registry.)
+# ONLY hard gate would otherwise be the driver's. (With 212 keys and
+# a 50-slot window, ~4-5 rounds cycle the full registry.)
 DRIVER_PRIORITY: tuple[str, ...] = (
     # queries changed in round 5 — green rows are stale, re-confirm
     "q_dedup_clusters", "q_dedup_ngram", "q_session_capped",

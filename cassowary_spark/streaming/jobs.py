@@ -116,28 +116,38 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
 def _view_click_join(
     events: DataFrame, watermark: str, within: str, how: str
 ) -> DataFrame:
-    """Shared body of the stream-stream interval joins (S9/S9b/S13):
-    views pair with the same user's clicks in [view_ts, view_ts +
-    within]. Both sides carry watermarks and the join condition
-    bounds event time, so per-side state retention is watermark +
-    interval — the state store never grows unboundedly; the equi-key
-    (user_id) keeps the shuffle an ordinary hash partition on both
-    streams. The join type is the ONLY semantic difference between
-    the three jobs (inner emits on match; outer variants hold back
-    unmatched-side emission until the watermark closes the window),
-    so the condition/watermark/projection live here exactly once.
+    """Shared body of the stream-stream interval joins
+    (S9/S9b/S13/S14): views pair with the same user's clicks in
+    [view_ts, view_ts + within]. Both sides carry watermarks and the
+    join condition bounds event time, so per-side state retention is
+    watermark + interval — the state store never grows unboundedly;
+    the equi-key (user_id) keeps the shuffle an ordinary hash
+    partition on both streams. The join type is the ONLY semantic
+    difference between the four jobs (inner emits on match; outer
+    variants hold back unmatched-side emission until the watermark
+    closes the window; left_semi emits the view at most once, with no
+    click columns to project), so the condition/watermark/projection
+    live here exactly once.
     """
     v = events.filter(F.col("event_type") == "view").withWatermark("ts", watermark).alias("v")
     c = events.filter(F.col("event_type") == "click").withWatermark("ts", watermark).alias("c")
-    return v.join(
+    joined = v.join(
         c,
         F.expr(
             f"v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {within}"
         ),
         how,
-    ).select(
+    )
+    if how == "left_semi":
+        # the right side's columns don't exist in a semi join's output
+        return joined.select(
+            F.col("v.user_id").alias("user_id"),
+            F.col("v.event_id").alias("view_id"),
+            F.col("v.ts").alias("view_ts"),
+        )
+    return joined.select(
         # coalesce: only fullOuter can NULL the view side, but the
-        # spelling is correct (and free) for all three join types
+        # spelling is correct (and free) for the non-semi join types
         F.coalesce(F.col("v.user_id"), F.col("c.user_id")).alias("user_id"),
         F.col("v.event_id").alias("view_id"),
         F.col("c.event_id").alias("click_id"),
@@ -491,27 +501,6 @@ def view_click_join_semi(
     State bounds are identical to the inner join (watermark +
     interval per side); the semi form additionally guarantees
     at-most-once emission per left row, so downstream counts need no
-    dedup.
+    dedup (see _view_click_join for the shared shape).
     """
-    v = (
-        events.filter(F.col("event_type") == "view")
-        .withWatermark("ts", watermark)
-        .alias("v")
-    )
-    c = (
-        events.filter(F.col("event_type") == "click")
-        .withWatermark("ts", watermark)
-        .alias("c")
-    )
-    return v.join(
-        c,
-        F.expr(
-            f"v.user_id = c.user_id AND c.ts >= v.ts "
-            f"AND c.ts <= v.ts + INTERVAL {within}"
-        ),
-        "left_semi",
-    ).select(
-        F.col("v.user_id").alias("user_id"),
-        F.col("v.event_id").alias("view_id"),
-        F.col("v.ts").alias("view_ts"),
-    )
+    return _view_click_join(events, watermark, within, "left_semi")

@@ -182,6 +182,7 @@ def test_shard_export_write_matches_manifest(spark, tmp_path):
     holds exactly the manifest's per-shard doc counts."""
     from pyspark.sql import functions as F
 
+    from cassowary_spark.queries.datapipe5 import shard_id_col
     from cassowary_spark.tables import load_table
 
     manifest = {
@@ -190,14 +191,9 @@ def test_shard_export_write_matches_manifest(spark, tmp_path):
     }
     out = str(tmp_path / "shards")
     docs = load_table(spark, SF, "documents")
-    docs.withColumn(
-        "shard_id",
-        F.substring(
-            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
-            1,
-            1,
-        ),
-    ).write.partitionBy("shard_id").parquet(out)
+    docs.withColumn("shard_id", shard_id_col()).write.partitionBy(
+        "shard_id"
+    ).parquet(out)
     back = spark.read.parquet(out)
     got = {
         r["shard_id"]: r["n"]

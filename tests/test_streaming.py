@@ -27,6 +27,28 @@ def _drain(spark, df, name, output_mode="append"):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def _stage_batches(stream_dir, frames):
+    """Land each DataFrame as one parquet file under
+    ``<stream_dir>/in``, mtime-pinned in list order — the file source
+    replays in modification-time order, so this IS the micro-batch
+    choreography the stream-stream tests depend on."""
+    import os
+
+    for i, b in enumerate(frames):
+        b.coalesce(1).write.parquet(f"{stream_dir}/b{i}")
+    os.makedirs(f"{stream_dir}/in", exist_ok=True)
+    for i in range(len(frames)):
+        src = next(
+            f
+            for f in os.listdir(f"{stream_dir}/b{i}")
+            if f.endswith(".parquet")
+        )
+        dst = f"{stream_dir}/in/batch{i}.parquet"
+        os.rename(f"{stream_dir}/b{i}/{src}", dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return f"{stream_dir}/in"
+
+
 def test_stream_tumbling_equals_batch(spark, sf_dir, events_stream_dir):
     stream = jobs.read_events_stream(spark, events_stream_dir)
     # complete mode + huge watermark: the random 4-way split makes
@@ -317,18 +339,7 @@ def test_stream_stream_outer_join_emits_nulls(spark, tmp_path):
         ],
         cols,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    b1.coalesce(1).write.parquet(d + "/b1")
-    b2.coalesce(1).write.parquet(d + "/b2")
-    b3.coalesce(1).write.parquet(d + "/b3")
-    os.makedirs(d + "/in")
-    for i, sub in enumerate(("b1", "b2", "b3")):
-        src = next(f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet"))
-        dst = f"{d}/in/batch{i}.parquet"
-        os.rename(f"{d}/{sub}/{src}", dst)
-        # file source replays in modification-time order; pin it
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
-
-    stream = jobs.read_events_stream(spark, d + "/in")
+    stream = jobs.read_events_stream(spark, _stage_batches(d, [b1, b2, b3]))
     got = _drain(
         spark,
         jobs.view_click_join_outer(stream, watermark="1 hour", within="30 minutes"),
@@ -522,18 +533,7 @@ def test_stream_stream_full_outer_accounts_both_sides(spark, tmp_path):
         ],
         cols,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    for i, b in enumerate((b1, b2, b3)):
-        b.coalesce(1).write.parquet(d + f"/b{i}")
-    os.makedirs(d + "/in")
-    for i in range(3):
-        src = next(
-            f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet")
-        )
-        dst = f"{d}/in/batch{i}.parquet"
-        os.rename(f"{d}/b{i}/{src}", dst)
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
-
-    stream = jobs.read_events_stream(spark, d + "/in")
+    stream = jobs.read_events_stream(spark, _stage_batches(d, [b1, b2, b3]))
     got = _drain(
         spark,
         jobs.view_click_join_full(
@@ -551,10 +551,10 @@ def test_stream_stream_full_outer_accounts_both_sides(spark, tmp_path):
 
 def test_stream_stream_semi_join_emits_once(spark, tmp_path):
     """LEFT SEMI stream-stream join: a view with TWO clicks in its
-    window emits exactly once (inner would emit twice); a view with
-    no click never emits; no click columns appear in the schema."""
-    import os
-
+    window — the second arriving in a LATER micro-batch, the
+    state-store matched-flag path where a broken semi join would
+    double-emit — emits exactly once (inner would emit twice); a view
+    with no click never emits; no click columns appear in the schema."""
     d = str(tmp_path / "semi_stream")
 
     def ev(eid, ts, uid, etype):
@@ -565,35 +565,31 @@ def test_stream_stream_semi_join_emits_once(spark, tmp_path):
         [
             ev(1, "2024-01-01 00:00:00", 1, "view"),
             ev(2, "2024-01-01 00:05:00", 1, "click"),
-            ev(3, "2024-01-01 00:10:00", 1, "click"),
             ev(4, "2024-01-01 00:00:00", 2, "view"),  # never clicked
         ],
         cols,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # second in-window click for view 1 lands one batch LATER —
+    # at-most-once must hold across batches, not just within one
     b2 = spark.createDataFrame(
+        [
+            ev(3, "2024-01-01 00:10:00", 1, "click"),
+        ],
+        cols,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b3 = spark.createDataFrame(
         [
             ev(5, "2024-01-02 00:00:00", 99, "view"),
             ev(6, "2024-01-02 00:00:00", 97, "click"),
         ],
         cols,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    b1.coalesce(1).write.parquet(d + "/b1")
-    b2.coalesce(1).write.parquet(d + "/b2")
-    os.makedirs(d + "/in")
-    for i, sub in enumerate(("b1", "b2")):
-        src = next(
-            f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")
-        )
-        dst = f"{d}/in/batch{i}.parquet"
-        os.rename(f"{d}/{sub}/{src}", dst)
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
-
-    stream = jobs.read_events_stream(spark, d + "/in")
+    stream = jobs.read_events_stream(spark, _stage_batches(d, [b1, b2, b3]))
     out = jobs.view_click_join_semi(
         stream, watermark="1 hour", within="30 minutes"
     )
     assert "click_id" not in out.columns
     got = _drain(spark, out, "t_sssemi").collect()
     view_ids = [r.view_id for r in got]
-    assert view_ids.count(1) == 1, view_ids  # double-clicked view: once
+    assert view_ids.count(1) == 1, view_ids  # cross-batch double click: once
     assert 4 not in view_ids, view_ids  # unclicked view: never
