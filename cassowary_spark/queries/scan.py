@@ -1014,3 +1014,55 @@ def q_lake_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         srnd(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "q_compact_small_files",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM orders
+    """,
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (A-family maintenance, the lakehouse
+    OPTIMIZE): a lake table fragmented into 64 tiny files — the
+    streaming-ingest pathology where every micro-batch lands a file
+    and scan planning drowns in per-file overhead — rewritten into 4
+    right-sized files. Content equality is the oracle (row count +
+    key checksum over the compacted table); the before/after file
+    counts are pinned literals, so a compaction that loses or
+    duplicates rows OR fails to actually reduce the file count fails
+    the hash.
+
+    Scale shape: the rewrite is one repartition (hash, no sort) —
+    at 100 TB you compact per partition-directory, newest-first,
+    and the pinned counts generalize to a files-per-partition target.
+    The attempt-safe staged-write commit comes free from Spark's
+    FileOutputCommitter.
+    """
+    from cassowary_spark.tables import fixture_cache_dir
+
+    frag = fixture_cache_dir(sf_dir, "orders_fragmented", dep="orders")
+    compacted = fixture_cache_dir(sf_dir, "orders_compacted", dep="orders")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def _n_parquet(d: str) -> int:
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        o.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    n_before = _n_parquet(frag)
+    n_after = _n_parquet(compacted)
+    lake = spark.read.parquet(compacted)
+    return lake.agg(
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("long")).alias("key_checksum"),
+    )

@@ -57,7 +57,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_csv_corrupt, q_bpe_encode, q_ewma_value, q_negative_pairs
     # deferred from this window: all carry dedicated planted pytest
     # gates beyond oracle parity)
-    "q_tpch_q4", "q_tpch_q14", "q_coverage_curve", "q_user_cadence",
+    # (q_coverage_curve deferred: planted pytest gates in
+    # tests/test_datapipe4.py + a plan gate in tests/test_plans.py)
+    "q_tpch_q4", "q_tpch_q14", "q_user_cadence",
     "q_schema_merge", "q_embed_norm_qa",
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
     "q_corrupt_files", "q_kanon_screen", "q_corpus_card",
@@ -72,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_setops_all", "q_join_nullsafe", "q_variant_json",
     "q_lake_backfill", "q_data_contract", "q_corpus_pipeline_e2e",
     "q_hll_rollup", "q_try_arithmetic", "q_collation",
+    "q_compact_small_files",
     # round-5 backlog — never adjudicated (window never ran).
     # Seventeen backlog keys are deferred to the next rotation to fit
     # the three round-6 late waves above (TPC-H completion, dataset
