@@ -202,8 +202,12 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries |train shingles| + |test shingle rows|, never the pair
     fanout; hot shingles (df > 1000) are dropped on BOTH sides first
     (same bound as the dedup family — at 100 TB the cap is what
-    keeps stop-phrase shingles from exploding the join). The
-    per-lang rollup is a broadcast-size frame.
+    keeps stop-phrase shingles from exploding the join). The hot set
+    is found with a partial-agg groupBy (map-side combine shrinks the
+    shuffle to distinct-shingles-per-partition) and removed with a
+    broadcast anti join — NOT a count-over-window, which would move
+    every shingle ROW through one exchange uncombined. The per-lang
+    rollup is a broadcast-size frame.
     """
     corpus = _docs_with_twins(spark, sf_dir, ("lang",))
     tagged = corpus.withColumn("split", _split_col())
@@ -213,11 +217,13 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.explode(shingles("text", 5)).alias("shingle"),
     )
-    from pyspark.sql import Window
-
-    sh = sh0.withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("df") <= 1000)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > 1000)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     train_sh = (
         sh.filter(F.col("split") == "train").select("shingle").distinct()
     )
