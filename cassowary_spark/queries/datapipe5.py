@@ -211,12 +211,15 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _docs_with_twins(spark, sf_dir, ("lang",))
     tagged = corpus.withColumn("split", _split_col())
+    # persisted: the hot-set job and the main pass both consume the
+    # shingle explode — without the persist it would run twice (the
+    # dedup family's hashed_shingles does the same)
     sh0 = tagged.select(
         "doc_id",
         "lang",
         "split",
         F.explode(shingles("text", 5)).alias("shingle"),
-    )
+    ).persist()
     hot = (
         sh0.groupBy("shingle")
         .agg(F.count("*").alias("__df"))
