@@ -26,6 +26,7 @@ _MODULES = (
     "datapipe4",
     "tpch2",
     "datapipe5",
+    "ssb",
 )
 
 _loaded = False

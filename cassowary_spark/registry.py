@@ -51,8 +51,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 6 — never adjudicated
     # (q_bm25 and q_rank_fusion deferred: both carry hand-computed
     # closed-form pytest gates in tests/test_retrieval.py)
-    "q_source_overlap",
-    "q_rolling_distinct", "q_binary_ingest",
+    # (q_source_overlap, q_rolling_distinct, q_binary_ingest,
+    # q_schema_merge also deferred: retrieval-layer closed-form /
+    # planted gates in tests/test_retrieval.py + test_datapipe4.py)
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
     # (q_csv_corrupt, q_bpe_encode, q_ewma_value, q_negative_pairs
     # deferred from this window: all carry dedicated planted pytest
@@ -60,7 +61,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_coverage_curve deferred: planted pytest gates in
     # tests/test_datapipe4.py + a plan gate in tests/test_plans.py)
     "q_tpch_q4", "q_tpch_q14", "q_user_cadence",
-    "q_schema_merge", "q_embed_norm_qa",
+    "q_embed_norm_qa",
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
     "q_corrupt_files", "q_kanon_screen", "q_corpus_card",
     "q_udtf_python",
@@ -75,6 +76,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_lake_backfill", "q_data_contract", "q_corpus_pipeline_e2e",
     "q_hll_rollup", "q_try_arithmetic", "q_collation",
     "q_compact_small_files",
+    # SSB battery (round 6, latest) — never adjudicated
+    "q_ssb_q1", "q_ssb_q2", "q_ssb_q3", "q_ssb_q4",
     # round-5 backlog — never adjudicated (window never ran).
     # Seventeen backlog keys are deferred to the next rotation to fit
     # the three round-6 late waves above (TPC-H completion, dataset
