@@ -45,6 +45,36 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def drop_hot_keys(
+    df: DataFrame,
+    key_cols: str | list[str],
+    cap: int,
+    broadcast_hot: bool = False,
+) -> DataFrame:
+    """Drop every row whose key occurs STRICTLY MORE than ``cap``
+    times — the hot-key filter every bucketed family applies before a
+    self-/equi-join so stop-shingles or mega-buckets can't explode
+    the pair fanout. One definition so the strictly-greater-than
+    semantics can't drift between call sites.
+
+    The hot set is found with a partial-agg groupBy (map-side combine
+    shrinks the shuffle to distinct keys per partition) and removed
+    with an anti join; when the cap is doing its job the hot set is
+    tiny, so AQE broadcasts the anti-join side on its own —
+    ``broadcast_hot`` forces the hint where the caller knows that.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > cap)
+        .select(*keys)
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return df.join(hot, keys, "left_anti")
+
+
 def shingles(text_col: str, k: int = 3) -> F.Column:
     """Distinct k-word shingles of a whitespace-tokenized text column.
 
@@ -97,16 +127,8 @@ def hashed_shingles(
         .select(F.col(id_col), F.xxhash64("__shingle").alias("sh_h"))
     )
     if max_shingle_df is not None:
-        # shingles are per-doc distinct, so count(*) per hash == df;
-        # AQE broadcasts the anti-join side when the cap is doing its
-        # job (few hot shingles)
-        hot = (
-            sh.groupBy("sh_h")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("sh_h")
-        )
-        sh = sh.join(hot, "sh_h", "left_anti")
+        # shingles are per-doc distinct, so count(*) per hash == df
+        sh = drop_hot_keys(sh, "sh_h", max_shingle_df)
     return sh
 
 
@@ -186,16 +208,8 @@ def band_candidates(
         ).alias("band", "band_sig"),
     )
     if bucket_cap is not None:
-        # hot buckets only (≤ n/cap rows by construction) — AQE
-        # broadcasts the anti-join side when it is small, which it is
-        # whenever the cap is doing its job
-        hot = (
-            banded.groupBy("band", "band_sig")
-            .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") > bucket_cap)
-            .select("band", "band_sig")
-        )
-        banded = banded.join(hot, ["band", "band_sig"], "left_anti")
+        # hot buckets only (≤ n/cap rows by construction)
+        banded = drop_hot_keys(banded, ["band", "band_sig"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -293,13 +307,7 @@ def ngram_jaccard_pairs(
         # the df filter is applied here (off the persisted unfiltered
         # frame) rather than inside hashed_shingles so the persist
         # backs both the hot-set scan and the filtered consumers
-        hot = (
-            sh.groupBy("sh_h")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("sh_h")
-        )
-        sh = sh.join(hot, "sh_h", "left_anti")
+        sh = drop_hot_keys(sh, "sh_h", max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
-from cassowary_spark.operators.dedup import shingles
+from cassowary_spark.operators.dedup import drop_hot_keys, shingles
 from cassowary_spark.queries.llm import (
     TWIN_OFFSET,
     _docs_twins_sql,
@@ -220,13 +220,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.explode(shingles("text", 5)).alias("shingle"),
     ).persist()
-    hot = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > 1000)
-        .select("shingle")
-    )
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = drop_hot_keys(sh0, "shingle", 1000, broadcast_hot=True)
     train_sh = (
         sh.filter(F.col("split") == "train").select("shingle").distinct()
     )

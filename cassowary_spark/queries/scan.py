@@ -1052,7 +1052,12 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _n_parquet(d: str) -> int:
         return len([f for f in os.listdir(d) if f.endswith(".parquet")])
 
-    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+    # guard on BOTH artifacts: a pruned frag dir with a surviving
+    # compacted dir would otherwise crash the file count below
+    if not (
+        os.path.exists(os.path.join(compacted, "_SUCCESS"))
+        and os.path.exists(os.path.join(frag, "_SUCCESS"))
+    ):
         o.repartition(64).write.mode("overwrite").parquet(frag)
         spark.read.parquet(frag).repartition(4).write.mode(
             "overwrite"

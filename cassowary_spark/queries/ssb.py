@@ -186,14 +186,17 @@ def q_ssb_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
     n1 = F.broadcast(
-        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        asia.select(
             F.col("n_nationkey").alias("n1_key"),
             F.col("n_name").alias("cust_nation"),
         )
     )
     n2 = F.broadcast(
-        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        asia.select(
             F.col("n_nationkey").alias("n2_key"),
             F.col("n_name").alias("supp_nation"),
         )
