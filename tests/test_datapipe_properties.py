@@ -103,3 +103,33 @@ def test_postings_delta_rebuilds_for_random_id_sets(
             rebuilt.append(acc)
         assert rebuilt == sorted(set(g))
         assert r["df"] == len(set(g))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=60),
+    cap=st.integers(min_value=1, max_value=8),
+)
+def test_drop_hot_keys_matches_multiset_reference(spark, keys, cap):
+    """drop_hot_keys keeps exactly the rows whose key multiplicity is
+    <= cap (strictly-greater-than drop) — the one definition four call
+    sites now share, checked against a pure-Python multiset count over
+    arbitrary key distributions including empty input and all-hot."""
+    import collections
+
+    from cassowary_spark.operators.dedup import drop_hot_keys
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)] or [(0, 0)],
+        ["row_id", "k"],
+    )
+    if not keys:
+        df = df.filter("row_id < 0")  # genuinely empty frame
+    got = sorted(
+        r["row_id"] for r in drop_hot_keys(df, "k", cap).collect()
+    )
+    counts = collections.Counter(keys)
+    expected = sorted(
+        i for i, k in enumerate(keys) if counts[k] <= cap
+    )
+    assert got == expected
