@@ -1071,3 +1071,85 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("long")).alias("key_checksum"),
     )
+
+
+@query(
+    "q_regex_serde",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_e4_sum
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__malformed__' AS event_type,
+           CAST(3 AS BIGINT) AS n_events,
+           CAST(0 AS BIGINT) AS value_e4_sum
+    """,
+)
+def q_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexSerDe-style text-log ingestion (A-family connector): the
+    Hive pattern the reference's era lived on — a raw text log whose
+    lines parse into columns via ONE regex, with non-matching lines
+    quarantined instead of killing the job. The cache round-trips
+    events through a printf-formatted log (value pre-quantized to
+    integer 1e-4 units at WRITE time, so parse-back is exact integer
+    arithmetic — no float-printf rounding to reconcile) and plants 3
+    garbage lines; the read side is `spark.read.text` +
+    `regexp_extract`, the malformed bucket is the rows the regex
+    rejects. The oracle recomputes the same aggregate from the
+    original events table + the planted-bad-line count, so a parser
+    that drops a real line, mis-parses a field, or eats the garbage
+    silently fails the hash.
+
+    Scale shape: text scan splits by line ranges; the regex and field
+    casts are row-local JVM expressions (one regex evaluation per
+    field via regexp_extract groups); quarantine is a filter, not an
+    error path. One partial agg on a 5-value key.
+    """
+    from cassowary_spark.tables import fixture_cache_dir
+
+    log_dir = fixture_cache_dir(sf_dir, "events_log", dep="events")
+    ev = load_table(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(log_dir, "_SUCCESS")):
+        lines = ev.select(
+            F.format_string(
+                "evt id=%d user=%d type=%s v4=%d",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("value")
+        )
+        bad = spark.createDataFrame(
+            [("CORRUPT GARBAGE LINE",), ("evt id=notanint user=? ...",),
+             ("",)],
+            ["value"],
+        )
+        lines.unionByName(bad).coalesce(4).write.mode("overwrite").text(
+            log_dir
+        )
+    raw = spark.read.text(log_dir)
+    pat = r"^evt id=(\d+) user=(\d+) type=(\w+) v4=(-?\d+)$"
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 3).alias("event_type"),
+        F.regexp_extract("value", pat, 4).alias("__v4"),
+        F.col("value").rlike(pat).alias("__ok"),
+    )
+    good = parsed.filter(F.col("__ok")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("__v4").cast("long")).alias("value_e4_sum"),
+    )
+    bad_row = (
+        parsed.filter(~F.col("__ok"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.lit("__malformed__").alias("event_type"),
+            "n_events",
+            F.lit(0).cast("long").alias("value_e4_sum"),
+        )
+    )
+    return good.unionByName(bad_row)

@@ -60,7 +60,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # gates beyond oracle parity)
     # (q_coverage_curve deferred: planted pytest gates in
     # tests/test_datapipe4.py + a plan gate in tests/test_plans.py)
-    "q_tpch_q4", "q_tpch_q14", "q_user_cadence",
+    # (q_user_cadence deferred: planted gates in test_datapipe4.py +
+    # a plan gate in test_plans.py)
+    "q_tpch_q4", "q_tpch_q14",
     "q_embed_norm_qa",
     "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
     "q_corrupt_files", "q_kanon_screen", "q_corpus_card",
@@ -78,6 +80,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_compact_small_files",
     # SSB battery (round 6, latest) — never adjudicated
     "q_ssb_q1", "q_ssb_q2", "q_ssb_q3", "q_ssb_q4",
+    "q_regex_serde",
     # round-5 backlog — never adjudicated (window never ran).
     # Seventeen backlog keys are deferred to the next rotation to fit
     # the three round-6 late waves above (TPC-H completion, dataset
