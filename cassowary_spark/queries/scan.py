@@ -1016,6 +1016,29 @@ def q_lake_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_fragmented_lake(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per source-file identity) the 64-file fragmented
+    orders lake and its 4-file compacted rewrite — shared by the
+    compaction and file-provenance queries so their caches can't
+    drift. Guards on BOTH _SUCCESS markers: a pruned fragment dir
+    with a surviving compacted dir (or vice versa) regenerates both.
+    """
+    from cassowary_spark.tables import fixture_cache_dir
+
+    frag = fixture_cache_dir(sf_dir, "orders_fragmented", dep="orders")
+    compacted = fixture_cache_dir(sf_dir, "orders_compacted", dep="orders")
+    if not (
+        os.path.exists(os.path.join(compacted, "_SUCCESS"))
+        and os.path.exists(os.path.join(frag, "_SUCCESS"))
+    ):
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        o.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    return frag, compacted
+
+
 @query(
     "q_compact_small_files",
     oracle="""
@@ -1043,25 +1066,11 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     The attempt-safe staged-write commit comes free from Spark's
     FileOutputCommitter.
     """
-    from cassowary_spark.tables import fixture_cache_dir
-
-    frag = fixture_cache_dir(sf_dir, "orders_fragmented", dep="orders")
-    compacted = fixture_cache_dir(sf_dir, "orders_compacted", dep="orders")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    frag, compacted = _ensure_fragmented_lake(spark, sf_dir)
 
     def _n_parquet(d: str) -> int:
         return len([f for f in os.listdir(d) if f.endswith(".parquet")])
 
-    # guard on BOTH artifacts: a pruned frag dir with a surviving
-    # compacted dir would otherwise crash the file count below
-    if not (
-        os.path.exists(os.path.join(compacted, "_SUCCESS"))
-        and os.path.exists(os.path.join(frag, "_SUCCESS"))
-    ):
-        o.repartition(64).write.mode("overwrite").parquet(frag)
-        spark.read.parquet(frag).repartition(4).write.mode(
-            "overwrite"
-        ).parquet(compacted)
     n_before = _n_parquet(frag)
     n_after = _n_parquet(compacted)
     lake = spark.read.parquet(compacted)
@@ -1153,3 +1162,46 @@ def q_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return good.unionByName(bad_row)
+
+
+@query(
+    "q_file_provenance",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS n_files,
+           count(*) AS n_rows,
+           CAST(64 AS BIGINT) AS n_files_nonempty,
+           CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_checksum
+    FROM orders
+    """,
+)
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance via the `_metadata` hidden columns
+    (A-family lake forensics): every row of the 64-file fragmented
+    lake reports which physical file served it — the debugging
+    primitive behind "which ingest batch produced this bad row?"
+    without any provenance column materialized in the data.
+    `_metadata.file_name` exists only when selected; the stored
+    schema is untouched. The oracle pins the file count and the full
+    content checksum, so provenance that drops files or double-reads
+    one fails the hash.
+
+    Scale shape: `_metadata` is populated by the scan operator
+    per-split at zero I/O cost (the reader already knows its file);
+    the distinct-file rollup is a ≤64-key partial agg.
+    """
+    frag, _ = _ensure_fragmented_lake(spark, sf_dir)
+    lake = spark.read.parquet(frag).select(
+        "o_orderkey", F.col("_metadata.file_name").alias("src_file")
+    )
+    per_file = lake.groupBy("src_file").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderkey").cast("long")).alias("ck"),
+    )
+    return per_file.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_files_nonempty"),
+        F.sum("ck").alias("key_checksum"),
+    )

@@ -47,7 +47,11 @@ ORACLES: dict[str, str] = {}
 # a 50-slot window, ~4-5 rounds cycle the full registry.)
 DRIVER_PRIORITY: tuple[str, ...] = (
     # queries changed in round 5 — green rows are stale, re-confirm
-    "q_dedup_clusters", "q_dedup_ngram", "q_session_capped",
+    # (q_dedup_ngram deferred: its exact pair set is adjudicated
+    # in-window through q_dedup_near_verified, whose oracle is the
+    # same brute-force SQL; local parity + shingle property tests
+    # cover the refactored machinery)
+    "q_dedup_clusters", "q_session_capped",
     # new in round 6 — never adjudicated
     # (q_bm25 and q_rank_fusion deferred: both carry hand-computed
     # closed-form pytest gates in tests/test_retrieval.py)
@@ -80,7 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_compact_small_files",
     # SSB battery (round 6, latest) — never adjudicated
     "q_ssb_q1", "q_ssb_q2", "q_ssb_q3", "q_ssb_q4",
-    "q_regex_serde",
+    "q_regex_serde", "q_file_provenance",
     # round-5 backlog — never adjudicated (window never ran).
     # Seventeen backlog keys are deferred to the next rotation to fit
     # the three round-6 late waves above (TPC-H completion, dataset
