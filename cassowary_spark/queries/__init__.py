@@ -27,6 +27,7 @@ _MODULES = (
     "tpch2",
     "datapipe5",
     "ssb",
+    "datapipe6",
 )
 
 _loaded = False

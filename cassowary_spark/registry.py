@@ -101,6 +101,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # because they have never been adjudicated in ANY round and were
     # the round-4 verdict's top follow-up.
     "q_source_cap", "q_dedup_near_verified",
+    # Wave-6 additions (q_url_parse, q_attribution, q_cdc_apply,
+    # q_token_entropy, q_decayed_score, q_skyline, q_xml_ingest) are
+    # deferred from this window under the same policy: each carries a
+    # dedicated planted-input pytest gate (tests/test_datapipe6.py)
+    # plus sf0.01 oracle parity, so the driver window stays reserved
+    # for keys whose ONLY hard gate would be the driver's.
 )
 
 
