@@ -28,6 +28,7 @@ _MODULES = (
     "datapipe5",
     "ssb",
     "datapipe6",
+    "datapipe7",
 )
 
 _loaded = False

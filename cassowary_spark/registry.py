@@ -106,7 +106,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # deferred from this window under the same policy: each carries a
     # dedicated planted-input pytest gate (tests/test_datapipe6.py)
     # plus sf0.01 oracle parity, so the driver window stays reserved
-    # for keys whose ONLY hard gate would be the driver's.
+    # for keys whose ONLY hard gate would be the driver's. Wave 7
+    # (q_cow_erasure, q_interpolate) is deferred likewise — both carry
+    # planted gates in tests/test_datapipe7.py (file-surgical rewrite
+    # proof, closed-form straight-line values, exactly-once restart) —
+    # as is wave 8 (q_manifest_time_travel, q_ivm_refresh: version-
+    # visibility and insert/update/keep-path planted gates there too).
 )
 
 
