@@ -406,17 +406,22 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher price AND strictly later date; both axes are integerized
     (cents / epoch days) so dominance is exact.
 
-    Scale shape: the naive skyline is an O(n²) self-join — this is
-    the sort-based O(n log n) form: max(day) over the
-    strictly-higher-price suffix (integer RANGE frame) marks
-    dominated rows in one pass. Because a global ORDER BY window is
-    single-task at 100 TB, a LOCAL prune runs first: the same frame
-    partitioned by coarse price bucket eliminates rows dominated
-    within their bucket, so the global pass sees only per-bucket
-    frontiers (O(skyline + #buckets) rows), not the corpus. The local
-    pass can only drop genuinely dominated rows (a same-bucket
-    dominator is a dominator), so the result is identical — the
-    oracle runs the one-pass global form.
+    Scale shape: the naive skyline is an O(n²) self-join; the naive
+    window form (max over a [1 FOLLOWING, UNBOUNDED FOLLOWING] suffix
+    frame) is O(n²) per partition too — Spark's
+    UnboundedFollowingWindowFunctionFrame recomputes the aggregate
+    per row (measured: 3.3 s at sf0.1 vs 0.4 s for this form). So:
+    (1) CROSS-BUCKET prune — per-price-bucket max(day) is a ≤#buckets
+    frame; its strict-suffix max broadcasts back and any row beaten
+    by a higher bucket's best day drops row-locally (every row in a
+    higher bucket has strictly higher price, so the drop is sound).
+    (2) exact pass on the survivors: distinct-price max(day), then a
+    RUNNING max ([UNBOUNDED PRECEDING, -1] over price DESC — the
+    incremental O(n) frame) gives "best day among strictly higher
+    prices"; survivors closure holds because a pruned dominator is
+    itself dominated by an unpruned one (transitive chain up the
+    buckets). The oracle runs the direct one-pass global form, and
+    the planted test cross-checks the naive O(n²) definition.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -427,22 +432,36 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day"
         ),
     )
-    # local prune: dominated within a coarse price bucket → gone
+    # (1) cross-bucket prune: beaten by any strictly-pricier bucket's
+    # best day → dominated (distributed, row-local after the tiny agg)
     bucket = (F.col("price_cents") / F.lit(_SKY_BUCKET_CENTS)).cast("long")
-    w_local = (
-        Window.partitionBy(bucket)
-        .orderBy("price_cents")
-        .rangeBetween(1, Window.unboundedFollowing)
+    bstats = o.groupBy(bucket.alias("__b")).agg(F.max("day").alias("__mx"))
+    w_b = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    pruned = o.withColumn("__bl", F.max("day").over(w_local)).filter(
-        F.col("__bl").isNull() | (F.col("__bl") <= F.col("day"))
+    bstats = bstats.withColumn("__later_mx", F.max("__mx").over(w_b)).drop(
+        "__mx"
     )
-    # global pass over the per-bucket frontiers (small survivor set)
-    w_glob = (
-        Window.orderBy("price_cents").rangeBetween(1, Window.unboundedFollowing)
+    pruned = (
+        o.withColumn("__b", bucket)
+        .join(F.broadcast(bstats), "__b")
+        .filter(
+            F.col("__later_mx").isNull()
+            | (F.col("__later_mx") <= F.col("day"))
+        )
+        .drop("__b", "__later_mx")
+    )
+    # (2) exact pass on the small survivor set: running (incremental)
+    # max over strictly-higher distinct prices
+    pm = pruned.groupBy("price_cents").agg(F.max("day").alias("__pmax"))
+    w_g = Window.orderBy(F.desc("price_cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pm = pm.withColumn("best_later", F.max("__pmax").over(w_g)).drop(
+        "__pmax"
     )
     return (
-        pruned.withColumn("best_later", F.max("day").over(w_glob))
+        pruned.join(F.broadcast(pm), "price_cents")
         .filter(
             F.col("best_later").isNull()
             | (F.col("best_later") <= F.col("day"))
