@@ -375,10 +375,13 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            count(*) AS n_rows,
-           CAST(sum(CASE WHEN l_extendedprice / (l_quantity - l_quantity)
+           CAST(sum(CASE WHEN l_extendedprice / (l_quantity - 25.0)
                          IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS div_zero_nulls,
-           CAST(sum(CASE WHEN TRY_CAST(l_returnflag AS BIGINT) IS NULL
+           CAST(sum(CASE WHEN TRY_CAST(
+                        CASE WHEN l_orderkey % 16 = 0 THEN l_returnflag
+                             ELSE CAST(l_linenumber AS VARCHAR) END
+                        AS BIGINT) IS NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_cast_nulls,
            CAST(sum(CASE WHEN TRY_CAST(CAST(l_linenumber AS VARCHAR)
                                        AS BIGINT) IS NOT NULL
@@ -396,25 +399,34 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one malformed row aborts a 6-hour pipeline" is the failure mode;
     try_* turns it into a countable NULL. The oracle exploits
     DuckDB's NULL-on-zero-division semantics and TRY_CAST for the
-    same row-level outcomes.
+    same row-level outcomes. The planted failures are RARE (~2% zero
+    denominators via quantity=25, ~6% unparseable strings via the
+    orderkey mod) — deliberately: try_cast's failure path is
+    exception-driven in the JVM (TryEval catches a
+    NumberFormatException per failing row — measured ~9 µs/row,
+    5.3 s for an all-fail column at sf0.1 vs 0.25 s all-pass), so a
+    benchmark that fails every row measures exception plumbing, and a
+    100 TB pipeline design should budget try_* by failure RATE, not
+    treat it as free. Both outcomes stay covered at every sf.
 
     Scale shape: all row-local expressions inside one partial agg on
-    a 3-value key — zero overhead vs the throwing forms.
+    a 3-value key — zero overhead vs the throwing forms when
+    failures are rare (the production case).
     """
     li = load_table(spark, sf_dir, "lineitem")
     div0 = F.try_divide(
         F.col("l_extendedprice"),
-        F.col("l_quantity") - F.col("l_quantity"),
+        F.col("l_quantity") - F.lit(25.0),
     )
+    mixed = F.when(
+        F.col("l_orderkey") % 16 == 0, F.col("l_returnflag")
+    ).otherwise(F.col("l_linenumber").cast("string"))
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(div0.isNull(), 1).otherwise(0))
         .cast("long")
         .alias("div_zero_nulls"),
-        F.sum(
-            F.when(F.col("l_returnflag").try_cast("bigint").isNull(), 1)
-            .otherwise(0)
-        )
+        F.sum(F.when(mixed.try_cast("bigint").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("bad_cast_nulls"),
         F.sum(
