@@ -29,6 +29,7 @@ _MODULES = (
     "ssb",
     "datapipe6",
     "datapipe7",
+    "datapipe8",
 )
 
 _loaded = False

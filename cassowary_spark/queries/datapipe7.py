@@ -410,3 +410,55 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("d.cents_sum"), F.lit(0))
         ).alias("cents_sum"),
     )
+
+
+# ----------------------------- A25 optimistic-concurrency manifest commit
+
+
+class ManifestConflict(Exception):
+    """Another writer claimed the target version first — rebase on the
+    new current manifest and retry (the optimistic-concurrency loop
+    every log-structured table format runs)."""
+
+
+def commit_manifest(
+    spark: SparkSession, root: str, files_df: DataFrame, version: int
+) -> str:
+    """A25: commit `files_df` (a one-column ``file_name`` frame) as
+    manifest version ``version`` under optimistic concurrency. The
+    manifest lands in a writer-private staging dir first (Spark write,
+    arbitrarily large); the COMMIT is claiming the version sentinel
+    with an O_EXCL create — an atomic, size-independent filesystem
+    primitive (object stores: if-none-match put). Exactly one writer
+    wins a version; the loser raises :class:`ManifestConflict` and
+    must recompute against the winner's manifest. Data files are
+    immutable, so a lost race never corrupts — it only re-plans.
+    """
+    staging = os.path.join(
+        root, f".staging-v{version}-{os.getpid()}-{id(files_df)}"
+    )
+    files_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    lock = os.path.join(root, f"_commit_v{version}.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # lost the race: leave the winner's manifest alone, clean up
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ManifestConflict(
+            f"version {version} already committed at {lock}"
+        ) from None
+    os.close(fd)
+    final = os.path.join(root, f"manifest_occ_v{version}")
+    os.rename(staging, final)
+    return final
+
+
+def current_occ_version(root: str) -> int:
+    """Highest committed OCC manifest version (0 if none)."""
+    best = 0
+    for f in os.listdir(root):
+        if f.startswith("_commit_v") and f.endswith(".lock"):
+            best = max(best, int(f[len("_commit_v"):-len(".lock")]))
+    return best

@@ -111,7 +111,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # planted gates in tests/test_datapipe7.py (file-surgical rewrite
     # proof, closed-form straight-line values, exactly-once restart) —
     # as is wave 8 (q_manifest_time_travel, q_ivm_refresh: version-
-    # visibility and insert/update/keep-path planted gates there too).
+    # visibility and insert/update/keep-path planted gates there too)
+    # and wave 9 (q_seasonal_baseline, q_cooccurrence,
+    # q_weighted_sample: cell-vs-global, hand-lift, and python-A-res
+    # replication gates in tests/test_datapipe8.py) and wave 10
+    # (q_sql_udf: three-band + NULL-guard planted gate there too).
 )
 
 
