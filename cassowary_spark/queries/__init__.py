@@ -30,6 +30,7 @@ _MODULES = (
     "datapipe6",
     "datapipe7",
     "datapipe8",
+    "datapipe9",
 )
 
 _loaded = False

@@ -115,7 +115,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # and wave 9 (q_seasonal_baseline, q_cooccurrence,
     # q_weighted_sample: cell-vs-global, hand-lift, and python-A-res
     # replication gates in tests/test_datapipe8.py) and wave 10
-    # (q_sql_udf: three-band + NULL-guard planted gate there too).
+    # (q_sql_udf: three-band + NULL-guard planted gate there too) and
+    # wave 11 (q_rfm_segmentation, q_event_paths, q_ab_lift:
+    # diagonal-segment, truncation, and hand-z gates there too).
 )
 
 

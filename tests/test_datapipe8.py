@@ -212,3 +212,99 @@ class TestOccManifestCommit:
         assert current_occ_version(root) == 3
         # no staging residue
         assert not [f for f in os.listdir(root) if f.startswith(".staging")]
+
+
+def _write_orders9(tmp_path, rows):
+    """rows = (o_orderkey, custkey, totalprice, (y,m,d))."""
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(*r[3]) for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+class TestRfmSegmentation:
+    def test_jointly_monotone_customers_get_diagonal_segments(
+        self, spark, tmp_path
+    ):
+        """10 customers where recency, frequency, AND monetary all
+        improve together: quintiles agree pairwise → segments are
+        exactly 111..555, two customers each."""
+        rows = []
+        key = 0
+        for c in range(10):
+            # customer c: c+1 orders, each $100*(c+1), last order later
+            # with c (more recent = better)
+            for j in range(c + 1):
+                rows.append((key, c, 100.0 * (c + 1), (1998, 1, 1 + c)))
+                key += 1
+        sf = _write_orders9(tmp_path, rows)
+        out = {
+            r["segment"]: r["n_customers"]
+            for r in QUERIES["q_rfm_segmentation"](spark, sf).collect()
+        }
+        assert out == {f"{q}{q}{q}": 2 for q in range(1, 6)}
+
+
+class TestEventPaths:
+    def test_shared_prefix_paths_only_and_truncation(self, spark, tmp_path):
+        """Users 1 and 2 share view>click; user 3's unique path drops
+        under HAVING >= 2; user 4's 7-event stream truncates to its
+        first 5 events."""
+        rows = [
+            (0, 1, 1, 0, "view", 0.0),
+            (1, 1, 1, 1, "click", 0.0),
+            (2, 2, 1, 0, "view", 0.0),
+            (3, 2, 1, 1, "click", 0.0),
+            (4, 3, 1, 0, "error", 0.0),
+        ]
+        rows += [
+            (5 + i, 4, 1, i, t, 0.0)
+            for i, t in enumerate(
+                ["view", "view", "view", "view", "view", "click", "click"]
+            )
+        ]
+        rows += [
+            (20 + i, 5, 1, i, t, 0.0)
+            for i, t in enumerate(["view"] * 5)
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = {
+            r["path"]: r["n_users"]
+            for r in QUERIES["q_event_paths"](spark, sf).collect()
+        }
+        # users 4 and 5 both truncate/land on five views
+        assert out == {"view>click": 2, "view>view>view>view>view": 2}
+
+
+class TestAbLift:
+    def test_hand_z_statistic(self, spark, tmp_path):
+        """arm0: 2 users, 1 heavy purchaser; arm1: 2 users, both heavy.
+        lift = 0.5, z = 0.5/sqrt(0.75*0.25*1) = 1.1547."""
+        rows = []
+        eid = 0
+
+        def purchases(user, n):
+            nonlocal eid
+            for i in range(n):
+                rows.append((eid, user, 1 + (i // 50), i % 50, "purchase", 1.0))
+                eid += 1
+
+        purchases(0, 14)   # arm 0, converted
+        purchases(2, 1)    # arm 0, not converted
+        purchases(1, 15)   # arm 1, converted
+        purchases(3, 14)   # arm 1, converted
+        sf = _write_events(tmp_path, rows)
+        r = QUERIES["q_ab_lift"](spark, sf).collect()[0]
+        assert (r["n0"], r["c0"], r["n1"], r["c1"]) == (2, 1, 2, 2)
+        assert abs(r["lift_abs"] - 0.5) < 1e-6
+        assert abs(r["z_stat"] - 0.5 / math.sqrt(0.1875)) < 1e-3
