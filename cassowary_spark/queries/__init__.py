@@ -31,6 +31,7 @@ _MODULES = (
     "datapipe7",
     "datapipe8",
     "datapipe9",
+    "datapipe10",
 )
 
 _loaded = False

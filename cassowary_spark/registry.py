@@ -117,7 +117,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # replication gates in tests/test_datapipe8.py) and wave 10
     # (q_sql_udf: three-band + NULL-guard planted gate there too) and
     # wave 11 (q_rfm_segmentation, q_event_paths, q_ab_lift:
-    # diagonal-segment, truncation, and hand-z gates there too).
+    # diagonal-segment, truncation, and hand-z gates there too) and
+    # wave 12 (q_survivorship, q_period_movers, q_equidepth_hist:
+    # per-field survivorship, NULL-pct, and tie-bin gates in
+    # tests/test_datapipe10.py).
 )
 
 

@@ -1,0 +1,152 @@
+"""Planted-input tests for the wave-12 operators: survivorship must
+take each FIELD's latest non-null independently, movers must survive a
+period-1-only group (NULL percent, not an ANSI abort), and equi-depth
+bins must stay equal-count under heavy ties.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cassowary_spark import registry
+from cassowary_spark.registry import QUERIES
+
+registry.load_all()
+
+
+def _write_orders(tmp_path, rows):
+    """rows = (o_orderkey, custkey, totalprice, (y,m,d))."""
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(*r[3]) for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    """rows = (event_id, user_id, (m,d,h), event_type, value)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, r[2][0], r[2][1], r[2][2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows = (l_orderkey, l_linenumber, l_extendedprice)."""
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([r[1] for r in rows], pa.int64()),
+            "l_extendedprice": pa.array(
+                [float(r[2]) for r in rows], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+class TestSurvivorship:
+    def test_each_field_survives_independently(self, spark, tmp_path):
+        """Customer 1's variants: okey 6 (seg NULL, cents 100.00),
+        okey 9 (seg NULL, cents 200.00), okey 10 (seg ok, cents NULL).
+        Golden record: segment from okey 10 (latest non-null), cents
+        from okey 9 — DIFFERENT source variants per field."""
+        sf = _write_orders(
+            tmp_path,
+            [
+                (6, 1, 100.00, (2024, 1, 1)),
+                (9, 1, 200.00, (2024, 1, 2)),
+                (10, 1, 300.00, (2024, 1, 3)),
+                (2, 2, 50.00, (2024, 1, 4)),  # clean single-variant
+            ],
+        )
+        out = {
+            r["custkey"]: (
+                r["n_variants"],
+                r["segment"],
+                r["last_cents"],
+                r["last_seen"],
+            )
+            for r in QUERIES["q_survivorship"](spark, sf).collect()
+        }
+        assert out[1] == (3, "seg-1", 20000, dt.datetime(2024, 1, 3))
+        assert out[2] == (1, "seg-2", 5000, dt.datetime(2024, 1, 4))
+
+    def test_all_null_field_stays_null(self, spark, tmp_path):
+        """A customer whose every variant NULLs a field keeps NULL in
+        the golden record (priority -1 never beats nothing wrongly)."""
+        sf = _write_orders(tmp_path, [(3, 1, 70.00, (2024, 1, 1))])
+        r = QUERIES["q_survivorship"](spark, sf).collect()[0]
+        assert r["segment"] is None  # okey 3 ≡ 0 mod 3 → seg NULL
+        assert r["last_cents"] == 7000
+
+
+class TestPeriodMovers:
+    def test_counts_pct_and_p1_only_group(self, spark, tmp_path):
+        """view: 2 → 3 events (+50%); error: period-1 only → NULL pct
+        (must NOT abort under ANSI)."""
+        sf = _write_events(
+            tmp_path,
+            [
+                (0, 1, (1, 10, 0), "view", 1.00),
+                (1, 1, (1, 11, 0), "view", 2.00),
+                (2, 1, (1, 20, 0), "view", 3.00),
+                (3, 1, (1, 21, 0), "view", 4.00),
+                (4, 1, (1, 22, 0), "view", 5.00),
+                (5, 1, (1, 25, 0), "error", 9.00),
+            ],
+        )
+        out = {
+            r["event_type"]: (
+                r["n_p0"], r["n_p1"], r["cents_p0"], r["cents_p1"],
+                r["pct_change"],
+            )
+            for r in QUERIES["q_period_movers"](spark, sf).collect()
+        }
+        assert out["view"] == (2, 3, 300, 1200, 50.0)
+        assert out["error"][:4] == (0, 1, 0, 900)
+        assert out["error"][4] is None
+
+
+class TestEquidepthHist:
+    def test_equal_counts_under_ties(self, spark, tmp_path):
+        """20 rows, 15 of them the SAME value: bins stay 2-deep each
+        (ntile splits ties by the orderkey tiebreak), and bounds are
+        monotonically non-decreasing across bins."""
+        rows = [(i, 1, 500.0) for i in range(15)]
+        rows += [(100 + i, 1, 100.0 * (i + 1)) for i in range(5)]
+        sf = _write_lineitem(tmp_path, rows)
+        got = sorted(
+            (r["bin"], r["n_rows"], r["lo"], r["hi"])
+            for r in QUERIES["q_equidepth_hist"](spark, sf).collect()
+        )
+        assert [g[1] for g in got] == [2] * 10
+        bounds = [(g[2], g[3]) for g in got]
+        for (lo, hi) in bounds:
+            assert lo <= hi
+        for a, b in zip(bounds, bounds[1:]):
+            assert a[1] <= b[0]
