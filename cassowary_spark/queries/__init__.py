@@ -32,6 +32,7 @@ _MODULES = (
     "datapipe8",
     "datapipe9",
     "datapipe10",
+    "datapipe11",
 )
 
 _loaded = False

@@ -120,7 +120,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # diagonal-segment, truncation, and hand-z gates there too) and
     # wave 12 (q_survivorship, q_period_movers, q_equidepth_hist:
     # per-field survivorship, NULL-pct, and tie-bin gates in
-    # tests/test_datapipe10.py).
+    # tests/test_datapipe10.py) and wave 13 (q_regression,
+    # q_max_concurrency, q_table_fingerprint: exact-line, half-open
+    # sweep, and python-XOR-replication gates there too).
 )
 
 

@@ -150,3 +150,107 @@ class TestEquidepthHist:
             assert lo <= hi
         for a, b in zip(bounds, bounds[1:]):
             assert a[1] <= b[0]
+
+
+class TestRegression:
+    def test_exact_line_recovered(self, spark, tmp_path):
+        """Points on y = 2x + 1 exactly (x = hour offsets): slope 2,
+        intercept 1, r2 1."""
+        rows = [
+            (i, 1, (1, 1 + i // 24, i % 24), "view", 2.0 * i + 1.0)
+            for i in range(8)
+        ]
+        sf = _write_events(tmp_path, rows)
+        r = {
+            x["event_type"]: x
+            for x in QUERIES["q_regression"](spark, sf).collect()
+        }["view"]
+        assert r["n"] == 8
+        assert abs(r["slope"] - 2.0) < 1e-6
+        assert abs(r["intercept"] - 1.0) < 1e-6
+        assert abs(r["r2"] - 1.0) < 1e-6
+
+
+class TestMaxConcurrency:
+    def test_half_open_touching_intervals_dont_stack(self, spark, tmp_path):
+        """[0,10), [5,15), [10,15): at t=10 the first closes exactly as
+        the third opens → peak is 2, not 3 (closed intervals would say
+        3). value=9 → 10-minute duration; value=4 → 5 minutes."""
+        sf = _write_events(
+            tmp_path,
+            [
+                (0, 1, (1, 1, 0), "view", 9.0),   # 00:00 + 10min
+                (1, 1, (1, 1, 0), "view", 9.0),   # duplicate window? no:
+            ],
+        )
+        # rebuild precisely: need minute offsets — use a custom writer
+        import pyarrow as pa2, pyarrow.parquet as pq2
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        starts_mins = [0, 5, 10]
+        durs = [9.0, 9.0, 4.0]  # floor+1 → 10, 10, 5 minutes
+        tbl = pa2.table(
+            {
+                "event_id": pa2.array(range(3), pa2.int64()),
+                "ts": pa2.array(
+                    [base + dt.timedelta(minutes=m) for m in starts_mins],
+                    pa2.timestamp("us"),
+                ),
+                "user_id": pa2.array([1, 1, 1], pa2.int64()),
+                "event_type": pa2.array(["view"] * 3, pa2.string()),
+                "value": pa2.array(durs, pa2.float64()),
+                "props": pa2.array(["{}"] * 3, pa2.string()),
+            }
+        )
+        pq2.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {
+            r["event_type"]: (r["max_concurrent"], r["n_intervals"])
+            for r in QUERIES["q_max_concurrency"](spark, sf).collect()
+        }
+        assert out == {"view": (2, 3)}
+
+
+class TestTableFingerprint:
+    def test_matches_python_replication_and_detects_change(
+        self, spark, tmp_path
+    ):
+        import hashlib
+
+        rows = [(i, i % 3, 100.0 + i) for i in range(20)]
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[1] for r in rows], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [r[2] for r in rows], pa.float64()
+                ),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+        otbl = pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([1], pa.int64()),
+                "o_totalprice": pa.array([10.0], pa.float64()),
+            }
+        )
+        pq.write_table(otbl, str(tmp_path / "orders.parquet"))
+        out = {
+            r["tbl"]: (r["n_rows"], r["fingerprint"])
+            for r in QUERIES["q_table_fingerprint"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+        def row_h(k, ln, price):
+            cents = int(price * 100 + 0.5)
+            s = f"{k}|{ln}|{cents}"
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        ref = 0
+        for k, ln, price in rows:
+            ref ^= row_h(k, ln, price)
+        assert out["lineitem"] == (20, ref)
+        # a single changed row must change the fingerprint
+        assert out["lineitem"][1] != ref ^ row_h(0, 0, 100.0) ^ row_h(
+            0, 0, 999.0
+        )
