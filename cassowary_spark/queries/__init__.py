@@ -33,6 +33,7 @@ _MODULES = (
     "datapipe9",
     "datapipe10",
     "datapipe11",
+    "datapipe12",
 )
 
 _loaded = False

@@ -122,7 +122,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # per-field survivorship, NULL-pct, and tie-bin gates in
     # tests/test_datapipe10.py) and wave 13 (q_regression,
     # q_max_concurrency, q_table_fingerprint: exact-line, half-open
-    # sweep, and python-XOR-replication gates there too).
+    # sweep, and python-XOR-replication gates there too) and wave 14
+    # (q_benford, q_funnel_timing: zero-digit emission and strict
+    # stage-order gates there too).
 )
 
 

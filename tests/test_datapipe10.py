@@ -254,3 +254,69 @@ class TestTableFingerprint:
         assert out["lineitem"][1] != ref ^ row_h(0, 0, 100.0) ^ row_h(
             0, 0, 999.0
         )
+
+
+class TestBenford:
+    def test_string_digit_extraction_and_zero_digits_emitted(
+        self, spark, tmp_path
+    ):
+        """Amounts 10.00 (digit 1), 99.99 (digit 9), 10.00: digit 1
+        share 2/3, digit 9 share 1/3, all other digits present with 0
+        observations; power-of-ten cents (1000) must bin as digit 1
+        (floor(log10) would be float-fragile here)."""
+        sf = _write_orders(
+            tmp_path,
+            [
+                (1, 1, 10.00, (2024, 1, 1)),
+                (2, 1, 99.99, (2024, 1, 1)),
+                (3, 1, 10.00, (2024, 1, 1)),
+            ],
+        )
+        out = {
+            r["digit"]: (r["n_obs"], r["share"])
+            for r in QUERIES["q_benford"](spark, sf).collect()
+        }
+        assert set(out) == set(range(1, 10))
+        assert out[1][0] == 2 and abs(out[1][1] - 2 / 3) < 1e-5
+        assert out[9][0] == 1
+        assert all(out[d][0] == 0 for d in (2, 3, 4, 5, 6, 7, 8))
+
+
+class TestFunnelTiming:
+    def test_strict_stage_ordering_and_exact_lags(self, spark, tmp_path):
+        """u1: view@0 → click@+600s → purchase@+3600s: lags 600 and
+        3000. u2's click BEFORE its view must not enter the funnel."""
+        sf = _write_events(
+            tmp_path,
+            [
+                (0, 1, (1, 1, 0), "view", 0.0),
+                (1, 1, (1, 1, 0), "click", 0.0),   # same hour → fix below
+            ],
+        )
+        import pyarrow as pa2, pyarrow.parquet as pq2
+        rows = [
+            (0, 1, dt.datetime(2024, 1, 1, 10, 0, 0), "view"),
+            (1, 1, dt.datetime(2024, 1, 1, 10, 10, 0), "click"),
+            (2, 1, dt.datetime(2024, 1, 1, 11, 0, 0), "purchase"),
+            (3, 2, dt.datetime(2024, 1, 1, 9, 0, 0), "click"),
+            (4, 2, dt.datetime(2024, 1, 1, 9, 30, 0), "view"),
+        ]
+        tbl = pa2.table(
+            {
+                "event_id": pa2.array([r[0] for r in rows], pa2.int64()),
+                "ts": pa2.array([r[2] for r in rows], pa2.timestamp("us")),
+                "user_id": pa2.array([r[1] for r in rows], pa2.int64()),
+                "event_type": pa2.array([r[3] for r in rows], pa2.string()),
+                "value": pa2.array([0.0] * len(rows), pa2.float64()),
+                "props": pa2.array(["{}"] * len(rows), pa2.string()),
+            }
+        )
+        pq2.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {
+            r["stage"]: (r["n_users"], r["median_lag_s"])
+            for r in QUERIES["q_funnel_timing"](spark, sf).collect()
+        }
+        assert out == {
+            "view_to_click": (1, 600.0),
+            "click_to_purchase": (1, 3000.0),
+        }
