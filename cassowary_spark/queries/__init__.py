@@ -34,6 +34,7 @@ _MODULES = (
     "datapipe10",
     "datapipe11",
     "datapipe12",
+    "datapipe13",
 )
 
 _loaded = False

@@ -124,7 +124,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_max_concurrency, q_table_fingerprint: exact-line, half-open
     # sweep, and python-XOR-replication gates there too) and wave 14
     # (q_benford, q_funnel_timing: zero-digit emission and strict
-    # stage-order gates there too).
+    # stage-order gates there too) and wave 15 (q_roc_auc,
+    # q_calibration_bins, q_gini_concentration, q_price_volume_mix,
+    # q_life_table, q_cusum_changepoint, q_spatial_grid_join,
+    # q_ks_drift, q_readability: brute-force-pair AUC, bridge
+    # tie-out, censoring, planted-shift, O(n²)-equality, and
+    # disjoint-support gates in tests/test_datapipe11.py).
 )
 
 
