@@ -35,6 +35,8 @@ _MODULES = (
     "datapipe11",
     "datapipe12",
     "datapipe13",
+    "datapipe14",
+    "datapipe15",
 )
 
 _loaded = False

@@ -129,7 +129,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_life_table, q_cusum_changepoint, q_spatial_grid_join,
     # q_ks_drift, q_readability: brute-force-pair AUC, bridge
     # tie-out, censoring, planted-shift, O(n²)-equality, and
-    # disjoint-support gates in tests/test_datapipe11.py).
+    # disjoint-support gates in tests/test_datapipe11.py) and wave 16
+    # (q_join_fanout_audit, q_winsorize, q_cohort_ltv,
+    # q_abc_classification, q_new_vs_returning: zero-bucket,
+    # quantized-bound clip, per-cohort accumulation, exact-boundary,
+    # and acquisition-split gates in tests/test_datapipe12.py) and
+    # wave 17 (q_pit_features, q_churn_label, q_time_in_state,
+    # q_impute_median, q_degree_distribution: same-day-leak,
+    # immature-label, terminal-event, observed-median, and
+    # distinct-degree gates in tests/test_datapipe13.py).
 )
 
 
