@@ -37,6 +37,7 @@ _MODULES = (
     "datapipe13",
     "datapipe14",
     "datapipe15",
+    "datapipe16",
 )
 
 _loaded = False

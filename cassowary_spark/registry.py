@@ -137,7 +137,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # wave 17 (q_pit_features, q_churn_label, q_time_in_state,
     # q_impute_median, q_degree_distribution: same-day-leak,
     # immature-label, terminal-event, observed-median, and
-    # distinct-degree gates in tests/test_datapipe13.py).
+    # distinct-degree gates in tests/test_datapipe13.py) and wave 18
+    # (q_streaks, q_rank_movers, q_weighted_median, q_record_linkage:
+    # gap-break/same-day-dedup, both-period-cohort, volume-vs-row,
+    # and exact-threshold gates in tests/test_datapipe14.py).
 )
 
 
