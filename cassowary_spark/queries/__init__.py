@@ -38,6 +38,7 @@ _MODULES = (
     "datapipe14",
     "datapipe15",
     "datapipe16",
+    "datapipe17",
 )
 
 _loaded = False

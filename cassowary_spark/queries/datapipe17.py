@@ -1,0 +1,126 @@
+"""Round-6 wave 19 (SURVEY.md §2): serial-dependence analytics —
+lagged autocorrelation of the daily revenue series, the diagnostic
+that justifies (or refutes) C80's weekly seasonality assumption and
+tells a forecaster how much signal yesterday carries about today.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+_LAGS = (1, 7, 30)
+
+
+def _sql_lag_terms(k: int) -> str:
+    return f"""
+        SELECT {k} AS lag_days,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(rev) AS BIGINT) AS sx,
+               CAST(sum(lag_{k}) AS BIGINT) AS sy,
+               CAST(sum(rev * lag_{k}) AS BIGINT) AS sxy,
+               CAST(sum(rev * rev) AS BIGINT) AS sxx,
+               CAST(sum(lag_{k} * lag_{k}) AS BIGINT) AS syy
+        FROM lagged WHERE lag_{k} IS NOT NULL
+    """
+
+
+@query(
+    "q_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, rev,
+               {", ".join(
+                   f"lag(rev, {k}) OVER (ORDER BY day) AS lag_{k}"
+                   for k in _LAGS
+               )}
+        FROM daily
+    ),
+    terms AS (
+        {" UNION ALL ".join(_sql_lag_terms(k) for k in _LAGS)}
+    )
+    SELECT lag_days, n_pairs,
+           {sql_srnd(
+               "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+               "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+               " / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+               "      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+               "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+               6)} AS acf_r
+    FROM terms
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged autocorrelation (C122): Pearson correlation of the daily
+    revenue series with itself at lags 1, 7 and 30 days — the
+    serial-dependence diagnostic behind every forecasting choice
+    (lag-7 high → C80's weekly profile is justified; all lags ~0 →
+    yesterday is noise and a trailing mean is as good as it gets).
+    Row-indexed lags over the observed day sequence (standard ACF on
+    an evenly-sampled series; the daily grid is near-complete here).
+
+    Determinism: daily revenues are integer DOLLARS (not cents —
+    keeps Σx² within BIGINT at bench scale, documented headroom:
+    2.4k days × (1e8 $)² before overflow); all five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums in any
+    order; the Pearson assembly is one fixed IEEE op sequence per
+    lag (multiplication of exact-int doubles + one sqrt — sqrt is
+    correctly rounded in both engines) and srnd-quantized.
+
+    Scale shape: the raw scan collapses to a calendar-bounded daily
+    agg; all three lag columns ride ONE ordered window pass (one
+    sort, ~2.4k rows); the sufficient statistics are three
+    conditional 1-row reduces unioned. At any corpus size the cost
+    after the first map-side combine is calendar-sized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.floor(F.col("o_totalprice") + 0.5).cast("long")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(dollars).alias("rev"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "rev",
+        *[F.lag("rev", k).over(w).alias(f"lag_{k}") for k in _LAGS],
+    )
+    parts = []
+    for k in _LAGS:
+        y = F.col(f"lag_{k}")
+        t = lagged.filter(y.isNotNull()).agg(
+            F.lit(k).cast("int").alias("lag_days"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("rev").cast("long").alias("sx"),
+            F.sum(y).cast("long").alias("sy"),
+            F.sum(F.col("rev") * y).cast("long").alias("sxy"),
+            F.sum(F.col("rev") * F.col("rev")).cast("long").alias("sxx"),
+            F.sum(y * y).cast("long").alias("syy"),
+        )
+        parts.append(t)
+    terms = parts[0]
+    for p in parts[1:]:
+        terms = terms.unionByName(p)
+    num = (
+        F.col("n_pairs") * 1.0 * F.col("sxy")
+        - F.col("sx") * 1.0 * F.col("sy")
+    )
+    den = F.sqrt(
+        (F.col("n_pairs") * 1.0 * F.col("sxx")
+         - F.col("sx") * 1.0 * F.col("sx"))
+        * (F.col("n_pairs") * 1.0 * F.col("syy")
+           - F.col("sy") * 1.0 * F.col("sy"))
+    )
+    return terms.select(
+        "lag_days", "n_pairs", srnd(num / den, 6).alias("acf_r")
+    )

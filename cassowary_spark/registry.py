@@ -140,7 +140,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # distinct-degree gates in tests/test_datapipe13.py) and wave 18
     # (q_streaks, q_rank_movers, q_weighted_median, q_record_linkage:
     # gap-break/same-day-dedup, both-period-cohort, volume-vs-row,
-    # and exact-threshold gates in tests/test_datapipe14.py).
+    # and exact-threshold gates in tests/test_datapipe14.py) and wave
+    # 19 (q_autocorrelation: exact-1.0 periodic-series and python-
+    # Pearson replication gates in tests/test_datapipe15.py).
 )
 
 
