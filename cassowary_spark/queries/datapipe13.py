@@ -74,10 +74,10 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT n_pos, n_neg, u2,
-           {sql_srnd("u2 / (2.0 * n_pos * n_neg)", 6)} AS auc,
+           {sql_srnd("u2 / nullif(2.0 * n_pos * n_neg, 0.0)", 6)} AS auc,
            tp, fp,
-           {sql_srnd("tp * 1.0 / (tp + fp)", 6)} AS precision_r,
-           {sql_srnd("tp * 1.0 / n_pos", 6)} AS recall_r
+           {sql_srnd("tp * 1.0 / nullif(tp + fp, 0)", 6)} AS precision_r,
+           {sql_srnd("tp * 1.0 / nullif(n_pos, 0)", 6)} AS recall_r
     FROM agg
     """,
 )
@@ -126,15 +126,21 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         "u2",
-        srnd(F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6).alias(
-            "auc"
-        ),
+        srnd(
+            F.col("u2")
+            / F.nullif(2.0 * F.col("n_pos") * F.col("n_neg"), F.lit(0.0)),
+            6,
+        ).alias("auc"),
         "tp",
         "fp",
-        srnd(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias(
-            "precision_r"
-        ),
-        srnd(F.col("tp") * 1.0 / F.col("n_pos"), 6).alias("recall_r"),
+        srnd(
+            F.col("tp") * 1.0
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+            6,
+        ).alias("precision_r"),
+        srnd(
+            F.col("tp") * 1.0 / F.nullif(F.col("n_pos"), F.lit(0)), 6
+        ).alias("recall_r"),
     )
 
 
