@@ -30,7 +30,16 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def node_counts(df: DataFrame) -> dict[str, int]:
-    """Shuffle-relevant node counts for budget checks."""
+    """Shuffle-relevant node counts for budget checks.
+
+    Counted on the CACHE-FREE plan: queries that persist() a reused
+    sub-aggregate get cache-substituted (InMemoryRelation) at physical
+    planning, and whether the substitution appears depends on what an
+    earlier test in the same session left cached — clearing first
+    makes the count a pure function of the query, not of session
+    history.
+    """
+    df.sparkSession.catalog.clearCache()
     p = formatted_plan(df)
     return {
         "exchanges": p.count(") Exchange"),

@@ -39,6 +39,7 @@ _MODULES = (
     "datapipe15",
     "datapipe16",
     "datapipe17",
+    "datapipe18",
 )
 
 _loaded = False

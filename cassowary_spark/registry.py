@@ -142,7 +142,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # gap-break/same-day-dedup, both-period-cohort, volume-vs-row,
     # and exact-threshold gates in tests/test_datapipe14.py) and wave
     # 19 (q_autocorrelation: exact-1.0 periodic-series and python-
-    # Pearson replication gates in tests/test_datapipe15.py).
+    # Pearson replication gates in tests/test_datapipe15.py) and wave
+    # 20 (q_crosscorrelation, q_chi_square, q_target_encoding,
+    # q_woe_iv, q_triangle_count: perfect-lead-series, hand-2x2 +
+    # exact-independence, LOO-guard, hand-WoE, and planted-clique +
+    # support-threshold gates in tests/test_datapipe16.py).
 )
 
 
