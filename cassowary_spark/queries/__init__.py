@@ -40,6 +40,7 @@ _MODULES = (
     "datapipe16",
     "datapipe17",
     "datapipe18",
+    "datapipe19",
 )
 
 _loaded = False

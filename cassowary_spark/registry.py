@@ -146,7 +146,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # 20 (q_crosscorrelation, q_chi_square, q_target_encoding,
     # q_woe_iv, q_triangle_count: perfect-lead-series, hand-2x2 +
     # exact-independence, LOO-guard, hand-WoE, and planted-clique +
-    # support-threshold gates in tests/test_datapipe16.py).
+    # support-threshold gates in tests/test_datapipe16.py) and wave
+    # 21 (q_zipf_fit, q_backtest_smape, q_bootstrap_ci,
+    # q_mutual_information: exact-1/r-law + python-OLS-replication,
+    # zero-error-periodic + closed-form-doubled-week, collapsed-CI +
+    # python-hash-Poisson-replication, and MI=0/NMI=1 gates in
+    # tests/test_datapipe17.py).
 )
 
 
