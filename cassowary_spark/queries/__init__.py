@@ -41,6 +41,7 @@ _MODULES = (
     "datapipe17",
     "datapipe18",
     "datapipe19",
+    "datapipe20",
 )
 
 _loaded = False

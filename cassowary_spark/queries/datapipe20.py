@@ -1,0 +1,113 @@
+"""Round-6 wave 22 (SURVEY.md §2): iterative graph traversal —
+single-source BFS hop distances over the co-purchase graph,
+histogrammed, with the unreachable remainder accounted for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table
+
+_SP_SUPPORT = 2
+_SP_MAX_HOPS = 20
+
+
+@query(
+    "q_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS x, b.p AS y
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= {_SP_SUPPORT}
+    ),
+    sym AS (
+        SELECT x AS s, y AS t FROM edges
+        UNION ALL SELECT y, x FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS v FROM sym),
+    src AS (SELECT min(v) AS sv FROM nodes),
+    reach(v, d) AS (
+        SELECT sv, 0 FROM src
+        UNION
+        SELECT sym.t, reach.d + 1
+        FROM reach JOIN sym ON sym.s = reach.v
+        WHERE reach.d < {_SP_MAX_HOPS}
+    ),
+    dmin AS (
+        SELECT v, CAST(min(d) AS INTEGER) AS dist FROM reach GROUP BY v
+    ),
+    hist AS (
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_parts
+        FROM dmin GROUP BY 1
+        UNION ALL
+        SELECT -1, CAST(count(*) AS BIGINT)
+        FROM nodes WHERE v NOT IN (SELECT v FROM dmin)
+    )
+    SELECT dist, n_parts FROM hist
+    """,
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS distances (C132): hop distance from the
+    smallest part in the support-≥2 co-purchase graph (C127's edge
+    set) to every other part, histogrammed by distance with the
+    unreachable remainder reported at dist = −1 — the reachability/
+    radius profile of a product graph ("how many recommendation hops
+    from the anchor product cover the catalog"), and the engine's
+    frontier-iteration representative alongside C2's min-label CC
+    and B-family PageRank.
+
+    Distances are hop-capped at 20 (the contract "distance, if ≤20"),
+    which is what makes a bounded recursive-CTE oracle expressible —
+    and the honest contract at 100 TB, where a >20-diameter graph
+    wants landmark indexing, not more BFS rounds.
+
+    Determinism: pure integer counting end to end; the source (min
+    node id) and the edge set are deterministic.
+
+    Scale shape: edge-gen is C127's bounded-basket equi-join; each
+    BFS round joins only the CURRENT FRONTIER to the adjacency list
+    (each edge traversed at most twice across all rounds) and
+    anti-joins the settled set; the driver sees a 1-row emptiness
+    probe per round, never node data. Rounds are bounded by the
+    min(diameter, 20).
+    """
+    from cassowary_spark.operators.graph import bfs_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= _SP_SUPPORT)
+        .select("x", "y")
+        .persist()  # reused: node set, source reduce, and every round
+    )
+    dist = bfs_distances(edges, "x", "y", max_hops=_SP_MAX_HOPS)
+    nodes = (
+        edges.select(F.col("x").alias("node"))
+        .union(edges.select(F.col("y").alias("node")))
+        .distinct()
+    )
+    hist = dist.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    unreach = (
+        nodes.join(dist, "node", "left_anti")
+        .agg(
+            F.lit(-1).cast("int").alias("dist"),
+            F.count("*").cast("long").alias("n_parts"),
+        )
+    )
+    return hist.unionByName(unreach)

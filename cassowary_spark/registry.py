@@ -151,7 +151,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_mutual_information: exact-1/r-law + python-OLS-replication,
     # zero-error-periodic + closed-form-doubled-week, collapsed-CI +
     # python-hash-Poisson-replication, and MI=0/NMI=1 gates in
-    # tests/test_datapipe17.py).
+    # tests/test_datapipe17.py) and wave 22 (q_shortest_path:
+    # path-graph/unreachable-component/support-exclusion + python-BFS
+    # replication gates in tests/test_datapipe18.py).
 )
 
 
