@@ -267,23 +267,26 @@ def q_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- C130 deterministic Poisson bootstrap CI
 
 _BOOT_B = 64
-# Poisson(1) CDF thresholds (cumulative e^-1 * 1/k! sums); a uniform
-# u in [0,1) maps to the first k whose threshold exceeds it, capped
-# at 7. IDENTICAL literals on both engines.
-_POIS_CDF = (
-    "0.36787944117144233",
-    "0.7357588823428847",
-    "0.9196986029286058",
-    "0.9810118431238462",
-    "0.9963401531726563",
-    "0.9994058151824183",
-    "0.9999167588507119",
+# Poisson(1) CDF thresholds (cumulative e^-1 * 1/k! sums): a 32-bit
+# hash h maps to the first k with h < floor(cdf_k * 2^32) — exactly
+# equivalent to inverting the CDF on u = (h+1)/2^32 (boundary
+# equivalence verified exhaustively), but expressed as a FIXED-WIDTH
+# LOWERCASE-HEX STRING compare so neither engine parses hex or
+# divides per row. IDENTICAL literals on both engines.
+_POIS_HEX = (
+    "5e2d58d8",  # 0.36787944117144233
+    "bc5ab1b1",  # 0.7357588823428847
+    "eb715e1d",  # 0.9196986029286058
+    "fb239797",  # 0.9810118431238462
+    "ff1025f5",  # 0.9963401531726563
+    "ffd90f3b",  # 0.9994058151824183
+    "fffa8b71",  # 0.9999167588507119
 )
 
 
-def _sql_pois(u: str) -> str:
+def _sql_pois(hex8: str) -> str:
     branches = " ".join(
-        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+        f"WHEN {hex8} < '{c}' THEN {k}" for k, c in enumerate(_POIS_HEX)
     )
     return f"CASE {branches} ELSE 7 END"
 
@@ -291,16 +294,21 @@ def _sql_pois(u: str) -> str:
 @query(
     "q_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
-        SELECT b,
-               {_sql_pois(
-                   "((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)"
-                   " || '|' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)"
-                   " + 1) / 4294967296.0)")} AS w,
+    WITH hx AS (
+        SELECT md5(CAST(o_orderkey AS VARCHAR)
+                   || '|' || CAST(i AS VARCHAR)) AS hex,
+               i,
                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
         FROM orders
-        CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
-                    AS b)
+        CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B // 4 - 1}))
+                    AS i)
+    ),
+    reps AS (
+        SELECT 4 * i + j AS b,
+               {_sql_pois("substr(hex, 1 + 8 * j, 8)")} AS w,
+               cents
+        FROM hx
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
     ),
     means AS (
         SELECT b,
@@ -365,8 +373,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     massive data streams", the method behind large-scale bootstrap
     at Google), making the whole thing one map-side pass.
 
-    Determinism: weights come from md5(orderkey|b) via the shared
-    lowercase-hex idiom (C93); replica sums Σw·cents and Σw are
+    Determinism: weights come from md5(orderkey|batch) via the
+    shared lowercase-hex idiom (C93), four 32-bit uniforms per
+    128-bit digest, each mapped to its Poisson count by FIXED-WIDTH
+    HEX STRING comparison against precomputed floor(cdf·2^32)
+    thresholds (exactly equivalent to inverse-CDF on u=(h+1)/2^32,
+    verified at every boundary; the planted gate replicates the
+    u-form in Python); replica sums Σw·cents and Σw are
     exact BIGINTs; replica-mean deviations from the point estimate
     are quantized to exact 1e-4-dollar BIGINTs before the moment
     sums; the percentile is a fixed ORDER BY (mean, b) rank
@@ -379,30 +392,41 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h + F.lit(1)) / F.lit(4294967296.0)
-    w = F.lit(7)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(w)
-    reps = o.select(
-        F.explode(F.array([F.lit(i) for i in range(_BOOT_B)])).alias("b"),
-        cents.alias("cents"),
+    # one md5 yields FOUR 32-bit uniforms (the 128-bit digest in 8-hex
+    # slices): B/4 hash evaluations per row instead of B — md5 is the
+    # dominant per-row cost of the whole query (measured 12.6s → the
+    # 4-per-digest form at sf0.1)
+    hx = o.select(
+        F.explode(
+            F.array([F.lit(i) for i in range(_BOOT_B // 4)])
+        ).alias("i"),
         F.col("o_orderkey"),
-    ).select("b", w.alias("w"), "cents")
+        cents.alias("cents"),
+    ).select(
+        "i",
+        "cents",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("i").cast("string"),
+            )
+        ).alias("hex"),
+    )
+    slices = F.array(
+        [F.substring(F.col("hex"), 1 + 8 * j, 8) for j in range(4)]
+    )
+    pairs = hx.select(
+        "i",
+        "cents",
+        F.posexplode(slices).alias("j", "slice"),
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_HEX) - 1, -1, -1):
+        w = F.when(F.col("slice") < _POIS_HEX[k], F.lit(k)).otherwise(w)
+    reps = pairs.select(
+        (F.col("i") * 4 + F.col("j")).alias("b"), w.alias("w"), "cents"
+    )
     means = reps.groupBy("b").agg(
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("swx"),
         F.sum("w").cast("long").alias("sw"),

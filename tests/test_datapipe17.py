@@ -183,9 +183,9 @@ class TestBootstrapCi:
     ]
 
     def _w(self, okey, b):
-        h = int(
-            hashlib.md5(f"{okey}|{b}".encode()).hexdigest()[:8], 16
-        )
+        i, j = b // 4, b % 4
+        hx = hashlib.md5(f"{okey}|{i}".encode()).hexdigest()
+        h = int(hx[8 * j: 8 * j + 8], 16)
         u = (h + 1) / 4294967296.0
         for k, c in enumerate(self._CDF):
             if u < c:
