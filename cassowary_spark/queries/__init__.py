@@ -42,6 +42,7 @@ _MODULES = (
     "datapipe18",
     "datapipe19",
     "datapipe20",
+    "datapipe21",
 )
 
 _loaded = False

@@ -154,12 +154,18 @@ _MTA_TOUCH_TYPES = ("click", "view", "signup")
     "q_multi_touch_attribution",
     oracle=f"""
     WITH purchases AS (
-        SELECT event_id AS pid, user_id, ts AS pt,
+        -- date_trunc to MICROSECONDS: the parquet carries ns
+        -- timestamps, which DuckDB reads at ns while Spark truncates
+        -- to us -- untruncated raw-ts comparisons would disagree at
+        -- sub-us boundaries
+        SELECT event_id AS pid, user_id,
+               date_trunc('microseconds', ts) AS pt,
                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents
         FROM events WHERE event_type = 'purchase'
     ),
     touches AS (
-        SELECT event_id AS tid, user_id, ts AS tt, event_type
+        SELECT event_id AS tid, user_id,
+               date_trunc('microseconds', ts) AS tt, event_type
         FROM events
         WHERE event_type IN ('click', 'view', 'signup')
     ),

@@ -153,7 +153,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # python-hash-Poisson-replication, and MI=0/NMI=1 gates in
     # tests/test_datapipe17.py) and wave 22 (q_shortest_path:
     # path-graph/unreachable-component/support-exclusion + python-BFS
-    # replication gates in tests/test_datapipe18.py).
+    # replication gates in tests/test_datapipe18.py) and wave 23
+    # (q_delta_method_ci, q_multi_touch_attribution:
+    # proportional-collapse + python-replication and closed-form-
+    # U-shape/window-exclusion gates in tests/test_datapipe19.py).
 )
 
 
