@@ -337,6 +337,70 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C = |A∩B| / min(|A|,|B|) ≥
+    threshold → ``(contained_id, container_id, containment)``.
+
+    Containment catches what Jaccard misses: a short document fully
+    quoted inside a long one has C ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 —
+    the boilerplate-inclusion / quote-plagiarism case a corpus dedup
+    pass must flag separately. The contained side is the SMALLER
+    shingle set (ties broken by id), so the pair is reported in
+    "keep the container, drop the contained" orientation.
+
+    Same join shape and stop-shingle cap as ``ngram_jaccard_pairs``
+    (shingle equi-join on 64-bit hashes; disjoint docs never meet;
+    ``max_shingle_df`` bounds per-key fanout at scale).
+    """
+    sh = hashed_shingles(df, id_col, text_col, shingle_k, None).persist()
+    if max_shingle_df is not None:
+        sh = drop_hot_keys(sh, "sh_h", max_shingle_df)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    small_is_a = (F.col("sa.n") < F.col("sb.n")) | (
+        (F.col("sa.n") == F.col("sb.n")) & (F.col("id_a") < F.col("id_b"))
+    )
+    j = (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            F.when(small_is_a, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(small_is_a, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("container_id"),
+            (
+                F.col("n_inter").cast("double")
+                / F.least(F.col("sa.n"), F.col("sb.n")).cast("double")
+            ).alias("containment"),
+        )
+    )
+    return j.filter(F.col("containment") >= threshold)
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     id_col: str,

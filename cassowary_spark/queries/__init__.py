@@ -43,6 +43,7 @@ _MODULES = (
     "datapipe19",
     "datapipe20",
     "datapipe21",
+    "datapipe22",
 )
 
 _loaded = False

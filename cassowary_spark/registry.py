@@ -156,7 +156,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # replication gates in tests/test_datapipe18.py) and wave 23
     # (q_delta_method_ci, q_multi_touch_attribution:
     # proportional-collapse + python-replication and closed-form-
-    # U-shape/window-exclusion gates in tests/test_datapipe19.py).
+    # U-shape/window-exclusion gates in tests/test_datapipe19.py) and
+    # wave 24 (q_shingle_containment, q_kl_divergence,
+    # q_time_weighted_avg: python-shingle-replication, KL=0-at-mix +
+    # hand-terms, and closed-form-step/single-event-guard gates in
+    # tests/test_datapipe20.py).
 )
 
 
