@@ -44,6 +44,7 @@ _MODULES = (
     "datapipe20",
     "datapipe21",
     "datapipe22",
+    "datapipe23",
 )
 
 _loaded = False

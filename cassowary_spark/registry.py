@@ -160,7 +160,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # wave 24 (q_shingle_containment, q_kl_divergence,
     # q_time_weighted_avg: python-shingle-replication, KL=0-at-mix +
     # hand-terms, and closed-form-step/single-event-guard gates in
-    # tests/test_datapipe20.py).
+    # tests/test_datapipe20.py) and wave 25 (q_window_funnel,
+    # q_rolling_slope: boundary/window-reopen/stage-order gates and
+    # exact-ramp + python-framed-OLS gates in
+    # tests/test_datapipe21.py).
 )
 
 
