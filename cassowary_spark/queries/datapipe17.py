@@ -53,10 +53,12 @@ def _sql_lag_terms(k: int) -> str:
            {sql_srnd(
                "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
                "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-               " / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               " / nullif(sqrt((CAST(n_pairs AS DOUBLE)"
+               "         * CAST(sxx AS DOUBLE)"
                "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
                "      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
-               "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+               "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),"
+               " 0.0)",
                6)} AS acf_r
     FROM terms
     """,
@@ -122,5 +124,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
            - F.col("sy") * 1.0 * F.col("sy"))
     )
     return terms.select(
-        "lag_days", "n_pairs", srnd(num / den, 6).alias("acf_r")
+        "lag_days",
+        "n_pairs",
+        srnd(num / F.nullif(den, F.lit(0.0)), 6).alias("acf_r"),
     )

@@ -24,10 +24,10 @@ _CCF_LAGS = (0, 1, 7)
 _SQL_PEARSON = (
     "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
     "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " / nullif(sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
     "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
     "      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
-    "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)"
 )
 
 
@@ -125,7 +125,9 @@ def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
            - F.col("sy").cast("double") * F.col("sy").cast("double"))
     )
     return terms.select(
-        "lag_days", "n_pairs", srnd(num / den, 6).alias("ccf_r")
+        "lag_days",
+        "n_pairs",
+        srnd(num / F.nullif(den, F.lit(0.0)), 6).alias("ccf_r"),
     )
 
 
