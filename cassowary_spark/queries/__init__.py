@@ -45,6 +45,7 @@ _MODULES = (
     "datapipe21",
     "datapipe22",
     "datapipe23",
+    "datapipe24",
 )
 
 _loaded = False

@@ -163,7 +163,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # tests/test_datapipe20.py) and wave 25 (q_window_funnel,
     # q_rolling_slope: boundary/window-reopen/stage-order gates and
     # exact-ramp + python-framed-OLS gates in
-    # tests/test_datapipe21.py).
+    # tests/test_datapipe21.py) and wave 26 (q_theil_sen,
+    # q_mann_kendall: exact-line/outlier-robustness and
+    # monotone/all-tied + python-replication gates in
+    # tests/test_datapipe22.py).
 )
 
 
