@@ -46,6 +46,7 @@ _MODULES = (
     "datapipe22",
     "datapipe23",
     "datapipe24",
+    "datapipe25",
 )
 
 _loaded = False

@@ -166,7 +166,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # tests/test_datapipe21.py) and wave 26 (q_theil_sen,
     # q_mann_kendall: exact-line/outlier-robustness and
     # monotone/all-tied + python-replication gates in
-    # tests/test_datapipe22.py).
+    # tests/test_datapipe22.py) and wave 27 (q_psi: identical→0,
+    # hand-shift, empty-bin smoothing, and top-cap gates in
+    # tests/test_datapipe23.py).
 )
 
 
