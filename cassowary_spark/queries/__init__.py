@@ -47,6 +47,7 @@ _MODULES = (
     "datapipe23",
     "datapipe24",
     "datapipe25",
+    "datapipe26",
 )
 
 _loaded = False

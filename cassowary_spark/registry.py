@@ -168,7 +168,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # monotone/all-tied + python-replication gates in
     # tests/test_datapipe22.py) and wave 27 (q_psi: identical→0,
     # hand-shift, empty-bin smoothing, and top-cap gates in
-    # tests/test_datapipe23.py).
+    # tests/test_datapipe23.py) and wave 28 (q_lift_deciles,
+    # q_forecast_interval: python-score+ntile replication +
+    # closed-form invariants, and hand-residual band/coverage gates
+    # in tests/test_datapipe24.py).
 )
 
 
