@@ -48,6 +48,7 @@ _MODULES = (
     "datapipe24",
     "datapipe25",
     "datapipe26",
+    "datapipe27",
 )
 
 _loaded = False

@@ -171,7 +171,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # tests/test_datapipe23.py) and wave 28 (q_lift_deciles,
     # q_forecast_interval: python-score+ntile replication +
     # closed-form invariants, and hand-residual band/coverage gates
-    # in tests/test_datapipe24.py).
+    # in tests/test_datapipe24.py) and wave 29 (q_kaplan_meier,
+    # q_elasticity, q_hhi: python-product-limit + censoring-matters,
+    # exact-power-law, and equal-share-1/k gates in
+    # tests/test_datapipe25.py).
 )
 
 
