@@ -49,6 +49,7 @@ _MODULES = (
     "datapipe25",
     "datapipe26",
     "datapipe27",
+    "datapipe28",
 )
 
 _loaded = False

@@ -174,7 +174,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # in tests/test_datapipe24.py) and wave 29 (q_kaplan_meier,
     # q_elasticity, q_hhi: python-product-limit + censoring-matters,
     # exact-power-law, and equal-share-1/k gates in
-    # tests/test_datapipe25.py).
+    # tests/test_datapipe25.py) and wave 30 (q_price_index:
+    # identity-1.0, hand-basket, single-year-exclusion, and
+    # Fisher-time-reversal gates in tests/test_datapipe26.py).
 )
 
 
