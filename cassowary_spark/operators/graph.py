@@ -78,7 +78,12 @@ def bfs_distances(
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        # dist stays a UNION of the checkpointed round frontiers — a
+        # linear plan over materialized leaves. Checkpointing dist
+        # itself every round re-materializes the whole settled set
+        # (O(V) per round → quadratic total); the union form keeps
+        # per-round work proportional to the frontier.
+        dist = dist.unionByName(nxt)
         frontier = nxt
     sym.unpersist()
     return dist

@@ -31,7 +31,8 @@ _SP_MAX_HOPS = 20
         UNION ALL SELECT y, x FROM edges
     ),
     nodes AS (SELECT DISTINCT s AS v FROM sym),
-    src AS (SELECT min(v) AS sv FROM nodes),
+    deg AS (SELECT s AS v, count(*) AS d FROM sym GROUP BY 1),
+    src AS (SELECT v AS sv FROM deg ORDER BY d DESC, v LIMIT 1),
     reach(v, d) AS (
         SELECT sv, 0 FROM src
         UNION
@@ -54,9 +55,11 @@ _SP_MAX_HOPS = 20
 )
 def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS distances (C132): hop distance from the
-    smallest part in the support-≥2 co-purchase graph (C127's edge
-    set) to every other part, histogrammed by distance with the
-    unreachable remainder reported at dist = −1 — the reachability/
+    HIGHEST-DEGREE part (the top co-purchase hub; ties broken by
+    smaller id — an arbitrary min-id source usually lands in a tiny
+    island and answers nothing) in the support-≥2 co-purchase graph
+    (C127's edge set) to every other part, histogrammed by distance
+    with the unreachable remainder reported at dist = −1 — the reachability/
     radius profile of a product graph ("how many recommendation hops
     from the anchor product cover the catalog"), and the engine's
     frontier-iteration representative alongside C2's min-label CC
@@ -67,10 +70,13 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the honest contract at 100 TB, where a >20-diameter graph
     wants landmark indexing, not more BFS rounds.
 
-    Determinism: pure integer counting end to end; the source (min
-    node id) and the edge set are deterministic.
+    Determinism: pure integer counting end to end; the source
+    (max degree, min-id tiebreak) and the edge set are
+    deterministic.
 
-    Scale shape: edge-gen is C127's bounded-basket equi-join; each
+    Scale shape: edge-gen is C127's bounded-basket equi-join; the
+    hub selection is one degree partial-agg + a 1-row TakeOrdered;
+    each
     BFS round joins only the CURRENT FRONTIER to the adjacency list
     (each edge traversed at most twice across all rounds) and
     anti-joins the settled set; the driver sees a 1-row emptiness
@@ -94,7 +100,19 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
         .persist()  # reused: node set, source reduce, and every round
     )
-    dist = bfs_distances(edges, "x", "y", max_hops=_SP_MAX_HOPS)
+    sym = edges.select(F.col("x").alias("node")).unionAll(
+        edges.select(F.col("y").alias("node"))
+    )
+    hub = (
+        sym.groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.col("d").desc(), F.col("node"))
+        .limit(1)
+        .collect()[0][0]
+    )
+    dist = bfs_distances(
+        edges, "x", "y", source=hub, max_hops=_SP_MAX_HOPS
+    )
     nodes = (
         edges.select(F.col("x").alias("node"))
         .union(edges.select(F.col("y").alias("node")))

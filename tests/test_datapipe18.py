@@ -62,9 +62,11 @@ class TestShortestPath:
         self, spark, tmp_path
     ):
         """Path 1-2-3-4-5 (each consecutive pair co-ordered twice):
-        dists 0..4 from source 1. Parts 8-9 co-ordered twice form an
-        unreachable component (n=2 at dist -1). Part 1 and part 6
-        co-ordered ONCE stay below support: 6 is not even a node."""
+        the max-degree hub is node 2 (degree 2, min-id tiebreak among
+        2/3/4), so dists are {2:0, 1:1, 3:1, 4:2, 5:3}. Parts 8-9
+        co-ordered twice form an unreachable component (n=2 at dist
+        -1). Part 1 and part 6 co-ordered ONCE stay below support: 6
+        is not even a node."""
         rows = []
         ok = 0
         for a, b in ((1, 2), (2, 3), (3, 4), (4, 5), (8, 9)):
@@ -79,11 +81,12 @@ class TestShortestPath:
             for r in QUERIES["q_shortest_path"](spark, sf).collect()
         }
         edges = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
-        ref = _py_bfs(edges, 1)
+        # hub = max degree, min id: node 2
+        ref = _py_bfs(edges, 2)
         exp = {}
         for v, d in ref.items():
             exp[d] = exp.get(d, 0) + 1
         exp[-1] = 2  # parts 8, 9
         assert out == exp
-        assert out[0] == 1 and out[4] == 1 and out[-1] == 2
+        assert out[0] == 1 and out[3] == 1 and out[-1] == 2
         assert 6 not in ref and sum(out.values()) == 7
