@@ -50,6 +50,7 @@ _MODULES = (
     "datapipe26",
     "datapipe27",
     "datapipe28",
+    "datapipe29",
 )
 
 _loaded = False

@@ -176,7 +176,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # exact-power-law, and equal-share-1/k gates in
     # tests/test_datapipe25.py) and wave 30 (q_price_index:
     # identity-1.0, hand-basket, single-year-exclusion, and
-    # Fisher-time-reversal gates in tests/test_datapipe26.py).
+    # Fisher-time-reversal gates in tests/test_datapipe26.py) and
+    # wave 31 (q_mahalanobis_outliers: joint-outlier-inside-1D-ranges
+    # + python-replication and singular-covariance-guard gates in
+    # tests/test_datapipe27.py).
 )
 
 
