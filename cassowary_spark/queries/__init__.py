@@ -51,6 +51,7 @@ _MODULES = (
     "datapipe27",
     "datapipe28",
     "datapipe29",
+    "datapipe30",
 )
 
 _loaded = False

@@ -179,7 +179,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Fisher-time-reversal gates in tests/test_datapipe26.py) and
     # wave 31 (q_mahalanobis_outliers: joint-outlier-inside-1D-ranges
     # + python-replication and singular-covariance-guard gates in
-    # tests/test_datapipe27.py).
+    # tests/test_datapipe27.py) and wave 32 (q_cohens_kappa,
+    # q_corpus_bleu, q_ndcg: python-confusion replication,
+    # multiset-clipping closed form, and short-ideal + python-ranking
+    # gates in tests/test_datapipe28.py).
 )
 
 
