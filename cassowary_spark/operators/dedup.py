@@ -358,6 +358,14 @@ def containment_pairs(
     Same join shape and stop-shingle cap as ``ngram_jaccard_pairs``
     (shingle equi-join on 64-bit hashes; disjoint docs never meet;
     ``max_shingle_df`` bounds per-key fanout at scale).
+
+    Cache lifetime is CALLER-OWNED (as in ``ngram_jaccard_pairs``):
+    the hashed-shingle frame is persisted because the self-join's two
+    sides plus the size table consume it, but the returned DataFrame
+    is lazy, so this function cannot unpersist it. Long-lived sessions
+    that call this repeatedly should ``spark.catalog.clearCache()``
+    (or unpersist via the storage tab) after materializing the result
+    — the bench harness does exactly that per rep.
     """
     sh = hashed_shingles(df, id_col, text_col, shingle_k, None).persist()
     if max_shingle_df is not None:

@@ -52,6 +52,12 @@ def bfs_distances(
     ).persist()
     if source is None:
         source = sym.agg(F.min("s")).collect()[0][0]
+        if source is None:
+            sym.unpersist()
+            raise ValueError(
+                "bfs_distances: edge set is empty — no default source "
+                "to pick (pass an explicit `source` for a known node)"
+            )
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(source), 0)], "node long, dist int"
@@ -65,9 +71,12 @@ def bfs_distances(
         # a dense graph). Eager checkpoint = one small materialized
         # frontier per round, constant-size plans forever.
         # frontier and settled set are node-bounded — broadcast them so
-        # the adjacency list is never re-shuffled round after round
-        # (on a graph whose frontier outgrows broadcast, drop the hints
-        # and pre-bucket sym by s instead)
+        # the adjacency list is never re-shuffled round after round.
+        # NOTE the settled-set broadcast is O(settled) EVERY round and
+        # the settled set grows toward O(V): on a graph whose frontier
+        # OR settled set outgrows broadcast, drop both hints and
+        # pre-bucket sym by s instead (the anti-join then shuffles
+        # dist, which is the right trade at that size)
         nxt = (
             sym.join(F.broadcast(frontier), sym.s == frontier.node)
             .select(F.col("t").alias("node"))

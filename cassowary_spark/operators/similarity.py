@@ -90,8 +90,16 @@ def cosine_pairs_blocked(
         v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col].iloc[order]])
         g = v @ v.T
         norms = np.sqrt(np.diag(g))
-        norms[norms == 0.0] = np.inf  # zero vectors match nothing (cos→0)
+        zero = norms == 0.0
+        norms[zero] = np.inf
         cos = g / np.outer(norms, norms)
+        if zero.any():
+            # same convention as cosine(): zero-norm vectors pin to
+            # -1.0 so they sink below ANY threshold, including <= 0 —
+            # the inf-norm division alone would leave them at 0.0 and
+            # emit pairs the expression path sinks
+            cos[zero, :] = -1.0
+            cos[:, zero] = -1.0
         ia, ib = np.triu_indices(len(ids), k=1)
         # strict id inequality: duplicate ids inside a block would
         # otherwise emit id_a == id_b rows, violating the contract

@@ -190,7 +190,9 @@ _EQD_BINS = 10
     FROM binned GROUP BY 1
     """,
 )
-def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_equidepth_hist(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Equi-depth histogram (C83): {n} equal-count bins over
     l_extendedprice with per-bin bounds — the histogram a cost-based
     optimizer stores (ANALYZE ... FOR COLUMNS) and the skew-aware
@@ -203,18 +205,28 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable.
 
     Scale shape: the demonstration ntile is an unpartitioned window
-    (exact form); the rollup is a {n}-key partial agg. At 100 TB the
-    production form is approx_percentile's mergeable sketch for the
-    boundaries + one row-local bucketing pass — same output shape;
-    the exact form is pinned here because the oracle must be
-    bit-checkable.
+    (exact form); the rollup is a {n}-key partial agg. ``approx=True``
+    is the 100 TB production form: approx_percentile's mergeable
+    sketch for the boundaries (no row shuffle) + one row-local
+    bucketing pass (operators/quantiles.with_approx_ntiles) — same
+    output shape, per-bin mass within sketch tolerance
+    (tests/test_quantiles.py); the exact form stays the default
+    because the oracle must be bit-checkable.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    binned = li.select(
-        F.col("l_extendedprice").alias("v"),
-        F.ntile(_EQD_BINS).over(w).alias("bin"),
-    )
+    if approx:
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        binned = with_approx_ntiles(
+            li.select(F.col("l_extendedprice").alias("v")),
+            [("bin", F.col("v"), _EQD_BINS)],
+        )
+    else:
+        w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        binned = li.select(
+            F.col("l_extendedprice").alias("v"),
+            F.ntile(_EQD_BINS).over(w).alias("bin"),
+        )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_rows"),
         srnd(F.min("v"), 4).alias("lo"),

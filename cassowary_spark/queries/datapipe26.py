@@ -66,7 +66,9 @@ _SQL_SCORED_KEYED = """
     FROM cum
     """,
 )
-def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lift_deciles(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Cumulative gains / lift deciles (C143): rank the population by
     C99's classifier score, cut into ntile(10) deciles, and report
     each decile's response rate, the cumulative capture (share of
@@ -82,13 +84,17 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three ratios divide exact integers; the cumulative window
     runs over 10 rows.
 
-    Scale shape: ntile needs a global sort of (s, k) pairs — the
-    one genuinely corpus-sized sort in this family, the same cost
-    class as B26 ORDER BY (range-partitioned sort, no single-node
-    bottleneck); everything after is a 10-key agg and windows over
-    10 rows. At 100 TB the standard evolution is percentile cuts
-    from an approx-quantile sketch of s; the exact ntile form is
-    kept here because exactness is the test contract.
+    Scale shape: the exact path's ntile needs a global sort of
+    (s, k) pairs — the one genuinely corpus-sized sort in this
+    family, the same cost class as B26 ORDER BY (range-partitioned
+    sort, no single-node bottleneck); everything after is a 10-key
+    agg and windows over 10 rows. ``approx=True`` is the 100 TB
+    evolution: decile cuts from one approx-quantile sketch of s
+    (operators/quantiles.with_approx_ntiles), bucketing row-local —
+    no sort at all. Same chart up to sketch error and score ties at
+    the cut points (tests/test_quantiles.py pins the agreement);
+    the exact ntile form stays the default because exactness is the
+    test contract.
     """
     o = load_table(spark, sf_dir, "orders")
     y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
@@ -102,12 +108,21 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h % 1000 + 300 * y).alias("s"),
         y.alias("y"),
     )
-    decs = scored.select(
-        F.ntile(10)
-        .over(Window.orderBy(F.col("s").desc(), F.col("k")))
-        .alias("decile"),
-        "y",
-    )
+    if approx:
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        # s ranks DESC in the exact form (decile 1 = highest scores),
+        # so its ascending approx metric is the negation
+        decs = with_approx_ntiles(scored, [("decile", -F.col("s"), 10)]).select(
+            "decile", "y"
+        )
+    else:
+        decs = scored.select(
+            F.ntile(10)
+            .over(Window.orderBy(F.col("s").desc(), F.col("k")))
+            .alias("decile"),
+            "y",
+        )
     per = decs.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),

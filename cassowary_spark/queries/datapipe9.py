@@ -45,7 +45,9 @@ _RFM_ANCHOR = "1998-12-01"  # first day after the fixture's order range
     FROM scored GROUP BY 1
     """,
 )
-def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rfm_segmentation(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """RFM segmentation (C78): per-customer Recency (days since last
     order at a fixed anchor), Frequency (order count), Monetary
     (integer cents), each quintiled with ntile(5), concatenated into
@@ -58,12 +60,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents end-to-end.
 
     Scale shape: the RFM frame is ONE custkey-keyed partial agg (one
-    row per customer). The three ntiles are unpartitioned windows —
-    fine while the customer frame fits a task; at 10⁹ customers swap
-    ntile for approx_percentile quintile thresholds (one 1-row
-    broadcast, bucketing becomes row-local) — same segments up to
-    boundary ties, noted here because the oracle pins the ntile form.
-    The segment rollup is a ≤125-key partial agg.
+    row per customer). The exact path's three ntiles are
+    unpartitioned windows — fine while the customer frame fits a
+    task; ``approx=True`` is the 10⁹-customer production path: ONE
+    ``approx_percentile`` sketch pass yields all three quintile
+    threshold arrays (operators/quantiles.with_approx_ntiles), they
+    broadcast as one row, and scoring becomes row-local — no window,
+    no global sort. Same segments up to sketch error and boundary
+    ties (tests/test_quantiles.py pins the agreement); the exact
+    form stays the default because the oracle must be bit-checkable.
+    The segment rollup is a ≤125-key partial agg either way.
     """
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
@@ -78,17 +84,39 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cents"),
     )
-    r_q = F.ntile(5).over(
-        Window.orderBy(F.desc("rec_days"), F.asc("o_custkey"))
-    )
-    f_q = F.ntile(5).over(Window.orderBy(F.asc("freq"), F.asc("o_custkey")))
-    m_q = F.ntile(5).over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
-    scored = rfm.select(
-        "cents",
-        F.concat(
-            r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
-        ).alias("segment"),
-    )
+    if approx:
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        # rec_days ranks DESC in the exact form (bucket 1 = oldest),
+        # so its ascending approx metric is the negation
+        bucketed = with_approx_ntiles(
+            rfm,
+            [
+                ("r_q", -F.col("rec_days"), 5),
+                ("f_q", F.col("freq"), 5),
+                ("m_q", F.col("cents"), 5),
+            ],
+        )
+        scored = bucketed.select(
+            "cents",
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("segment"),
+        )
+    else:
+        r_q = F.ntile(5).over(
+            Window.orderBy(F.desc("rec_days"), F.asc("o_custkey"))
+        )
+        f_q = F.ntile(5).over(Window.orderBy(F.asc("freq"), F.asc("o_custkey")))
+        m_q = F.ntile(5).over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+        scored = rfm.select(
+            "cents",
+            F.concat(
+                r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
+            ).alias("segment"),
+        )
     return scored.groupBy("segment").agg(
         F.count("*").alias("n_customers"),
         F.sum("cents").alias("cents_sum"),

@@ -145,6 +145,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each doc pairs with its suffix-mutated twin (true Jaccard ≈ 0.7+).
     Deterministic (hash-seeded), verified by the twin-recall pytest.
+    Driver-adjudicated through its oracle-gated sibling
+    q_dedup_near_verified, whose brute-force pair SQL proves this same
+    LSH machinery end-to-end.
     """
     corpus = _docs_with_twins(spark, sf_dir)
     pairs = minhash_lsh_pairs(
@@ -221,7 +224,9 @@ def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB counterpart
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (C2): deterministic 64-bit signatures;
-    twin-pair Hamming distance asserted small in tests."""
+    twin-pair Hamming distance asserted small in tests.
+    Driver-adjudicated through its oracle-gated sibling q_simhash_dup
+    (identical-text signature-equality over the same machinery)."""
     corpus = _docs_with_twins(spark, sf_dir)
     return simhash(corpus, "doc_id", "text")
 
@@ -336,7 +341,9 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (C3 scale path): random-hyperplane
     signatures prune the corpus to the query's bucket before exact
-    scoring. Recall vs brute force asserted in tests."""
+    scoring. Recall vs brute force asserted in tests.
+    Driver-adjudicated through its oracle-gated sibling
+    q_ann_lsh_planted (planted-neighbor recall over the same path)."""
     e = load_table(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     topk = ann_lsh_topk(
@@ -493,7 +500,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks the broadcast centroid table, keeps nprobe cluster ids, and
     exact-scores only those inverted-list partitions — the parquet
     scan prunes to ~nprobe/K of the corpus via the partition-column
-    join. Recall vs brute force asserted in tests."""
+    join. Recall vs brute force asserted in tests.
+    Driver-adjudicated through its oracle-gated sibling
+    q_ann_ivf_planted (planted-neighbor recall over the same path)."""
     from cassowary_spark.operators.similarity import ann_ivf_probe
 
     index = build_ivf_index(spark, sf_dir, k_centroids=8)

@@ -27,12 +27,21 @@ from cassowary_spark.tables import load_table
 
 
 def _cents(col: Column) -> Column:
-    """Quantize a money expression to exact integer cents."""
+    """Quantize a money expression to exact integer cents.
+
+    ASSUMES NON-NEGATIVE AMOUNTS: floor(x*100 + 0.5) is round-half-UP
+    for positive x but rounds half-DOWN for negative x (-1.005 →
+    -101). Every TPC-H money column on the fixtures is ≥ 0 and both
+    engines share this exact op sequence so parity holds regardless —
+    but a fixture with negative money (refunds, adjustments) needs a
+    sign-symmetric form first, e.g. sign(x)*floor(abs(x)*100 + 0.5).
+    """
     return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
 
 
 def _sql_cents(expr: str) -> str:
-    """DuckDB spelling of ``_cents`` (kept textually parallel)."""
+    """DuckDB spelling of ``_cents`` (kept textually parallel;
+    same non-negative-amounts assumption)."""
     return f"CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)"
 
 

@@ -21,168 +21,45 @@ ORACLES: dict[str, str] = {}
 
 # The external driver adjudicates only the FIRST 50 queries in the dict
 # returned by __spark_entry__.queries(). Python dicts preserve
-# insertion order, so we emit the keys below first. Round-6 rotation:
-# CORRECTNESS_r05 was never produced (the round-5 window did not run),
-# so the round-5 never-adjudicated group is still waiting. The window
-# now leads with the three keys whose QUERIES changed in round 5
-# (q_dedup_clusters — CC skips isolated vertices; q_dedup_ngram —
-# shared hashed-shingle refactor; q_session_capped — newly
-# oracle-gated), then the round-6 additions (retrieval layer C61-C64 +
-# A13 + the TPC-H battery B47 incl. Q4/Q14 + the later waves
-# C65/C66/C68/C77/C81/A14/A15), then the round-5 backlog. Thirty-one
-# round-5 keys are deferred to round 7 to fit the 50-key window —
-# chosen as exactly the ones already carrying dedicated local pytest
-# gates beyond oracle parity (planted-input/property/soundness tests:
-# q_substring_dedup, q_centroid_assign, q_quality_gauntlet,
-# q_value_outliers, q_graph_pagerank, q_bpe_pairs, q_bpe_merges,
-# q_ann_hamming, q_postings_delta, q_recursive_cte, q_funnel,
-# q_retention, q_sstable_gen_diff, q_trailing_rate,
-# q_event_transitions, q_pq_encode, q_zorder_layout,
-# q_heavy_hitters, q_doc_chunks, q_matryoshka, q_length_band,
-# q_mad_outliers, q_temperature_mix, q_sstable_to_lake,
-# q_partitioned_lake, q_distribution_drift, q_corpus_mix,
-# q_compaction_plan, q_skew_stats, q_profile_stats,
-# q_centroid_affinity) — so every key in this window is one whose
-# ONLY hard gate would otherwise be the driver's. (With 212 keys and
-# a 50-slot window, ~4-5 rounds cycle the full registry.)
+# insertion order, so we emit the keys below first.
+#
+# Round-7 rotation — adjudication-debt paydown. After round 6, 140 of
+# 299 registry keys had never received a driver CORRECTNESS row (the
+# planted-gate-deferral policy, sensible at 112 keys, had deferred
+# almost half the registry at 299). The round-6 verdict's top action
+# is to rotate the 50 OLDEST never-adjudicated keys into this window,
+# oldest-registered first, regardless of local pytest coverage — the
+# driver's environment has historically surfaced divergences local
+# runs did not (DuckDB DECIMAL overflow at sf0.01, BFS plan-render
+# OOM). The list below is exactly registration order filtered to
+# never-adjudicated keys, positions 0-49 of 140; the remaining 90
+# rotate in over rounds 8-9. It also satisfies the verdict's ask to
+# adjudicate the rows-only family's oracle-gated siblings
+# (q_simhash_dup, q_ann_lsh_planted, q_ann_ivf_planted), which sit at
+# positions 4-6 by age. Deferral from here on is reserved for keys a
+# rotation would merely RE-adjudicate, never for first adjudications.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # queries changed in round 5 — green rows are stale, re-confirm
-    # (q_dedup_ngram deferred: its exact pair set is adjudicated
-    # in-window through q_dedup_near_verified, whose oracle is the
-    # same brute-force SQL; local parity + shingle property tests
-    # cover the refactored machinery)
-    "q_dedup_clusters", "q_session_capped",
-    # new in round 6 — never adjudicated
-    # (q_bm25 and q_rank_fusion deferred: both carry hand-computed
-    # closed-form pytest gates in tests/test_retrieval.py)
-    # (q_source_overlap, q_rolling_distinct, q_binary_ingest,
-    # q_schema_merge also deferred: retrieval-layer closed-form /
-    # planted gates in tests/test_retrieval.py + test_datapipe4.py)
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
-    # (q_csv_corrupt, q_bpe_encode, q_ewma_value, q_negative_pairs
-    # deferred from this window: all carry dedicated planted pytest
-    # gates beyond oracle parity)
-    # (q_coverage_curve deferred: planted pytest gates in
-    # tests/test_datapipe4.py + a plan gate in tests/test_plans.py)
-    # (q_user_cadence deferred: planted gates in test_datapipe4.py +
-    # a plan gate in test_plans.py)
-    "q_tpch_q4", "q_tpch_q14",
-    "q_embed_norm_qa",
-    "q_tpch_q7", "q_tpch_q13", "q_tpch_q19", "q_tpch_q22",
-    "q_corrupt_files", "q_kanon_screen", "q_corpus_card",
-    "q_udtf_python",
-    # TPC-H completion wave (round 6, latest) — never adjudicated
-    "q_tpch_q2", "q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",
-    "q_tpch_q12", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q20", "q_tpch_q21",
-    # dataset-assembly wave (round 6, latest) — never adjudicated
-    "q_dataset_split", "q_shard_export", "q_split_leakage",
-    # distinct-semantics wave (round 6, latest) — never adjudicated
-    "q_setops_all", "q_join_nullsafe", "q_variant_json",
-    "q_lake_backfill", "q_data_contract", "q_corpus_pipeline_e2e",
-    "q_hll_rollup", "q_try_arithmetic", "q_collation",
-    "q_compact_small_files",
-    # SSB battery (round 6, latest) — never adjudicated
-    "q_ssb_q1", "q_ssb_q2", "q_ssb_q3", "q_ssb_q4",
-    "q_regex_serde", "q_file_provenance",
-    # round-5 backlog — never adjudicated (window never ran).
-    # Seventeen backlog keys are deferred to the next rotation to fit
-    # the three round-6 late waves above (TPC-H completion, dataset
-    # assembly, distinct semantics): q_simhash_dup, q_ann_lsh_planted,
-    # q_ann_ivf_planted, q_dedup_normalized, q_inverted_index,
-    # q_unigram_logprob, q_pmi_pairs, q_orc_roundtrip,
-    # q_bigram_logprob, q_ngram_novelty, q_embed_center,
-    # q_token_budget_trim, q_ann_ivfpq_planted, q_multi_insert,
-    # q_window_ignore_nulls, q_lateral_subquery, q_group_by_all.
-    # All seventeen are oracle-gated and pass
-    # tests/test_oracle_parity.py locally at sf0.01 (the same compare
-    # the driver runs), and several carry planted-input pytest gates
-    # besides; q_source_cap and q_dedup_near_verified stay in-window
-    # because they have never been adjudicated in ANY round and were
-    # the round-4 verdict's top follow-up.
-    "q_source_cap", "q_dedup_near_verified",
-    # Wave-6 additions (q_url_parse, q_attribution, q_cdc_apply,
-    # q_token_entropy, q_decayed_score, q_skyline, q_xml_ingest) are
-    # deferred from this window under the same policy: each carries a
-    # dedicated planted-input pytest gate (tests/test_datapipe6.py)
-    # plus sf0.01 oracle parity, so the driver window stays reserved
-    # for keys whose ONLY hard gate would be the driver's. Wave 7
-    # (q_cow_erasure, q_interpolate) is deferred likewise — both carry
-    # planted gates in tests/test_datapipe7.py (file-surgical rewrite
-    # proof, closed-form straight-line values, exactly-once restart) —
-    # as is wave 8 (q_manifest_time_travel, q_ivm_refresh: version-
-    # visibility and insert/update/keep-path planted gates there too)
-    # and wave 9 (q_seasonal_baseline, q_cooccurrence,
-    # q_weighted_sample: cell-vs-global, hand-lift, and python-A-res
-    # replication gates in tests/test_datapipe8.py) and wave 10
-    # (q_sql_udf: three-band + NULL-guard planted gate there too) and
-    # wave 11 (q_rfm_segmentation, q_event_paths, q_ab_lift:
-    # diagonal-segment, truncation, and hand-z gates there too) and
-    # wave 12 (q_survivorship, q_period_movers, q_equidepth_hist:
-    # per-field survivorship, NULL-pct, and tie-bin gates in
-    # tests/test_datapipe10.py) and wave 13 (q_regression,
-    # q_max_concurrency, q_table_fingerprint: exact-line, half-open
-    # sweep, and python-XOR-replication gates there too) and wave 14
-    # (q_benford, q_funnel_timing: zero-digit emission and strict
-    # stage-order gates there too) and wave 15 (q_roc_auc,
-    # q_calibration_bins, q_gini_concentration, q_price_volume_mix,
-    # q_life_table, q_cusum_changepoint, q_spatial_grid_join,
-    # q_ks_drift, q_readability: brute-force-pair AUC, bridge
-    # tie-out, censoring, planted-shift, O(n²)-equality, and
-    # disjoint-support gates in tests/test_datapipe11.py) and wave 16
-    # (q_join_fanout_audit, q_winsorize, q_cohort_ltv,
-    # q_abc_classification, q_new_vs_returning: zero-bucket,
-    # quantized-bound clip, per-cohort accumulation, exact-boundary,
-    # and acquisition-split gates in tests/test_datapipe12.py) and
-    # wave 17 (q_pit_features, q_churn_label, q_time_in_state,
-    # q_impute_median, q_degree_distribution: same-day-leak,
-    # immature-label, terminal-event, observed-median, and
-    # distinct-degree gates in tests/test_datapipe13.py) and wave 18
-    # (q_streaks, q_rank_movers, q_weighted_median, q_record_linkage:
-    # gap-break/same-day-dedup, both-period-cohort, volume-vs-row,
-    # and exact-threshold gates in tests/test_datapipe14.py) and wave
-    # 19 (q_autocorrelation: exact-1.0 periodic-series and python-
-    # Pearson replication gates in tests/test_datapipe15.py) and wave
-    # 20 (q_crosscorrelation, q_chi_square, q_target_encoding,
-    # q_woe_iv, q_triangle_count: perfect-lead-series, hand-2x2 +
-    # exact-independence, LOO-guard, hand-WoE, and planted-clique +
-    # support-threshold gates in tests/test_datapipe16.py) and wave
-    # 21 (q_zipf_fit, q_backtest_smape, q_bootstrap_ci,
-    # q_mutual_information: exact-1/r-law + python-OLS-replication,
-    # zero-error-periodic + closed-form-doubled-week, collapsed-CI +
-    # python-hash-Poisson-replication, and MI=0/NMI=1 gates in
-    # tests/test_datapipe17.py) and wave 22 (q_shortest_path:
-    # path-graph/unreachable-component/support-exclusion + python-BFS
-    # replication gates in tests/test_datapipe18.py) and wave 23
-    # (q_delta_method_ci, q_multi_touch_attribution:
-    # proportional-collapse + python-replication and closed-form-
-    # U-shape/window-exclusion gates in tests/test_datapipe19.py) and
-    # wave 24 (q_shingle_containment, q_kl_divergence,
-    # q_time_weighted_avg: python-shingle-replication, KL=0-at-mix +
-    # hand-terms, and closed-form-step/single-event-guard gates in
-    # tests/test_datapipe20.py) and wave 25 (q_window_funnel,
-    # q_rolling_slope: boundary/window-reopen/stage-order gates and
-    # exact-ramp + python-framed-OLS gates in
-    # tests/test_datapipe21.py) and wave 26 (q_theil_sen,
-    # q_mann_kendall: exact-line/outlier-robustness and
-    # monotone/all-tied + python-replication gates in
-    # tests/test_datapipe22.py) and wave 27 (q_psi: identical→0,
-    # hand-shift, empty-bin smoothing, and top-cap gates in
-    # tests/test_datapipe23.py) and wave 28 (q_lift_deciles,
-    # q_forecast_interval: python-score+ntile replication +
-    # closed-form invariants, and hand-residual band/coverage gates
-    # in tests/test_datapipe24.py) and wave 29 (q_kaplan_meier,
-    # q_elasticity, q_hhi: python-product-limit + censoring-matters,
-    # exact-power-law, and equal-share-1/k gates in
-    # tests/test_datapipe25.py) and wave 30 (q_price_index:
-    # identity-1.0, hand-basket, single-year-exclusion, and
-    # Fisher-time-reversal gates in tests/test_datapipe26.py) and
-    # wave 31 (q_mahalanobis_outliers: joint-outlier-inside-1D-ranges
-    # + python-replication and singular-covariance-guard gates in
-    # tests/test_datapipe27.py) and wave 32 (q_cohens_kappa,
-    # q_corpus_bleu, q_ndcg: python-confusion replication,
-    # multiset-clipping closed form, and short-ideal + python-ranking
-    # gates in tests/test_datapipe28.py).
+    # lake/SSTable maintenance + ANN planted-recall family (rounds 4-5)
+    "q_sstable_gen_diff", "q_orc_roundtrip", "q_partitioned_lake",
+    "q_sstable_to_lake", "q_simhash_dup", "q_ann_lsh_planted",
+    "q_ann_ivf_planted", "q_ann_ivfpq_planted",
+    # corpus/datapipe waves 1-5 (round 5)
+    "q_dedup_normalized", "q_inverted_index", "q_heavy_hitters",
+    "q_corpus_mix", "q_unigram_logprob", "q_skew_stats",
+    "q_compaction_plan", "q_doc_chunks", "q_zorder_layout",
+    "q_pmi_pairs", "q_substring_dedup", "q_centroid_assign",
+    "q_quality_gauntlet", "q_value_outliers", "q_graph_pagerank",
+    "q_bpe_pairs", "q_length_band", "q_matryoshka", "q_ann_hamming",
+    "q_temperature_mix", "q_postings_delta", "q_pq_encode",
+    "q_recursive_cte", "q_bigram_logprob", "q_ngram_novelty",
+    "q_embed_center", "q_token_budget_trim", "q_bpe_merges",
+    # analytics wave (round 5-6 boundary)
+    "q_funnel", "q_retention", "q_profile_stats", "q_multi_insert",
+    "q_window_ignore_nulls", "q_lateral_subquery",
+    "q_distribution_drift", "q_mad_outliers", "q_trailing_rate",
+    "q_centroid_affinity", "q_event_transitions", "q_group_by_all",
+    # retrieval layer (round 6)
+    "q_bm25", "q_rank_fusion",
 )
 
 

@@ -503,3 +503,25 @@ class TestRound6OperatorReviewFixes:
         got = cosine_pairs_blocked(df, "id", "v", "blk", 0.9).collect()
         assert all(r.id_a != r.id_b for r in got)
         assert {(r.id_a, r.id_b) for r in got} == {("a", "b")}
+
+    def test_blocked_pairs_zero_norm_pins_to_minus_one(self, spark):
+        # same convention as the expression path's cosine(): a zero
+        # vector sinks below ANY threshold, including <= 0 — it must
+        # never pair, even with another zero vector
+        from cassowary_spark.operators.similarity import cosine_pairs_blocked
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0], 0), (2, [0.0, 0.0], 0), (3, [1.0, 0.0], 0), (4, [1.0, 0.0], 0)],
+            "id long, v array<double>, blk int",
+        )
+        got = cosine_pairs_blocked(df, "id", "v", "blk", -0.5).collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(3, 4)}
+
+    def test_bfs_empty_edges_raises(self, spark):
+        import pytest as _pytest
+
+        from cassowary_spark.operators.graph import bfs_distances
+
+        edges = spark.createDataFrame([], "x long, y long")
+        with _pytest.raises(ValueError, match="edge set is empty"):
+            bfs_distances(edges)

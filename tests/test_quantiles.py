@@ -1,0 +1,173 @@
+"""Exact-vs-approx agreement gates for the approx-ntile production
+path (operators/quantiles.with_approx_ntiles) and its three consumers
+(q_rfm_segmentation, q_equidepth_hist, q_lift_deciles with
+approx=True) — the round-6 verdict's "ship the 100 TB variants as
+code, not docstrings" item.
+
+Three layers:
+- operator-level: on distinct values with a tight sketch, approx
+  bucket assignment matches exact ntile row-for-row except a bounded
+  boundary band;
+- query-level: each approx path conserves total mass and reproduces
+  the exact path's per-bucket distribution within sketch+tie
+  tolerance on the fixtures;
+- plan-level: the approx paths contain NO Window node and no
+  single-partition exchange — the whole point of the variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassowary_spark import registry
+from cassowary_spark.plancheck import formatted_plan
+from cassowary_spark.registry import QUERIES
+
+registry.load_all()
+
+
+class TestOperator:
+    def test_matches_exact_ntile_on_distinct_values(self, spark):
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        n = 1000
+        df = spark.range(n).select(
+            F.col("id"),
+            # distinct, order scrambled vs id so bucketing can't ride
+            # the input order
+            ((F.col("id") * 7919) % n).alias("v"),
+        )
+        exact = df.select(
+            "id", F.ntile(5).over(Window.orderBy("v", "id")).alias("b")
+        )
+        approx = with_approx_ntiles(df, [("b", F.col("v"), 5)], accuracy=100_000)
+        joined = exact.alias("e").join(approx.alias("a"), "id")
+        mismatches = joined.filter(F.col("e.b") != F.col("a.b")).count()
+        # distinct values + accuracy >> n → thresholds are exact up to
+        # the sketch's interpolation convention; only rows AT a
+        # boundary may flip (5 boundaries)
+        assert mismatches <= 10, mismatches
+        sizes = {r.b: r.c for r in approx.groupBy("b").agg(F.count("*").alias("c")).collect()}
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert all(abs(c - n / 5) <= 10 for c in sizes.values()), sizes
+
+    def test_multi_spec_single_agg_and_null_buckets(self, spark):
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        df = spark.range(100).select(
+            "id",
+            F.col("id").alias("x"),
+            F.when(F.col("id") < 90, F.col("id")).alias("y"),  # 10 NULLs
+        )
+        out = with_approx_ntiles(df, [("bx", "x", 4), ("by", "y", 4)])
+        rows = out.collect()
+        assert all(r.bx is not None for r in rows)
+        assert sum(r.by is None for r in rows) == 10
+        # one threshold agg feeding both buckets → exactly one
+        # percentile aggregate subtree per metric, no window anywhere
+        assert ") Window" not in formatted_plan(out)
+
+    def test_rejects_bad_args(self, spark):
+        import pytest
+
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        df = spark.range(10)
+        with pytest.raises(ValueError, match="empty spec"):
+            with_approx_ntiles(df, [])
+        with pytest.raises(ValueError, match="n must be"):
+            with_approx_ntiles(df, [("b", "id", 1)])
+
+
+class TestQueryAgreement:
+    def test_rfm_approx_agrees(self, spark, sf_dir):
+        exact = QUERIES["q_rfm_segmentation"](spark, sf_dir).collect()
+        approx = QUERIES["q_rfm_segmentation"](spark, sf_dir, approx=True).collect()
+        n_exact = sum(r.n_customers for r in exact)
+        n_approx = sum(r.n_customers for r in approx)
+        assert n_exact == n_approx  # mass conserved
+        assert sum(r.cents_sum for r in exact) == sum(r.cents_sum for r in approx)
+
+        # marginal quintile masses per digit: rec_days/cents are
+        # near-distinct (tight); freq is heavily tied on the small
+        # fixture — ntile splits tied groups by position, the approx
+        # path keeps them together, so its tolerance is the largest
+        # tied-group mass, not sketch error
+        def marginal(rows, pos):
+            m = {}
+            for r in rows:
+                d = r.segment[pos]
+                m[d] = m.get(d, 0) + r.n_customers
+            return m
+
+        for pos, tol in ((0, 0.05), (2, 0.05)):
+            me, ma = marginal(exact, pos), marginal(approx, pos)
+            for d in me:
+                assert abs(me[d] - ma.get(d, 0)) <= max(5, tol * n_exact), (
+                    pos, d, me[d], ma.get(d, 0),
+                )
+        # freq digit: every bucket value legal and non-degenerate
+        mf = marginal(approx, 1)
+        assert set(mf) <= {"1", "2", "3", "4", "5"}
+
+    def test_equidepth_approx_agrees(self, spark, sf_dir):
+        exact = {r.bin: r for r in QUERIES["q_equidepth_hist"](spark, sf_dir).collect()}
+        approx = {
+            r.bin: r
+            for r in QUERIES["q_equidepth_hist"](spark, sf_dir, approx=True).collect()
+        }
+        total = sum(r.n_rows for r in exact.values())
+        assert sum(r.n_rows for r in approx.values()) == total
+        assert set(approx) == set(exact)
+        # l_extendedprice is near-unique → per-bin mass within sketch
+        # tolerance of equal depth
+        for b, r in approx.items():
+            assert abs(r.n_rows - total / len(exact)) <= 0.05 * total, (b, r.n_rows)
+        # bin bounds strictly ordered (no overlapping buckets)
+        bins = sorted(approx)
+        for a, b in zip(bins, bins[1:]):
+            assert approx[a].hi <= approx[b].lo + 1e-9, (a, b)
+
+    def test_lift_deciles_approx_agrees(self, spark, sf_dir):
+        exact = {r.decile: r for r in QUERIES["q_lift_deciles"](spark, sf_dir).collect()}
+        approx = {
+            r.decile: r
+            for r in QUERIES["q_lift_deciles"](spark, sf_dir, approx=True).collect()
+        }
+        nn = sum(r.n for r in exact.values())
+        assert sum(r.n for r in approx.values()) == nn
+        assert sum(r.pos for r in approx.values()) == sum(r.pos for r in exact.values())
+        assert set(approx) == set(exact)
+        # score ties at cut points move ≲ n/1000 rows per boundary
+        for d, r in approx.items():
+            assert abs(r.n - nn / 10) <= 0.05 * nn, (d, r.n)
+            assert abs(r.rate - exact[d].rate) <= 0.1, (d, r.rate, exact[d].rate)
+        # chart invariants survive the approximation
+        assert abs(approx[max(approx)].capture - 1.0) < 1e-9
+        captures = [approx[d].capture for d in sorted(approx)]
+        assert captures == sorted(captures)
+
+
+class TestApproxPlans:
+    def test_no_window_no_global_sort_in_approx_paths(self, spark, sf_dir):
+        # the corpus-sized ntile window must be gone from every approx
+        # plan; q_lift_deciles keeps its cumulative window + sort, but
+        # those run AFTER the 10-row decile agg (10-row frame, the
+        # intended shape) — so the bucketing input side must show no
+        # window/sort, which "no ntile anywhere" pins exactly
+        for key in ("q_rfm_segmentation", "q_equidepth_hist", "q_lift_deciles"):
+            df = QUERIES[key](spark, sf_dir, approx=True)
+            plan = formatted_plan(df)
+            # "ntile(" matches the window function only —
+            # percentile_approx contains the bare "ntile" substring
+            assert "ntile(" not in plan, key
+            if key != "q_lift_deciles":
+                assert ") Window" not in plan, key
+                assert ") Sort" not in plan, key
+
+    def test_exact_paths_unchanged(self, spark, sf_dir):
+        # the oracle-pinned default must still be the ntile form
+        for key in ("q_rfm_segmentation", "q_equidepth_hist", "q_lift_deciles"):
+            plan = formatted_plan(QUERIES[key](spark, sf_dir))
+            assert ") Window" in plan, key
