@@ -63,6 +63,7 @@ def bfs_distances(
         [(int(source), 0)], "node long, dist int"
     )
     frontier = dist
+    prev = spark.createDataFrame([], "node long, dist int")
     for hop in range(1, max_hops + 1):
         # localCheckpoint each round's frontier BEFORE it enters the
         # next round: round k's plan otherwise embeds every previous
@@ -70,18 +71,22 @@ def bfs_distances(
         # driver OOMs just rendering it (hit in practice at hop ~8 on
         # a dense graph). Eager checkpoint = one small materialized
         # frontier per round, constant-size plans forever.
-        # frontier and settled set are node-bounded — broadcast them so
-        # the adjacency list is never re-shuffled round after round.
-        # NOTE the settled-set broadcast is O(settled) EVERY round and
-        # the settled set grows toward O(V): on a graph whose frontier
-        # OR settled set outgrows broadcast, drop both hints and
-        # pre-bucket sym by s instead (the anti-join then shuffles
-        # dist, which is the right trade at that size)
+        #
+        # The anti-join dedups against the LAST TWO frontiers only,
+        # not the whole settled set: the graph is symmetrized, and on
+        # an undirected graph a neighbor of a dist-(k-1) node has
+        # distance k-2, k-1, or k — nothing older is ever reachable
+        # in one hop. Both broadcasts are therefore FRONTIER-bounded
+        # (constant-ish per round), never O(settled) → the loop has
+        # no growing broadcast to outgrow an executor. On a graph
+        # whose single frontier outgrows broadcast, drop the hints
+        # and pre-bucket sym by s instead.
+        seen = frontier.unionByName(prev).select("node")
         nxt = (
             sym.join(F.broadcast(frontier), sym.s == frontier.node)
             .select(F.col("t").alias("node"))
             .distinct()
-            .join(F.broadcast(dist), "node", "left_anti")
+            .join(F.broadcast(seen), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
@@ -93,6 +98,6 @@ def bfs_distances(
         # (O(V) per round → quadratic total); the union form keeps
         # per-round work proportional to the frontier.
         dist = dist.unionByName(nxt)
-        frontier = nxt
+        prev, frontier = frontier, nxt
     sym.unpersist()
     return dist

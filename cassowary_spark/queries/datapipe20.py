@@ -79,9 +79,10 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     each
     BFS round joins only the CURRENT FRONTIER to the adjacency list
     (each edge traversed at most twice across all rounds) and
-    anti-joins the settled set; the driver sees a 1-row emptiness
-    probe per round, never node data. Rounds are bounded by the
-    min(diameter, 20).
+    anti-joins the last TWO frontiers — sufficient dedup on an
+    undirected graph, so every broadcast is frontier-bounded, never
+    O(settled); the driver sees a 1-row emptiness probe per round,
+    never node data. Rounds are bounded by the min(diameter, 20).
     """
     from cassowary_spark.operators.graph import bfs_distances
 
