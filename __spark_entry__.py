@@ -33,7 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query adjudication window covers the queries that
-    most need a hard correctness row this round (registry.DRIVER_PRIORITY)."""
+    most need a hard correctness row this round: manual overrides
+    (registry.DRIVER_PRIORITY), then every never-adjudicated key
+    oldest-first (derived from the committed CORRECTNESS_r*.json)."""
     registry.load_all()
     return registry.ordered(registry.QUERIES)
 

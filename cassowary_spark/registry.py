@@ -21,53 +21,69 @@ ORACLES: dict[str, str] = {}
 
 # The external driver adjudicates only the FIRST 50 queries in the dict
 # returned by __spark_entry__.queries(). Python dicts preserve
-# insertion order, so we emit the keys below first.
+# insertion order, so ordered() controls the window.
 #
-# Round-7 rotation — adjudication-debt paydown. After round 6, 140 of
-# 299 registry keys had never received a driver CORRECTNESS row (the
-# planted-gate-deferral policy, sensible at 112 keys, had deferred
-# almost half the registry at 299). The round-6 verdict's top action
-# is to rotate the 50 OLDEST never-adjudicated keys into this window,
-# oldest-registered first, regardless of local pytest coverage — the
-# driver's environment has historically surfaced divergences local
-# runs did not (DuckDB DECIMAL overflow at sf0.01, BFS plan-render
-# OOM). The list below is exactly registration order filtered to
-# never-adjudicated keys, positions 0-49 of 140; the remaining 90
-# rotate in over rounds 8-9. It also satisfies the verdict's ask to
-# adjudicate the rows-only family's oracle-gated siblings
-# (q_simhash_dup, q_ann_lsh_planted, q_ann_ivf_planted), which sit at
-# positions 4-6 by age. Deferral from here on is reserved for keys a
-# rotation would merely RE-adjudicate, never for first adjudications.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # lake/SSTable maintenance + ANN planted-recall family (rounds 4-5)
-    "q_sstable_gen_diff", "q_orc_roundtrip", "q_partitioned_lake",
-    "q_sstable_to_lake", "q_simhash_dup", "q_ann_lsh_planted",
-    "q_ann_ivf_planted", "q_ann_ivfpq_planted",
-    # corpus/datapipe waves 1-5 (round 5)
-    "q_dedup_normalized", "q_inverted_index", "q_heavy_hitters",
-    "q_corpus_mix", "q_unigram_logprob", "q_skew_stats",
-    "q_compaction_plan", "q_doc_chunks", "q_zorder_layout",
-    "q_pmi_pairs", "q_substring_dedup", "q_centroid_assign",
-    "q_quality_gauntlet", "q_value_outliers", "q_graph_pagerank",
-    "q_bpe_pairs", "q_length_band", "q_matryoshka", "q_ann_hamming",
-    "q_temperature_mix", "q_postings_delta", "q_pq_encode",
-    "q_recursive_cte", "q_bigram_logprob", "q_ngram_novelty",
-    "q_embed_center", "q_token_budget_trim", "q_bpe_merges",
-    # analytics wave (round 5-6 boundary)
-    "q_funnel", "q_retention", "q_profile_stats", "q_multi_insert",
-    "q_window_ignore_nulls", "q_lateral_subquery",
-    "q_distribution_drift", "q_mad_outliers", "q_trailing_rate",
-    "q_centroid_affinity", "q_event_transitions", "q_group_by_all",
-    # retrieval layer (round 6)
-    "q_bm25", "q_rank_fusion",
-)
+# Round-7 rotation — adjudication-debt paydown, now SELF-MAINTAINING.
+# After round 6, 140 of 299 registry keys had never received a driver
+# CORRECTNESS row (the planted-gate-deferral policy, sensible at 112
+# keys, had deferred almost half the registry at 299). The round-6
+# verdict's top action: rotate the 50 OLDEST never-adjudicated keys
+# into the window, oldest-registered first, REGARDLESS of local
+# pytest coverage — the driver's environment has historically
+# surfaced divergences local runs did not (DuckDB DECIMAL overflow at
+# sf0.01, BFS plan-render OOM). ordered() now derives that rotation
+# from the committed CORRECTNESS_r*.json files directly, so each
+# round's window automatically advances past whatever the previous
+# round adjudicated; the r7 window is registration positions 0-49 of
+# the 140-key backlog (starting q_sstable_gen_diff, q_orc_roundtrip,
+# …, ending q_bm25, q_rank_fusion — including the rows-only family's
+# oracle-gated siblings q_simhash_dup/q_ann_lsh_planted/
+# q_ann_ivf_planted), the remaining 90 rotate in over rounds 8-9.
+#
+# DRIVER_PRIORITY is the MANUAL override lane only: list keys here
+# when they must (re-)confirm ahead of the rotation — e.g. a query
+# whose semantics changed after its last green row. Keys listed here
+# jump the queue; leave empty otherwise.
+DRIVER_PRIORITY: tuple[str, ...] = ()
+
+
+def _adjudicated_keys() -> set[str]:
+    """Keys with at least one recorded driver CORRECTNESS row.
+
+    The CORRECTNESS_r*.json files are committed at the repo root
+    (sibling of this package); reading them makes the window rotation
+    SELF-MAINTAINING — each round the never-adjudicated backlog
+    automatically shifts forward by however many keys the previous
+    round's window covered, with no manual DRIVER_PRIORITY edit.
+    Failure-safe: unreadable/absent files contribute nothing.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            if isinstance(d, dict):
+                seen.update(d.keys())
+        except Exception:
+            continue
+    return seen
 
 
 def ordered(d: dict[str, "object"]) -> dict:
-    """Re-key a registry dict so DRIVER_PRIORITY keys come first (in
-    priority order), then everything else in registration order.
+    """Re-key a registry dict into driver-window order: DRIVER_PRIORITY
+    keys first (manual override for keys that must re-confirm, e.g.
+    after a semantics change), then every never-adjudicated key in
+    registration order (the debt-paydown rotation — oldest first),
+    then the already-adjudicated remainder in registration order.
     Priority keys not (yet) registered are skipped."""
     out = {k: d[k] for k in DRIVER_PRIORITY if k in d}
+    seen = _adjudicated_keys()
+    out.update((k, v) for k, v in d.items() if k not in out and k not in seen)
     out.update((k, v) for k, v in d.items() if k not in out)
     return out
 
