@@ -65,6 +65,10 @@ def main() -> None:
     scan_queries.build_rt_snapshot(sf_dir)
     scan_queries.build_collections_snapshot(sf_dir)
     llm_queries.build_ivf_index(spark, sf_dir)
+    from cassowary_spark.queries import datapipe31 as layout_queries
+
+    layout_queries.ensure_eqdelete_lake(spark, sf_dir)
+    layout_queries.ensure_bucketed_tables(spark, sf_dir)
     registry.QUERIES["q_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     registry.QUERIES["q_sstable_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 

@@ -52,6 +52,7 @@ _MODULES = (
     "datapipe28",
     "datapipe29",
     "datapipe30",
+    "datapipe31",
 )
 
 _loaded = False

@@ -1,0 +1,278 @@
+"""Round-7 wave 33 (SURVEY.md §2): two physical-layout scale
+capabilities — merge-on-read equality deletes (the Iceberg v2 delete
+mechanism, completing A23's copy-on-write half) and bucketed
+co-located joins (the pre-shuffle amortization every repeated big-big
+join wants at 100 TB).
+
+Both are layout demonstrations with real files: the equality-delete
+path never rewrites a base byte, and the bucketed join's physical
+plan contains ZERO shuffle exchanges (plan-gated in
+tests/test_datapipe31.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.registry import query
+from cassowary_spark.tables import load_table, table_path
+
+# ------------------------------------- A26 merge-on-read equality deletes
+
+_DEL_MOD_1 = 53  # delete sequence 1: doc_id ≡ 0 (mod 53)
+_DEL_MOD_2 = 89  # delete sequence 2: doc_id ≡ 0 (mod 89)
+
+
+def _eqdel_dirs(sf_dir: str) -> tuple[str, str, str]:
+    from cassowary_spark.tables import fixture_cache_dir
+
+    root = fixture_cache_dir(sf_dir, "eq_deletes", dep="documents")
+    return (
+        os.path.join(root, "base"),
+        os.path.join(root, "del_seq1"),
+        os.path.join(root, "del_seq2"),
+    )
+
+
+def ensure_eqdelete_lake(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build (once per source identity) the immutable 8-file documents
+    base lake plus two SEQUENCED equality-delete files — tiny parquet
+    sidecars holding nothing but deleted keys, exactly Iceberg v2's
+    equality-delete shape. Deleting NEVER touches the base: each
+    delete commit appends one key file.
+    """
+    base, d1, d2 = _eqdel_dirs(sf_dir)
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ).repartition(8).write.mode("overwrite").parquet(base)
+    if not os.path.exists(os.path.join(d1, "_SUCCESS")):
+        spark.read.parquet(base).filter(
+            F.col("doc_id") % _DEL_MOD_1 == 0
+        ).select("doc_id").coalesce(1).write.mode("overwrite").parquet(d1)
+    if not os.path.exists(os.path.join(d2, "_SUCCESS")):
+        spark.read.parquet(base).filter(
+            F.col("doc_id") % _DEL_MOD_2 == 0
+        ).select("doc_id").coalesce(1).write.mode("overwrite").parquet(d2)
+    return base, d1, d2
+
+
+def eqdelete_read(
+    spark: SparkSession, sf_dir: str, *, through_seq: int = 2
+) -> DataFrame:
+    """Merge-on-read scan: base rows minus every key in the delete
+    files visible at ``through_seq`` (1 = first delete commit only —
+    the snapshot-sequencing half of time travel). The anti-join
+    broadcasts the UNION of delete keys; delete files are
+    key-granular metadata, orders of magnitude smaller than the base.
+    """
+    base, d1, d2 = ensure_eqdelete_lake(spark, sf_dir)
+    dels = spark.read.parquet(d1)
+    if through_seq >= 2:
+        dels = dels.unionByName(spark.read.parquet(d2))
+    return spark.read.parquet(base).join(
+        F.broadcast(dels.distinct()), "doc_id", "left_anti"
+    )
+
+
+@query(
+    "q_equality_deletes",
+    oracle=f"""
+    WITH flags AS (
+        SELECT source, n_chars,
+               (doc_id % {_DEL_MOD_1} = 0 OR doc_id % {_DEL_MOD_2} = 0)
+                   AS deleted
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_live,
+           CAST(sum(CASE WHEN NOT deleted THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_live,
+           {sql_srnd(
+               "CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / CAST(count(*) AS DOUBLE)", 6)} AS deleted_frac
+    FROM flags GROUP BY 1
+    """,
+)
+def q_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (A26): row-level DELETE as
+    Iceberg v2 ships it — each delete commit appends a tiny parquet of
+    deleted KEYS; the base files are never rewritten (A23's
+    copy-on-write is the other half of the trade). Reads anti-join the
+    base against the union of visible delete files; `deleted_frac` per
+    source is the compaction trigger (rewrite a partition's files and
+    drop its delete entries once the fraction crosses a threshold).
+    The pytest gate proves the base files stay byte-identical across
+    both delete commits and that reading "through sequence 1" shows
+    exactly the first commit's deletions — the snapshot-sequencing
+    contract.
+
+    Scale shape: deleting is O(|deleted keys|) metadata append — no
+    data rewrite, no shuffle; the read-side anti-join broadcasts the
+    delete-key union (key-granular, ≪ base) and fuses into the scan;
+    the per-source rollup is a partial agg. The trade vs CoW (A23):
+    writes are free, every read pays the anti-join — which is why
+    `deleted_frac` drives background compaction. ZERO driver-side
+    collection.
+    """
+    live = eqdelete_read(spark, sf_dir, through_seq=2).withColumn(
+        "__live", F.lit(1)
+    )
+    base, _, _ = _eqdel_dirs(sf_dir)
+    # per-source totals come from the base (immutable), live counts
+    # from the MoR read — the same two frames a table-format metrics
+    # job would scan
+    tot = spark.read.parquet(base).groupBy("source").agg(
+        F.count("*").alias("__n_total")
+    )
+    agg = live.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.sum("n_chars").cast("long").alias("chars_live"),
+    )
+    return agg.join(F.broadcast(tot), "source").select(
+        "source",
+        "n_live",
+        "chars_live",
+        srnd(
+            (F.col("__n_total") - F.col("n_live")).cast("double")
+            / F.col("__n_total").cast("double"),
+            6,
+        ).alias("deleted_frac"),
+    )
+
+
+# ----------------------------------------- B53 bucketed co-located join
+
+_N_BUCKETS = 8
+
+
+def _bucket_table_names(sf_dir: str) -> tuple[str, str]:
+    """Catalog table names keyed by the SOURCE parquet identity (path +
+    size + mtime), so one session serving several sf_dirs (tests at
+    sf0.001, oracle parity at sf0.01) never joins mismatched tables.
+    """
+    sig = ""
+    for t in ("orders", "lineitem"):
+        p = table_path(sf_dir, t)
+        try:
+            st = os.stat(p)
+            sig += f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns};"
+        except OSError:
+            sig += os.path.abspath(p) + ";"
+    d = hashlib.md5(sig.encode()).hexdigest()[:10]
+    return f"orders_bkt_{d}", f"lineitem_bkt_{d}"
+
+
+def _drop_stale_table_location(spark: SparkSession, name: str) -> None:
+    """A fresh session's in-memory catalog has forgotten last session's
+    managed tables, but their warehouse directories persist — and
+    saveAsTable refuses a CREATE over an existing location
+    (LOCATION_ALREADY_EXISTS; mode("overwrite") only applies when the
+    table exists in the CATALOG). Local-mode only: remove the stale
+    directory so the rebuild is clean."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    loc = os.path.join(wh, name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem as bucketed+sorted catalog tables
+    (once per session per source identity — the in-memory catalog does
+    not persist metadata across sessions, so a fresh session rebuilds
+    after clearing any stale warehouse directory).
+
+    Bucketing is WRITE-TIME shuffle amortization: both tables
+    pre-hash-partition on the join key into the same bucket count, so
+    every subsequent equi-join or aggregation on that key is
+    exchange-free — pay one shuffle at ingest, never again. At 100 TB
+    this (with ~1024 buckets) is the difference between re-shuffling
+    two multi-TB fact tables per query and a purely local merge.
+    """
+    on, ln = _bucket_table_names(sf_dir)
+    if not spark.catalog.tableExists(on):
+        _drop_stale_table_location(spark, on)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(on)
+        )
+    if not spark.catalog.tableExists(ln):
+        _drop_stale_table_location(spark, ln)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(ln)
+        )
+    return on, ln
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join itself (pre-aggregation), exposed so the
+    plan gate can assert its physical shape: SortMergeJoin over two
+    bucketed scans with ZERO Exchange and no re-Sort (buckets are
+    written sorted). The merge hint pins SMJ so the demonstration
+    cannot silently degrade to a broadcast join at small sf.
+    """
+    on, ln = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(on)
+    li = spark.table(ln)
+    return o.hint("merge").join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+
+
+@query(
+    "q_bucket_join",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (B53): orders ⋈ lineitem on the order
+    key with BOTH sides stored bucketed+sorted on that key — the
+    physical plan is a SortMergeJoin whose inputs come straight from
+    the bucketed scans: no Exchange, no Sort (plan-gated). This is the
+    Spark-native equivalent of a clustered/distribution-keyed table in
+    a warehouse: ingest pays one shuffle, every downstream join and
+    rollup on the key is local forever.
+
+    Scale shape: at 100 TB the fact tables bucket by the join key at
+    load (≈1024 buckets so a bucket pair fits a task); the join then
+    moves ZERO bytes across the network regardless of how many times
+    it runs. The rollup after the join is the only exchange in the
+    query (5 priority keys). Results are identical to the plain join —
+    the oracle runs the unbucketed SQL.
+    """
+    j = bucketed_join(spark, sf_dir)
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("cents_sum"),
+    )
