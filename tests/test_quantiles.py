@@ -171,3 +171,51 @@ class TestApproxPlans:
         for key in ("q_rfm_segmentation", "q_equidepth_hist", "q_lift_deciles"):
             plan = formatted_plan(QUERIES[key](spark, sf_dir))
             assert ") Window" in plan, key
+
+
+class TestOperatorProperties:
+    """Hypothesis sweep: randomized inputs, invariants re-derived by a
+    pure-Python reference (the test_datapipe_properties discipline)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            min_size=20,
+            max_size=250,
+        ),
+        n=st.sampled_from([2, 4, 5, 10]),
+    )
+    @settings(max_examples=6, deadline=None)
+    def test_invariants_on_random_ints(self, spark, vals, n):
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        )
+        rows = with_approx_ntiles(df, [("b", "v", n)], accuracy=100_000).collect()
+        by_id = {r.id: r.b for r in rows}
+        # every bucket in range
+        assert all(1 <= r.b <= n for r in rows)
+        # monotone: a larger value never gets a smaller bucket
+        pairs = sorted((vals[i], by_id[i]) for i in range(len(vals)))
+        for (v1, b1), (v2, b2) in zip(pairs, pairs[1:]):
+            assert b1 <= b2, (v1, b1, v2, b2)
+        # ties stay together: equal values share a bucket
+        seen = {}
+        for i, v in enumerate(vals):
+            if v in seen:
+                assert seen[v] == by_id[i], v
+            seen[v] = by_id[i]
+        # extremes land in the end buckets
+        mn, mx = min(vals), max(vals)
+        assert by_id[vals.index(mn)] == 1
+        if mx != mn:
+            # the max is above every threshold iff thresholds < max;
+            # with heavy ties the top bucket may absorb more, but the
+            # max can never land in bucket 1 when n distinct values
+            # exceed 1 and the sketch is exact-accuracy
+            if len(set(vals)) >= n:
+                assert by_id[vals.index(mx)] == n
