@@ -276,3 +276,123 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cents_sum"),
     )
+
+
+# ------------------------------------ C153 cross-source shingle overlap
+
+_SRC_SHINGLE_K = 3
+
+
+def _duck_src_shingles(k: int) -> str:
+    """DuckDB expression mirroring operators.dedup.shingles (same
+    spelling as queries/llm._duck_shingles, repeated here so the
+    oracle stays self-contained)."""
+    return (
+        "list_distinct(list_transform("
+        f" range(1, greatest(len(string_split(text, ' ')) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice(string_split(text, ' '), i, i + {k - 1}), ' ')))"
+    )
+
+
+@query(
+    "q_source_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT source, sh FROM (
+            SELECT source, unnest({_duck_src_shingles(_SRC_SHINGLE_K)}) AS sh
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           {sql_srnd(
+               "CAST(n_inter AS DOUBLE)"
+               " / CAST(sa.n + sb.n - n_inter AS DOUBLE)", 6)} AS jaccard,
+           {sql_srnd(
+               "CAST(n_inter AS DOUBLE)"
+               " / CAST(least(sa.n, sb.n) AS DOUBLE)", 6)} AS containment
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap (C153): shingle-set Jaccard and
+    containment for every overlapping SOURCE pair — the
+    pretraining-mixture diagnostic ("how much of src3 is already in
+    src7") that decides which sources to cross-dedup (C2) and how to
+    weight a mixture (C28/C44). Sources with zero shared shingles
+    produce no row.
+
+    Determinism: shingle strings (never floats) drive all counting;
+    the two ratios divide exact BIGINTs and are srnd-quantized.
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    — one hash shuffle of the exploded shingles, after which
+    everything is vocabulary-sized, not corpus-sized. The shingle
+    self-join's per-key multiplicity is bounded by #sources per side
+    (each side holds ≤ one row per (source, shingle)), so fan-out is
+    ≤ sources² per shingle — a CONSTANT, immune to how many documents
+    share the shingle; the pair rollup is a sources²-key partial agg.
+    At 100 TB the distinct is the only corpus-scale stage, and the
+    same plan serves the sketched form (per-source minhash UNION
+    merge) when vocabulary itself outgrows a shuffle.
+    """
+    from cassowary_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    # persisted: the self-join's two sides AND the size table consume
+    # this frame — un-persisted each would re-run the explode+distinct
+    # (cache lifetime is caller-owned, as in operators/dedup)
+    sh = (
+        d.repartition(F.col("source"))
+        .select(
+            "source",
+            F.explode(shingles("text", _SRC_SHINGLE_K)).alias("sh"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            srnd(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            srnd(
+                F.col("n_inter").cast("double")
+                / F.least(F.col("sa.n"), F.col("sb.n")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

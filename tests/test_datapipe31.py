@@ -119,3 +119,58 @@ class TestBucketJoin:
             )
         }
         assert got == exp
+
+
+class TestSourceJaccard:
+    def _write_docs(self, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_closed_form_two_sources(self, spark, tmp_path):
+        # srcA's shingle set: {a b c, b c d} (from "a b c d")
+        # srcB's: {b c d, c d e} (from "b c d e")
+        # intersection {b c d} = 1, union = 3 → J = 1/3; containment
+        # = 1/min(2,2) = 0.5
+        sf = self._write_docs(
+            tmp_path,
+            [(1, "a b c d", "srcA"), (2, "b c d e", "srcB")],
+        )
+        rows = QUERIES["q_source_jaccard"](spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.source_a, r.source_b) == ("srcA", "srcB")
+        assert r.n_inter == 1
+        assert abs(r.jaccard - 1 / 3) < 1e-4
+        assert abs(r.containment - 0.5) < 1e-9
+
+    def test_duplicate_docs_dont_inflate_and_disjoint_absent(
+        self, spark, tmp_path
+    ):
+        # srcA holds the same text twice — the DISTINCT (source,
+        # shingle) collapse must make overlap a SET property, immune
+        # to how many documents repeat a shingle; srcC shares nothing
+        # and must produce no row
+        sf = self._write_docs(
+            tmp_path,
+            [
+                (1, "a b c d", "srcA"),
+                (2, "a b c d", "srcA"),
+                (3, "b c d e", "srcB"),
+                (4, "x y z w", "srcC"),
+            ],
+        )
+        rows = QUERIES["q_source_jaccard"](spark, sf).collect()
+        assert {(r.source_a, r.source_b) for r in rows} == {("srcA", "srcB")}
+        assert rows[0].n_inter == 1 and abs(rows[0].jaccard - 1 / 3) < 1e-4
