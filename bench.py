@@ -68,6 +68,7 @@ def main() -> None:
     from cassowary_spark.queries import datapipe31 as layout_queries
 
     layout_queries.ensure_eqdelete_lake(spark, sf_dir)
+    layout_queries.compact_eqdeletes(spark, sf_dir)
     layout_queries.ensure_bucketed_tables(spark, sf_dir)
     registry.QUERIES["q_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     registry.QUERIES["q_sstable_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()

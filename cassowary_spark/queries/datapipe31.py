@@ -1,13 +1,14 @@
-"""Round-7 wave 33 (SURVEY.md §2): two physical-layout scale
-capabilities — merge-on-read equality deletes (the Iceberg v2 delete
-mechanism, completing A23's copy-on-write half) and bucketed
-co-located joins (the pre-shuffle amortization every repeated big-big
-join wants at 100 TB).
+"""Round-7 wave 33 (SURVEY.md §2): physical-layout scale capabilities
+— merge-on-read equality deletes (the Iceberg v2 delete mechanism,
+completing A23's copy-on-write half) plus their threshold-driven
+compaction job, bucketed co-located joins (the pre-shuffle
+amortization every repeated big-big join wants at 100 TB), and
+cross-source shingle-overlap diagnostics for pretraining mixtures.
 
-Both are layout demonstrations with real files: the equality-delete
-path never rewrites a base byte, and the bucketed join's physical
-plan contains ZERO shuffle exchanges (plan-gated in
-tests/test_datapipe31.py).
+The layout demonstrations use real files: the equality-delete path
+never rewrites a base byte, compaction rewrites ONLY hot files, and
+the bucketed join's physical plan contains ZERO shuffle exchanges
+(all plan/byte-identity-gated in tests/test_datapipe31.py).
 """
 
 from __future__ import annotations
@@ -396,3 +397,140 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# -------------------------------------- A27 delete-vector compaction
+
+_COMPACT_THRESHOLD = 0.05  # rewrite files whose deleted_frac exceeds this
+
+
+def _compact_dirs(sf_dir: str) -> tuple[str, str]:
+    from cassowary_spark.tables import fixture_cache_dir
+
+    root = fixture_cache_dir(sf_dir, "eq_deletes", dep="documents")
+    return (
+        os.path.join(root, "compacted"),
+        os.path.join(root, "manifest_compacted"),
+    )
+
+
+def compact_eqdeletes(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Compact the equality-delete table (once, idempotent): files
+    whose deleted fraction exceeds the threshold are rewritten WITHOUT
+    their deleted rows; cold files are never touched. Publishes a
+    manifest of (surviving base files ∪ rewritten files) — after which
+    readers of the compacted view no longer need the delete-key
+    anti-join for the rewritten files. Returns (base_dir,
+    compacted_dir, manifest_dir).
+
+    This is the background maintenance job the `deleted_frac` metric
+    of q_equality_deletes exists to trigger: MoR makes deletes free
+    and reads pay; compaction moves the cost back off the read path
+    file-by-file, hottest first.
+    """
+    base, d1, d2 = ensure_eqdelete_lake(spark, sf_dir)
+    comp, man = _compact_dirs(sf_dir)
+    dels = (
+        spark.read.parquet(d1)
+        .unionByName(spark.read.parquet(d2))
+        .distinct()
+        .withColumn("__del", F.lit(True))
+    )
+    wf = spark.read.parquet(base).withColumn(
+        "file_name", F.col("_metadata.file_name")
+    )
+    flagged = wf.join(F.broadcast(dels), "doc_id", "left")
+    per_file = flagged.groupBy("file_name").agg(
+        (
+            F.sum(F.when(F.col("__del"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("frac")
+    )
+    hot = per_file.filter(F.col("frac") > _COMPACT_THRESHOLD).select("file_name")
+    if not os.path.exists(os.path.join(comp, "_SUCCESS")):
+        (
+            flagged.join(F.broadcast(hot), "file_name", "left_semi")
+            .filter(~F.coalesce(F.col("__del"), F.lit(False)))
+            .drop("file_name", "__del")
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(comp)
+        )
+    if not os.path.exists(os.path.join(man, "_SUCCESS")):
+        cold = per_file.filter(
+            F.col("frac") <= _COMPACT_THRESHOLD
+        ).select("file_name")
+        new = (
+            spark.read.parquet(comp)
+            .withColumn("file_name", F.col("_metadata.file_name"))
+            .select("file_name")
+            .distinct()
+        )
+        cold.unionByName(new).coalesce(1).write.mode("overwrite").parquet(man)
+    return base, comp, man
+
+
+@query(
+    "q_delete_compaction",
+    oracle=f"""
+    WITH flags AS (
+        SELECT source, n_chars,
+               (doc_id % {_DEL_MOD_1} = 0 OR doc_id % {_DEL_MOD_2} = 0)
+                   AS deleted
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_live,
+           CAST(sum(CASE WHEN NOT deleted THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_live
+    FROM flags GROUP BY 1
+    """,
+)
+def q_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete compaction (A27): the background job that
+    closes A26's merge-on-read loop. Files whose deleted fraction
+    exceeds {thr} are rewritten minus their deleted rows; cold files
+    survive untouched (byte-identity pytest-gated); a manifest of
+    (cold ∪ rewritten) files becomes the compacted view. Reading the
+    compacted view still applies the delete keys to the COLD files
+    only — identical live rows to the pre-compaction MoR read, which
+    is exactly what the oracle (and the equivalence pytest) check.
+
+    Scale shape: the per-file deleted_frac is one file-granular agg
+    over a broadcast-join-flagged scan (metadata-sized result); the
+    rewrite touches ONLY hot files' rows; manifest publication is one
+    tiny write. The read is (manifest-filtered scan) + anti-join
+    whose key set SHRINKS with every compaction — the steady state a
+    MoR table converges to. Zero driver-side collection.
+    """
+    base, comp, man = compact_eqdeletes(spark, sf_dir)
+    _, d1, d2 = _eqdel_dirs(sf_dir)
+    manifest = spark.read.parquet(man)
+    union = (
+        spark.read.parquet(base)
+        .withColumn("file_name", F.col("_metadata.file_name"))
+        .unionByName(
+            spark.read.parquet(comp).withColumn(
+                "file_name", F.col("_metadata.file_name")
+            )
+        )
+    )
+    live_files = union.join(F.broadcast(manifest), "file_name", "left_semi")
+    # delete keys still apply to the surviving COLD base files (their
+    # deleted rows were below the rewrite threshold and remain on disk)
+    dels = (
+        spark.read.parquet(d1)
+        .unionByName(spark.read.parquet(d2))
+        .distinct()
+    )
+    live = live_files.join(F.broadcast(dels), "doc_id", "left_anti")
+    return live.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.sum("n_chars").cast("long").alias("chars_live"),
+    )
+
+
+q_delete_compaction.__doc__ = q_delete_compaction.__doc__.format(
+    thr=_COMPACT_THRESHOLD
+)

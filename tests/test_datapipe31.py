@@ -174,3 +174,78 @@ class TestSourceJaccard:
         rows = QUERIES["q_source_jaccard"](spark, sf).collect()
         assert {(r.source_a, r.source_b) for r in rows} == {("srcA", "srcB")}
         assert rows[0].n_inter == 1 and abs(rows[0].jaccard - 1 / 3) < 1e-4
+
+
+class TestDeleteCompaction:
+    def test_cold_files_untouched_and_hot_rewritten(self, spark, sf_dir):
+        from cassowary_spark.queries.datapipe31 import (
+            _COMPACT_THRESHOLD,
+            _DEL_MOD_1,
+            _DEL_MOD_2,
+            compact_eqdeletes,
+        )
+
+        base, comp, man = compact_eqdeletes(spark, sf_dir)
+        sig = {
+            f: (os.path.getsize(os.path.join(base, f)),
+                os.stat(os.path.join(base, f)).st_mtime_ns)
+            for f in os.listdir(base)
+            if f.endswith(".parquet")
+        }
+        # compaction is a new-dir write: EVERY base file survives on
+        # disk byte-identical (time travel keeps working)
+        compact_eqdeletes(spark, sf_dir)
+        sig2 = {
+            f: (os.path.getsize(os.path.join(base, f)),
+                os.stat(os.path.join(base, f)).st_mtime_ns)
+            for f in os.listdir(base)
+            if f.endswith(".parquet")
+        }
+        assert sig == sig2
+        # the manifest partitions files: cold base files + rewrites,
+        # and no hot base file
+        manifest = {r.file_name for r in spark.read.parquet(man).collect()}
+        wf = spark.read.parquet(base).withColumn(
+            "file_name", F.col("_metadata.file_name")
+        )
+        deleted = (F.col("doc_id") % _DEL_MOD_1 == 0) | (
+            F.col("doc_id") % _DEL_MOD_2 == 0
+        )
+        fr = {
+            r.file_name: r.frac
+            for r in wf.groupBy("file_name")
+            .agg(
+                (
+                    F.sum(F.when(deleted, 1).otherwise(0)).cast("double")
+                    / F.count("*").cast("double")
+                ).alias("frac")
+            )
+            .collect()
+        }
+        hot = {f for f, v in fr.items() if v > _COMPACT_THRESHOLD}
+        cold = set(fr) - hot
+        assert hot, "fixture should produce at least one hot file"
+        assert cold <= manifest and not (hot & manifest)
+        # rewritten files hold zero deleted rows
+        assert (
+            spark.read.parquet(comp).filter(deleted).count() == 0
+        )
+
+    def test_compacted_read_equals_mor_read(self, spark, sf_dir):
+        from cassowary_spark.queries.datapipe31 import eqdelete_read
+
+        mor = {
+            (r.source, r.n_live, r.chars_live)
+            for r in eqdelete_read(spark, sf_dir, through_seq=2)
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_live"),
+                F.sum("n_chars").cast("long").alias("chars_live"),
+            )
+            .collect()
+        }
+        compacted = {
+            (r.source, r.n_live, r.chars_live)
+            for r in QUERIES["q_delete_compaction"](spark, sf_dir).collect()
+        }
+        assert mor == compacted
