@@ -118,7 +118,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM cell GROUP BY 1),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cell),
     terms AS (
-        SELECT source, cs,
+        SELECT source, lang, cs,
                {sql_srnd(
                    "CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)"
                    " * ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)"
@@ -128,7 +128,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN per_lang USING (lang) CROSS JOIN tot
     )
     SELECT source, CAST(max(cs) AS BIGINT) AS n_docs,
-           {sql_srnd("sum(term)", 6)} AS kl_nats
+           {sql_srnd("list_sum(list(term ORDER BY lang))", 6)} AS kl_nats
     FROM terms GROUP BY 1
     """,
 )
@@ -179,11 +179,21 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.join(F.broadcast(per_src), "source")
         .join(F.broadcast(per_lang), "lang")
         .crossJoin(F.broadcast(tot))
-        .select("source", "cs", term.alias("term"))
+        .select("source", "lang", "cs", term.alias("term"))
     )
+    # fixed-order fold (the C69 idiom): the ≤5 srnd8-quantized terms
+    # sum in LANG order on both engines — a plain sum() lets each
+    # engine's fold order differ by 1 ulp, which flips the srnd6
+    # boundary at sf0.1 (caught by the round-7 sf0.1 parity sweep)
     return terms.groupBy("source").agg(
         F.max("cs").cast("long").alias("n_docs"),
-        srnd(F.sum("term"), 6).alias("kl_nats"),
+        srnd(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(lang, term))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+            ),
+            6,
+        ).alias("kl_nats"),
     )
 
 
