@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.queries.tpch import _cents, _sql_cents
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table, table_path
 
@@ -136,12 +137,18 @@ def q_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_live"),
         F.sum("n_chars").cast("long").alias("chars_live"),
     )
-    return agg.join(F.broadcast(tot), "source").select(
+    # LEFT join FROM the base totals: a source whose every row is
+    # deleted has no live agg row but must still report n_live = 0
+    # (the oracle groups the full base; an inner join would drop it)
+    return tot.join(F.broadcast(agg), "source", "left").select(
         "source",
-        "n_live",
-        "chars_live",
+        F.coalesce(F.col("n_live"), F.lit(0).cast("long")).alias("n_live"),
+        F.coalesce(F.col("chars_live"), F.lit(0).cast("long")).alias(
+            "chars_live"
+        ),
         srnd(
-            (F.col("__n_total") - F.col("n_live")).cast("double")
+            (F.col("__n_total") - F.coalesce(F.col("n_live"), F.lit(0)))
+            .cast("double")
             / F.col("__n_total").cast("double"),
             6,
         ).alias("deleted_frac"),
@@ -243,11 +250,10 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bucket_join",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS cents_sum
+           CAST(sum({_sql_cents("l_extendedprice")}) AS BIGINT) AS cents_sum
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1
     """,
@@ -271,11 +277,7 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = bucketed_join(spark, sf_dir)
     return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").cast("long").alias("n_items"),
-        F.sum(
-            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
-                "long"
-            )
-        ).alias("cents_sum"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("cents_sum"),
     )
 
 
@@ -525,9 +527,19 @@ def q_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     live = live_files.join(F.broadcast(dels), "doc_id", "left_anti")
-    return live.groupBy("source").agg(
+    agg = live.groupBy("source").agg(
         F.count("*").cast("long").alias("n_live"),
         F.sum("n_chars").cast("long").alias("chars_live"),
+    )
+    # LEFT join FROM the base's source list: an all-deleted source
+    # must still report n_live = 0 (the oracle groups the full base)
+    sources = spark.read.parquet(base).select("source").distinct()
+    return sources.join(F.broadcast(agg), "source", "left").select(
+        "source",
+        F.coalesce(F.col("n_live"), F.lit(0).cast("long")).alias("n_live"),
+        F.coalesce(F.col("chars_live"), F.lit(0).cast("long")).alias(
+            "chars_live"
+        ),
     )
 
 

@@ -48,30 +48,52 @@ DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
 def _adjudicated_keys() -> set[str]:
-    """Keys with at least one recorded driver CORRECTNESS row.
+    """Keys with at least one SETTLED driver CORRECTNESS row.
 
     The CORRECTNESS_r*.json files are committed at the repo root
     (sibling of this package); reading them makes the window rotation
     SELF-MAINTAINING — each round the never-adjudicated backlog
     automatically shifts forward by however many keys the previous
     round's window covered, with no manual DRIVER_PRIORITY edit.
-    Failure-safe: unreadable/absent files contribute nothing.
+
+    "Settled" means the row actually confirmed the key: either a full
+    three-way pass (rows+schema+hash), or a rows-only record
+    (err == "no_oracle") for a key that STILL has no oracle — the
+    strongest check it can receive. A key whose only rows are
+    failures/errors, or whose rows-only record predates it gaining an
+    oracle (q_session_capped's history), re-enters the window
+    automatically — otherwise a key that FAILed once would be parked
+    behind the whole backlog exactly when it most needs
+    re-confirmation. Failure-safe: unreadable/absent files contribute
+    nothing.
     """
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    passed: set[str] = set()
+    rows_only: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
                 d = json.load(f)
-            if isinstance(d, dict):
-                seen.update(d.keys())
         except Exception:
             continue
-    return seen
+        if not isinstance(d, dict):
+            continue
+        for k, v in d.items():
+            if not isinstance(v, dict):
+                continue
+            if (
+                v.get("rows_match") is True
+                and v.get("schema_match") is True
+                and v.get("hash_match") is True
+            ):
+                passed.add(k)
+            elif v.get("err") == "no_oracle":
+                rows_only.add(k)
+    return passed | {k for k in rows_only if k not in ORACLES}
 
 
 def ordered(d: dict[str, "object"]) -> dict:

@@ -27,23 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    import duckdb
-
     import __spark_entry__ as e
-    from cassowary_spark.oracle import compare
+    from cassowary_spark.oracle import compare, duck_connection
     from cassowary_spark.session import get_spark
 
     spark = get_spark("parity_sweep", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
     q, o = e.queries(), e.oracle_sql()
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders "
-        "lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    # duck_connection registers every table in tables.TABLES — the one
+    # source of truth, so a future fixture table can't silently be
+    # missing from the sweep's views
+    con = duck_connection(sf_dir)
     keys = [k for k in q if k in o]
     fails: list[str] = []
     t0 = time.time()

@@ -94,6 +94,7 @@ class TestBucketJoin:
         assert "Bucketed: true" in plan
 
     def test_results_match_plain_join(self, spark, sf_dir):
+        from cassowary_spark.queries.tpch import _cents as _tpch_cents
         from cassowary_spark.tables import load_table
 
         got = {
@@ -109,11 +110,9 @@ class TestBucketJoin:
                 .groupBy(F.col("o_orderpriority").alias("priority"))
                 .agg(
                     F.count("*").cast("long").alias("n_items"),
-                    F.sum(
-                        F.floor(
-                            F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
-                        ).cast("long")
-                    ).alias("cents_sum"),
+                    F.sum(_tpch_cents(F.col("l_extendedprice"))).alias(
+                        "cents_sum"
+                    ),
                 )
                 .collect()
             )
@@ -224,7 +223,9 @@ class TestDeleteCompaction:
         }
         hot = {f for f, v in fr.items() if v > _COMPACT_THRESHOLD}
         cold = set(fr) - hot
-        assert hot, "fixture should produce at least one hot file"
+        # partition-agnostic: whatever the hash deal made hot/cold,
+        # the manifest must be exactly cold ∪ rewrites (the planted
+        # all-deleted test below exercises the guaranteed-hot path)
         assert cold <= manifest and not (hot & manifest)
         # rewritten files hold zero deleted rows
         assert (
@@ -249,3 +250,58 @@ class TestDeleteCompaction:
             for r in QUERIES["q_delete_compaction"](spark, sf_dir).collect()
         }
         assert mor == compacted
+
+
+class TestAllDeletedSource:
+    def _write_docs(self, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_all_deleted_source_reports_zero_and_hot_path(
+        self, spark, tmp_path
+    ):
+        from cassowary_spark.queries.datapipe31 import (
+            _DEL_MOD_1,
+            compact_eqdeletes,
+        )
+
+        # srcDead: every doc_id ≡ 0 (mod 53) → 100% deleted — every
+        # file holding its rows is hot REGARDLESS of partition layout,
+        # and the per-source report must still emit it with n_live=0
+        # (an inner join from the live agg would drop it).
+        # srcLive: no deletable ids.
+        sf = self._write_docs(
+            tmp_path,
+            [(_DEL_MOD_1 * i, f"dead doc {i}", "srcDead") for i in range(1, 9)]
+            + [(_DEL_MOD_1 * i + 1, f"live doc {i}", "srcLive") for i in range(1, 9)],
+        )
+        eq = {
+            r.source: (r.n_live, r.deleted_frac)
+            for r in QUERIES["q_equality_deletes"](spark, sf).collect()
+        }
+        assert eq["srcDead"] == (0, 1.0)
+        assert eq["srcLive"][0] == 8 and eq["srcLive"][1] == 0.0
+        comp_rows = {
+            r.source: r.n_live
+            for r in QUERIES["q_delete_compaction"](spark, sf).collect()
+        }
+        assert comp_rows == {"srcDead": 0, "srcLive": 8}
+        # the guaranteed-hot path actually rewrote: rewritten files
+        # contain no srcDead rows
+        _, comp, _ = compact_eqdeletes(spark, sf)
+        assert (
+            spark.read.parquet(comp).filter(F.col("source") == "srcDead").count()
+            == 0
+        )

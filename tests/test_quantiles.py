@@ -212,10 +212,11 @@ class TestOperatorProperties:
         # extremes land in the end buckets
         mn, mx = min(vals), max(vals)
         assert by_id[vals.index(mn)] == 1
-        if mx != mn:
-            # the max is above every threshold iff thresholds < max;
-            # with heavy ties the top bucket may absorb more, but the
-            # max can never land in bucket 1 when n distinct values
-            # exceed 1 and the sketch is exact-accuracy
-            if len(set(vals)) >= n:
-                assert by_id[vals.index(mx)] == n
+        # the max lands in bucket n only when it exceeds the top
+        # threshold — ties at the max can legitimately absorb the
+        # (n-1)/n quantile itself (e.g. [0] + [1]*19, n=2: the median
+        # IS the max, so max > threshold is false and everything tied
+        # at the max shares a lower bucket). Assert it only for
+        # all-distinct inputs, where thresholds sit strictly below.
+        if len(set(vals)) == len(vals) and mx != mn:
+            assert by_id[vals.index(mx)] == n
