@@ -546,3 +546,86 @@ def q_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_delete_compaction.__doc__ = q_delete_compaction.__doc__.format(
     thr=_COMPACT_THRESHOLD
 )
+
+
+# ------------------------------------------- C154 semantic dedup (SemDedup)
+
+_SEM_OFFSET = 100_000
+_SEM_TAU = 0.999
+_SEM_PLANES = 6
+_SEM_DIM = 64
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + {_SEM_OFFSET}, list_transform(v, x -> x * 1.01)
+        FROM base
+    )
+    SELECT a.vec_id AS survivor_id, b.vec_id AS dropped_id,
+           floor((list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5)
+               / 10000.0 AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= {_SEM_TAU}
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication (C154): drop all but one
+    of every embedding-near-identical group on UNLABELED data — the
+    Abbas et al. 2023 recipe for pretraining corpora, and the
+    production counterpart of C2's label-blocked q_dedup_embed (whose
+    docstring promises exactly this swap: "label → LSH bucket").
+    Each planted scale-twin (×1.01, cosine exactly 1) must be
+    reported as (survivor = original, dropped = twin).
+
+    The blocking is deterministic random-hyperplane LSH
+    (operators/similarity.hyperplane_bits): identical-DIRECTION
+    vectors land in the same bucket with probability 1 — no plane
+    can separate angle-0 pairs — so twin recall is structural, not
+    probabilistic. The oracle is the GLOBAL brute-force pair set
+    (no buckets), which makes this key a 100%-recall gate on the
+    bucketed path, the q_dedup_near_verified discipline: one twin
+    split across buckets fails the row count. The fixture margin is
+    wide (max non-twin cosine 0.60 across all sfs vs τ=0.999), so
+    the threshold compare is ulp-safe cross-engine.
+
+    Scale shape: bucketing is a row-local projection (6 sign bits,
+    ~64 buckets); the within-bucket pair scan is ONE BLAS gram
+    matrix per bucket via applyInPandas (never a corpus cartesian);
+    dropping is a pair-list anti-join. At 100 TB: more planes
+    (bucket width ~n/2^p) plus the IVF-centroid variant for recall
+    beyond exact-direction twins.
+    """
+    from cassowary_spark.operators.similarity import (
+        as_double,
+        cosine_pairs_blocked,
+        hyperplane_bits,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double("embedding").alias("v"))
+    twin = base.select(
+        (F.col("vec_id") + _SEM_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.01).alias("v"),
+    )
+    corpus = base.unionByName(twin).withColumn(
+        "bucket", hyperplane_bits(F.col("v"), _SEM_PLANES, _SEM_DIM)
+    )
+    pairs = cosine_pairs_blocked(
+        corpus, "vec_id", "v", "bucket", threshold=_SEM_TAU
+    )
+    return pairs.select(
+        F.col("id_a").alias("survivor_id"),
+        F.col("id_b").alias("dropped_id"),
+        srnd("cos_sim", 4).alias("cos_sim"),
+    )

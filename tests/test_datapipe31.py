@@ -305,3 +305,18 @@ class TestAllDeletedSource:
             spark.read.parquet(comp).filter(F.col("source") == "srcDead").count()
             == 0
         )
+
+
+class TestSemanticDedup:
+    def test_twins_dropped_survivors_original(self, spark, sf_dir):
+        from cassowary_spark.queries.datapipe31 import _SEM_OFFSET
+
+        rows = QUERIES["q_semantic_dedup"](spark, sf_dir).collect()
+        n_vecs = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        )
+        # exactly one (original, twin) pair per vector — full recall
+        assert len(rows) == n_vecs
+        for r in rows:
+            assert r.dropped_id == r.survivor_id + _SEM_OFFSET
+            assert abs(r.cos_sim - 1.0) < 1e-9
