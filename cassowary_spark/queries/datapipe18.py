@@ -152,7 +152,7 @@ def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(DISTINCT prio) AS BIGINT) AS nc
             FROM cells),
     terms AS (
-        SELECT {sql_srnd(
+        SELECT seg, prio, {sql_srnd(
             "(CAST(nij AS DOUBLE)"
             "  - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)"
             "    / CAST(n AS DOUBLE))"
@@ -170,7 +170,8 @@ def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                "sqrt(chi2 / (CAST(n AS DOUBLE)"
                "     * CAST(least(nr - 1, nc - 1) AS DOUBLE)))",
                6)} AS cramers_v
-    FROM (SELECT sum(term) AS chi2 FROM terms) CROSS JOIN tot
+    FROM (SELECT list_sum(list(term ORDER BY seg, prio)) AS chi2
+          FROM terms) CROSS JOIN tot
     """,
 )
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,15 +222,25 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cs), "prio")
         .crossJoin(F.broadcast(tot))
         .select(
+            "seg",
+            "prio",
             srnd(
                 (F.col("nij").cast("double") - expected)
                 * (F.col("nij").cast("double") - expected)
                 / expected,
                 8,
-            ).alias("term")
+            ).alias("term"),
         )
     )
-    chi2 = terms.agg(F.sum("term").alias("chi2"))
+    # fixed-order fold (the C69 idiom): sum the srnd8 terms in
+    # (seg, prio) order on both engines — plain sum()'s fold order
+    # can flip the srnd6 boundary by 1 ulp (the q_psi/q_kl class)
+    chi2 = terms.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(seg, prio, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        ).alias("chi2")
+    )
     return chi2.crossJoin(F.broadcast(tot)).select(
         "n",
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
@@ -382,7 +393,9 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per CROSS JOIN tot
     )
     SELECT prio, goods, bads, woe, iv_term,
-           {sql_srnd("(SELECT sum(iv_term) FROM w)", 6)} AS iv_total
+           {sql_srnd(
+               "(SELECT list_sum(list(iv_term ORDER BY prio)) FROM w)",
+               6)} AS iv_total
     FROM w
     """,
 )
@@ -426,7 +439,14 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         srnd(woe, 6).alias("woe"),
         srnd((gd / ggd - bd / bbd) * woe, 8).alias("iv_term"),
     )
-    iv = w.agg(F.sum("iv_term").alias("iv_sum"))
+    # fixed-order fold: sum the srnd8 IV terms in prio order on both
+    # engines (the q_psi/q_kl/q_chi_square 1-ulp boundary class)
+    iv = w.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(prio, iv_term))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.iv_term)"
+        ).alias("iv_sum")
+    )
     return w.crossJoin(F.broadcast(iv)).select(
         "prio",
         "goods",

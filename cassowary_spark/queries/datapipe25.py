@@ -47,7 +47,9 @@ _PSI_YEAR_A, _PSI_YEAR_B = 1996, 1997
         FROM binned CROSS JOIN tot
     )
     SELECT bin, ca, cb, term,
-           {sql_srnd("(SELECT sum(term) FROM terms)", 6)} AS psi_total
+           {sql_srnd(
+               "(SELECT list_sum(list(term ORDER BY bin)) FROM terms)",
+               6)} AS psi_total
     FROM terms
     """,
 )
@@ -117,7 +119,16 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = binned.crossJoin(F.broadcast(tot)).select(
         "bin", "ca", "cb", term.alias("term")
     )
-    total = terms.agg(F.sum("term").alias("t"))
+    # fixed-order fold (the C69 idiom): the srnd8-quantized terms sum
+    # in BIN order on both engines — a plain sum()'s fold order can
+    # differ by 1 ulp and flip the srnd6 boundary (hypothesis found
+    # the q_psi case; the sf0.1 sweep found the q_kl_divergence one)
+    total = terms.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(bin, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        ).alias("t")
+    )
     return terms.crossJoin(F.broadcast(total)).select(
         "bin",
         "ca",

@@ -260,7 +260,7 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT yr, CAST(sum(cents) AS BIGINT) AS t
             FROM rev GROUP BY 1),
     terms AS (
-        SELECT rev.yr,
+        SELECT rev.yr, rev.brand,
                {sql_srnd(
                    "(CAST(cents AS DOUBLE) / CAST(t AS DOUBLE))"
                    " * (CAST(cents AS DOUBLE) / CAST(t AS DOUBLE))",
@@ -268,8 +268,10 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev JOIN tot ON rev.yr = tot.yr
     )
     SELECT yr, CAST(count(*) AS BIGINT) AS n_brands,
-           {sql_srnd("sum(sh2)", 6)} AS hhi,
-           {sql_srnd("1.0 / sum(sh2)", 6)} AS effective_n
+           {sql_srnd("list_sum(list(sh2 ORDER BY brand))", 6)} AS hhi,
+           {sql_srnd(
+               "1.0 / list_sum(list(sh2 ORDER BY brand))",
+               6)} AS effective_n
     FROM terms GROUP BY 1
     """,
 )
@@ -304,10 +306,16 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.groupBy("yr").agg(F.sum("cents").cast("long").alias("t"))
     share = F.col("cents").cast("double") / F.col("t").cast("double")
     terms = rev.join(F.broadcast(tot), "yr").select(
-        "yr", srnd(share * share, 8).alias("sh2")
+        "yr", "brand", srnd(share * share, 8).alias("sh2")
+    )
+    # fixed-order fold: sum the srnd8 share² terms in brand order on
+    # both engines (the q_psi/q_kl/q_chi_square 1-ulp boundary class)
+    fold = F.expr(
+        "aggregate(array_sort(collect_list(struct(brand, sh2))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sh2)"
     )
     return terms.groupBy("yr").agg(
         F.count("*").cast("long").alias("n_brands"),
-        srnd(F.sum("sh2"), 6).alias("hhi"),
-        srnd(1.0 / F.sum("sh2"), 6).alias("effective_n"),
+        srnd(fold, 6).alias("hhi"),
+        srnd(1.0 / fold, 6).alias("effective_n"),
     )
