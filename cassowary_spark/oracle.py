@@ -66,7 +66,30 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def compare(spark_df, oracle: str, con: duckdb.DuckDBPyConnection, name: str = "?") -> None:
-    """Assert the Spark result and the DuckDB oracle result match."""
+    """Assert the Spark result and the DuckDB oracle result match.
+
+    Oracle-gated queries must emit ATOMIC columns only: the external
+    driver's canonicalizer sorts raw result columns with pandas, and a
+    list/struct/map cell is unsortable there (``unhashable type:
+    'list'`` — the r7 adjudication failure on q_inverted_index /
+    q_matryoshka / q_postings_delta). Our local ``_norm_cell`` happily
+    tuples lists, which is exactly why local parity GREEN + driver RED
+    was possible; this guard makes the local gate as strict as the
+    driver's. Array-shaped results should ship as comma-joined
+    strings (integer-quantized for floats) on both engines.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nonatomic = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nonatomic, (
+        f"{name}: non-atomic output columns {nonatomic} — the driver's "
+        "canonicalizer cannot sort list/struct cells; emit comma-joined "
+        "strings instead"
+    )
     sdf = spark_df.toPandas()
     odf = con.execute(oracle).df()
     assert sorted(sdf.columns) == sorted(odf.columns), (

@@ -88,7 +88,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK_SQL}))
     SELECT term,
-           list_sort(list(doc_id)) AS postings,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
            CAST(count(*) AS INT) AS df
     FROM tok GROUP BY term
     """,
@@ -105,14 +105,28 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production layout shards postings by ``doc_id`` range (same
     groupBy with a range-bucket in the key); single-row postings keep
     the oracle exact here.
+
+    Output encoding: postings ship as a comma-joined string, not an
+    ARRAY — the driver's canonicalizer sorts raw result columns with
+    pandas and cannot order list cells (r7 adjudication error), so
+    oracle-gated queries must emit atomic columns only (enforced by
+    ``oracle.compare``). The join order is the sorted doc_id order on
+    both engines, so the string is deterministic.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).distinct()
-    return tok.groupBy("term").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    idx = tok.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("__p"),
         F.count("*").cast("int").alias("df"),
+    )
+    return idx.select(
+        "term",
+        F.expr("array_join(transform(__p, x -> CAST(x AS STRING)), ',')").alias(
+            "postings"
+        ),
+        "df",
     )
 
 

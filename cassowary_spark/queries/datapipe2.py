@@ -552,8 +552,9 @@ _MAT_DIM = 16
     )
     SELECT vec_id,
            {sql_srnd("nrm", 6)} AS norm16,
-           list_transform(v, x -> floor(x / nrm * 1000000.0 + 0.5)
-                                  / 1000000.0) AS vec16
+           array_to_string(list_transform(v,
+               x -> CAST(CAST(floor(x / nrm * 1000000.0 + 0.5) AS BIGINT)
+                         AS VARCHAR)), ',') AS vec16
     FROM n WHERE nrm > 0
     """,
 )
@@ -565,11 +566,17 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the slice is positional; the norm is a fixed-order
     positional fold over doubles (``aggregate`` / ``list_sum`` — same
-    IEEE sequence both engines); every output component is srnd(6)
-    after the division. Zero-norm prefixes are excluded on both sides
-    (division guard). Scale shape: entirely row-local JVM/array ops —
-    ZERO shuffle, runs at scan throughput, output partitioning
-    inherits the scan's.
+    IEEE sequence both engines); every output component is quantized
+    to integer micro-units (floor(x/nrm*1e6+0.5)) after the division.
+    Zero-norm prefixes are excluded on both sides (division guard).
+    Scale shape: entirely row-local JVM/array ops — ZERO shuffle, runs
+    at scan throughput, output partitioning inherits the scan's.
+
+    Output encoding: vec16 ships as a comma-joined string of int64
+    micro-unit components, not an ARRAY — the driver's canonicalizer
+    cannot order list cells (r7 adjudication error); atomic output
+    columns are enforced by ``oracle.compare``. Integer rendering is
+    engine-stable (no float-format divergence).
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = F.expr(
@@ -589,7 +596,8 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         srnd(F.col("__nrm"), 6).alias("norm16"),
         F.expr(
-            "transform(__v, x -> floor(x / __nrm * 1000000.0D + 0.5D)"
-            " / 1000000.0D)"
+            "array_join(transform(__v, x ->"
+            " CAST(CAST(floor(x / __nrm * 1000000.0D + 0.5D) AS BIGINT)"
+            " AS STRING)), ',')"
         ).alias("vec16"),
     )

@@ -179,9 +179,10 @@ _POST_MIN_DF = 10
     )
     SELECT term,
            CAST(len(postings) AS BIGINT) AS df,
-           list_transform(range(1, len(postings) + 1),
-               i -> CASE WHEN i = 1 THEN postings[1]
-                         ELSE postings[i] - postings[i - 1] END) AS deltas
+           array_to_string(list_transform(range(1, len(postings) + 1),
+               i -> CAST(CASE WHEN i = 1 THEN postings[1]
+                         ELSE postings[i] - postings[i - 1] END AS VARCHAR)),
+               ',') AS deltas
     FROM p WHERE len(postings) >= {_POST_MIN_DF}
     """,
 )
@@ -198,6 +199,12 @@ def q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-sorted array — no window, no self-join, exact int64
     arithmetic end-to-end. Shuffle size is vocabulary x df, i.e. the
     index size, not the corpus size.
+
+    Output encoding: deltas ship as a comma-joined string of int64
+    gaps, not an ARRAY — the driver's canonicalizer cannot order list
+    cells (r7 adjudication error); atomic output columns are enforced
+    by ``oracle.compare``. Gap order is positional, deterministic on
+    both engines.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
@@ -212,8 +219,9 @@ def q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.size("postings").cast("long").alias("df"),
             F.expr(
-                "transform(postings, (x, i) ->"
-                " IF(i = 0, x, x - element_at(postings, i)))"
+                "array_join(transform(postings, (x, i) ->"
+                " CAST(IF(i = 0, x, x - element_at(postings, i)) AS STRING)),"
+                " ',')"
             ).alias("deltas"),
         )
     )

@@ -276,11 +276,14 @@ def test_matryoshka_truncates_and_renormalizes(spark, tmp_path):
         ).collect()
     }
     assert set(out) == {1, 3}
+    # vec16 ships as comma-joined int64 micro-units (driver-safe
+    # atomic encoding); parse back to doubles for the math checks
+    vec = {k: [int(t) / 1e6 for t in r["vec16"].split(",")] for k, r in out.items()}
     assert out[1]["norm16"] == pytest.approx(5.0)
-    assert out[1]["vec16"][:2] == [0.6, 0.8]
-    assert len(out[1]["vec16"]) == 16
+    assert vec[1][:2] == [0.6, 0.8]
+    assert len(vec[1]) == 16
     assert out[3]["norm16"] == pytest.approx(4.0)
-    for r in out.values():
-        unit = sum(x * x for x in r["vec16"])
+    for v in vec.values():
+        unit = sum(x * x for x in v)
         assert unit == pytest.approx(1.0, abs=1e-4)
-    assert math.isclose(sum(out[3]["vec16"]), 4.0, rel_tol=1e-4)
+    assert math.isclose(sum(vec[3]), 4.0, rel_tol=1e-4)

@@ -98,14 +98,15 @@ class TestPostingsDelta:
             for r in d.groupBy("term").agg(F.collect_set("doc_id").alias("ids")).collect()
         }
         for r in rows:
+            gaps = [int(t) for t in r["deltas"].split(",")]
             acc, rebuilt = 0, []
-            for g in r["deltas"]:
+            for g in gaps:
                 acc += g
                 rebuilt.append(acc)
             assert rebuilt == truth[r["term"]], r["term"]
             assert r["df"] == len(rebuilt)
             # gaps after the first must be positive (strictly sorted ids)
-            assert all(g > 0 for g in r["deltas"][1:])
+            assert all(g > 0 for g in gaps[1:])
 
 
 class TestPqEncode:

@@ -98,7 +98,7 @@ def test_postings_delta_rebuilds_for_random_id_sets(
             continue
         r = rows[term]
         acc, rebuilt = 0, []
-        for gap in r["deltas"]:
+        for gap in (int(t) for t in r["deltas"].split(",")):
             acc += gap
             rebuilt.append(acc)
         assert rebuilt == sorted(set(g))
