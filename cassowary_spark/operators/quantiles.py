@@ -47,6 +47,19 @@ def with_approx_ntiles(
     value lands in exactly one bucket, NULL metrics yield NULL
     buckets (ntile would rank them; callers that keep NULLs should
     filter or coalesce first, and the fixtures never produce them).
+
+    SKIPPED BUCKET IDS UNDER HEAVY TIES: when more than 1/n of the
+    mass sits at a single value, percentile_approx returns that value
+    for SEVERAL consecutive thresholds, and the strictly-greater count
+    then jumps past the duplicated positions — e.g. with thresholds
+    [5, 5, 5, 9] the occupied buckets are {1, 4, 5}; ids 2 and 3 are
+    EMPTY, never emitted. Tied rows stay together (the documented
+    divergence from ntile's positional split), but consumers that
+    assume contiguous 1..n labels — RFM segment strings, decile
+    charts, per-bucket joins against a literal 1..n frame — must
+    treat bucket ids as a SUBSET of 1..n, not a partition into
+    exactly n parts. Pinned by
+    tests/test_quantiles.py::test_heavy_ties_skip_bucket_ids.
     """
     if not specs:
         raise ValueError("with_approx_ntiles: empty spec list")

@@ -31,10 +31,16 @@ def _cents(col: Column) -> Column:
 
     ASSUMES NON-NEGATIVE AMOUNTS: floor(x*100 + 0.5) is round-half-UP
     for positive x but rounds half-DOWN for negative x (-1.005 →
-    -101). Every TPC-H money column on the fixtures is ≥ 0 and both
-    engines share this exact op sequence so parity holds regardless —
-    but a fixture with negative money (refunds, adjustments) needs a
-    sign-symmetric form first, e.g. sign(x)*floor(abs(x)*100 + 0.5).
+    -101). Note raw ``c_acctbal`` IS negative on the fixtures — Q22
+    applies _cents only AFTER filtering to balances above the positive
+    average, so every value actually reaching _cents is > 0; the other
+    call sites are price/quantity expressions that are structurally
+    ≥ 0. Both engines share this exact op sequence so cross-engine
+    parity holds regardless of sign — the assumption guards the
+    ROUNDING CONVENTION, not parity. It is pinned loudly by
+    tests/test_money_guards.py (fails if a future fixture feeds
+    negative money into a _cents site); a fixture with refunds needs
+    the sign-symmetric form sign(x)*floor(abs(x)*100 + 0.5) first.
     """
     return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
 

@@ -47,7 +47,56 @@ ORACLES: dict[str, str] = {}
 DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
-def _adjudicated_keys() -> set[str]:
+def source_hash(name: str) -> str:
+    """Hash of a registered query's CURRENT implementation: function
+    source + oracle SQL. Module-level constants the function reads are
+    not captured — an acceptable approximation; edits overwhelmingly
+    touch the function body or the oracle string."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(QUERIES[name])
+    except (OSError, TypeError):  # builtins / exec'd code: fall back
+        src = repr(QUERIES[name])
+    return hashlib.sha256(
+        (src + "\x00" + ORACLES.get(name, "")).encode()
+    ).hexdigest()[:16]
+
+
+def _stale_keys(settled: set[str], snapshot: dict | None = None) -> set[str]:
+    """Settled keys whose implementation changed since adjudication.
+
+    ADJUDICATED_SNAPSHOT.json (regenerated each round by
+    scripts/gen_adjudicated_snapshot.py) records the source hash each
+    settled key had when its green row was earned. A differing current
+    hash means the green row vouches for code that no longer exists —
+    the key must re-enter the window. Keys settled but absent from the
+    snapshot are NOT stale (failure-safe: a missing/unregenerated
+    snapshot must not churn the whole window).
+    """
+    import json
+    import os
+
+    if snapshot is not None:
+        snap: object = snapshot
+    else:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            with open(os.path.join(root, "ADJUDICATED_SNAPSHOT.json")) as f:
+                snap = json.load(f)
+        except Exception:
+            return set()
+    if not isinstance(snap, dict):
+        return set()
+    return {
+        k
+        for k in settled
+        if k in snap and k in QUERIES and source_hash(k) != snap[k]
+    }
+
+
+def _settled_keys() -> set[str]:
     """Keys with at least one SETTLED driver CORRECTNESS row.
 
     The CORRECTNESS_r*.json files are committed at the repo root
@@ -94,6 +143,14 @@ def _adjudicated_keys() -> set[str]:
             elif v.get("err") == "no_oracle":
                 rows_only.add(k)
     return passed | {k for k in rows_only if k not in ORACLES}
+
+
+def _adjudicated_keys() -> set[str]:
+    """Settled keys whose green row still vouches for the current
+    code: ``_settled_keys()`` minus ``_stale_keys`` (keys edited since
+    their adjudication re-enter the window automatically)."""
+    settled = _settled_keys()
+    return settled - _stale_keys(settled)
 
 
 def ordered(d: dict[str, "object"]) -> dict:

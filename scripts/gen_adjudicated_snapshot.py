@@ -1,0 +1,103 @@
+"""Regenerate ADJUDICATED_SNAPSHOT.json — the staleness ledger for the
+self-rotating driver window.
+
+A driver CORRECTNESS row settles a key *as implemented at that time*.
+If the query (or its oracle) is edited later, the old green row no
+longer vouches for the new code, but the key would still be parked
+behind the full never-adjudicated backlog. This ledger records, for
+every SETTLED key, the source hash (function source + oracle SQL) the
+key had when its latest green row was earned;
+``registry._stale_keys`` treats a settled key whose CURRENT hash
+differs as un-adjudicated, so edited keys automatically re-enter the
+front of the next round's window — no manual DRIVER_PRIORITY edit.
+
+Run ONCE per round, at ROUND START (right after the driver's new
+CORRECTNESS_r*.json lands, BEFORE editing queries):
+
+    python scripts/gen_adjudicated_snapshot.py
+
+Lifecycle rule: a key whose newest settled row is from the LATEST
+round file was adjudicated against the ship commit we are now sitting
+on → its hash is refreshed to the current source. A key last settled
+in an older round keeps its recorded hash (editing it later this
+round flips it stale and requeues it; once the driver re-confirms,
+the next round-start run refreshes the hash and it settles again).
+Keys no longer settled are dropped. ``--rebless`` forces ALL hashes
+to current (only for deliberately accepting un-readjudicated edits —
+normally never needed).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cassowary_spark import registry  # noqa: E402
+
+
+def settled_rounds() -> dict[str, int]:
+    """key -> newest round number with a SETTLED row (same settled
+    definition as registry._settled_keys: 3-way pass, or no_oracle for
+    keys that still have no oracle)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(d, dict):
+            continue
+        for k, v in d.items():
+            if not isinstance(v, dict):
+                continue
+            ok = (
+                v.get("rows_match") is True
+                and v.get("schema_match") is True
+                and v.get("hash_match") is True
+            ) or (v.get("err") == "no_oracle" and k not in registry.ORACLES)
+            if ok:
+                out[k] = max(out.get(k, 0), rnd)
+    return out
+
+
+def main() -> None:
+    rebless = "--rebless" in sys.argv
+    registry.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "ADJUDICATED_SNAPSHOT.json")
+    try:
+        with open(path) as f:
+            old = json.load(f)
+    except Exception:
+        old = {}
+    rounds = settled_rounds()
+    latest = max(rounds.values(), default=0)
+    out: dict[str, str] = {}
+    for k, rnd in sorted(rounds.items()):
+        if k not in registry.QUERIES:
+            continue
+        cur = registry.source_hash(k)
+        fresh = rebless or rnd == latest or k not in old
+        out[k] = cur if fresh else old[k]
+    with open(path, "w") as f:
+        json.dump(out, f, indent=0, sort_keys=True)
+        f.write("\n")
+    stale = sorted(k for k, h in out.items() if registry.source_hash(k) != h)
+    print(f"snapshot: {len(out)} settled keys (latest round r{latest}) -> {path}")
+    if stale:
+        print(f"STALE (will re-enter window): {stale}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,28 @@ class TestOperator:
         with pytest.raises(ValueError, match="n must be"):
             with_approx_ntiles(df, [("b", "id", 1)])
 
+    def test_heavy_ties_skip_bucket_ids(self, spark):
+        """Documented divergence from ntile (ADVICE r7): when >1/n of
+        the mass ties at one value, percentile_approx duplicates that
+        threshold and the strictly-greater count SKIPS the duplicated
+        bucket ids — occupied ids are a subset of 1..n, not a
+        contiguous partition. 70% of mass at 5 with n=5 → thresholds
+        [5,5,5,9] → buckets {1,4,5}; 2 and 3 are empty."""
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        df = spark.range(100).select(
+            "id",
+            F.when(F.col("id") < 70, 5)
+            .when(F.col("id") < 90, 9)
+            .otherwise(12)
+            .alias("v"),
+        )
+        out = with_approx_ntiles(df, [("b", "v", 5)], accuracy=100_000)
+        sizes = {r.b: r.c for r in out.groupBy("b").agg(F.count("*").alias("c")).collect()}
+        assert sizes == {1: 70, 4: 20, 5: 10}  # ids 2, 3 skipped
+        # tied rows never split across buckets
+        assert out.select("v", "b").distinct().count() == 3
+
 
 class TestQueryAgreement:
     def test_rfm_approx_agrees(self, spark, sf_dir):
