@@ -53,6 +53,7 @@ _MODULES = (
     "datapipe29",
     "datapipe30",
     "datapipe31",
+    "datapipe32",
 )
 
 _loaded = False
