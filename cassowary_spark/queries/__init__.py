@@ -54,6 +54,7 @@ _MODULES = (
     "datapipe30",
     "datapipe31",
     "datapipe32",
+    "datapipe33",
 )
 
 _loaded = False
