@@ -39,7 +39,7 @@ HEADLINE_QUERIES: tuple[str, ...] = (
     "q_sim_search", "q_ann_ivfpq_planted",
     "q_text_stats", "q_tfidf", "q_bm25",
     "q_shortest_path", "q_theil_sen", "q_bootstrap_ci",
-    "q_corpus_pipeline_e2e",
+    "q_corpus_pipeline_e2e", "q_freq_itemsets", "q_hard_negatives",
 )
 
 

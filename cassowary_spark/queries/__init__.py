@@ -56,6 +56,7 @@ _MODULES = (
     "datapipe32",
     "datapipe33",
     "datapipe34",
+    "datapipe35",
 )
 
 _loaded = False
