@@ -57,6 +57,7 @@ _MODULES = (
     "datapipe33",
     "datapipe34",
     "datapipe35",
+    "datapipe36",
 )
 
 _loaded = False
