@@ -58,6 +58,7 @@ _MODULES = (
     "datapipe34",
     "datapipe35",
     "datapipe36",
+    "datapipe37",
 )
 
 _loaded = False
