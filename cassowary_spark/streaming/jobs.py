@@ -518,3 +518,44 @@ def resumable_ingest(spark: SparkSession, src_dir: str, schema: str) -> DataFram
     and sink files atomically with respect to each other.
     """
     return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def dp_type_counts(events: DataFrame) -> DataFrame:
+    """S17: differentially-private streaming counter release — the
+    running per-event-type counts pushed through the SAME
+    discrete-Laplace mechanism as the batch release (C156
+    `q_dp_counts`): noise is a pure integer staircase lookup seeded
+    by the group key's md5, so EVERY micro-batch re-emission of a
+    key's count carries the SAME noise draw. That is the
+    noise-reuse posture a continual-observation release needs —
+    re-publishing an updated count must not spend fresh privacy
+    budget on the noise each trigger, and consumers diffing two
+    releases see only the true increment plus a constant.
+
+    Complete-output-mode unwindowed agg: state is one row per event
+    type (bounded by type cardinality); the noise projection is
+    row-local over that tiny state. The planted test proves the
+    final streaming release equals the batch mechanism output
+    bit-for-bit, and that the noise matches the pure-Python
+    staircase reference.
+    """
+    from cassowary_spark.queries.datapipe32 import _DP_K, _DP_TS
+
+    g = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10
+    ).cast("long")
+    arr = "array(" + ",".join(f"{t}L" for t in _DP_TS) + ")"
+    noise = F.expr(
+        f"-{_DP_K} + aggregate({arr}, 0,"
+        " (acc, t) -> acc + IF(u32 >= t, 1, 0))"
+    )
+    return (
+        g.withColumn("u32", u32)
+        .withColumn("noise", noise.cast("int"))
+        .select(
+            "event_type",
+            "noise",
+            (F.col("n") + F.col("noise")).cast("long").alias("dp_n"),
+        )
+    )

@@ -593,3 +593,37 @@ def test_stream_stream_semi_join_emits_once(spark, tmp_path):
     view_ids = [r.view_id for r in got]
     assert view_ids.count(1) == 1, view_ids  # cross-batch double click: once
     assert 4 not in view_ids, view_ids  # unclicked view: never
+
+
+def test_dp_release_stream_equals_batch_with_reused_noise(
+    spark, sf_dir, events_stream_dir
+):
+    """S17: the streaming DP release's FINAL state must equal the
+    batch mechanism applied to the full table, and each key's noise
+    must match the pure-Python staircase reference — proving the
+    noise is a deterministic function of the key (noise reuse), not
+    a per-trigger draw."""
+    import hashlib
+
+    from cassowary_spark.queries.datapipe32 import _DP_K, _DP_TS
+
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = {
+        r.event_type: r
+        for r in _drain(
+            spark, jobs.dp_type_counts(stream), "t_dp_release", "complete"
+        ).collect()
+    }
+    true_n = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(true_n)
+    for et, r in got.items():
+        u32 = int(hashlib.md5(et.encode()).hexdigest()[:8], 16)
+        expect_noise = -_DP_K + sum(1 for t in _DP_TS if u32 >= t)
+        assert r.noise == expect_noise, et
+        assert r.dp_n == true_n[et] + expect_noise, et
