@@ -216,10 +216,23 @@ _DP_TS = _dp_thresholds()
     """,
 )
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private group counts (C156): per-(lang, source)
-    document counts released through the discrete-Laplace (two-sided
-    geometric) mechanism at epsilon=1 — the privacy layer a pipeline
-    puts in front of corpus-statistics dashboards.
+    """Discrete-Laplace noisy group counts (C156): per-(lang, source)
+    document counts passed through the discrete-Laplace (two-sided
+    geometric) mechanism's noise SHAPE — the release-surface pattern a
+    pipeline puts in front of corpus-statistics dashboards.
+
+    PRIVACY CAVEAT (this is a mechanism-shape/parity demo, NOT a DP
+    guarantee): the noise here is seeded from the md5 of the PUBLIC
+    group key, so anyone can recompute and subtract it — epsilon is
+    effectively infinite. The deterministic seed is a harness
+    requirement (the DuckDB oracle must reproduce the identical
+    release); a production deployment obtains the claimed epsilon=1 by
+    fixing the draw with a SECRET — HMAC(secret_salt, group_key) in
+    place of md5(group_key) — which keeps the noise-reuse posture
+    (stable across re-publishes, so repeated queries don't average the
+    noise away) while making the draw unpredictable to consumers. The
+    Spark/DuckDB plumbing is identical either way; only the seed's key
+    material changes.
 
     Engine-exact noise without transcendentals: the mechanism's
     inverse CDF is a STAIRCASE, so its thresholds are compile-time
@@ -229,22 +242,24 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 hex prefix of the group key: pure integer compares, no
     ln/exp in either engine, no srnd boundary risk (the established
     hex-threshold idiom from q_bootstrap_ci, here yielding a VALUE
-    instead of a compare). Hash-seeded noise makes the release
-    deterministic per group key — rerun/engine/cluster-stable, which
-    a production release pipeline wants anyway (re-publishing must
-    not leak fresh noise draws; fixed noise per release key is the
-    standard "noise reuse" posture).
+    instead of a compare). A NULL lang/source NULL-propagates through
+    F.concat exactly like the oracle's ``||`` (u32 NULL → noise -K on
+    both engines).
 
     Scale shape: one map-side-combining groupBy on (lang, source);
     the noise is a row-local expression over the tiny group frame.
-    NOTE: the true count column is withheld from the output (only
-    noise and dp_n ship) — mirroring a real DP release surface.
+    The true count column is withheld from the output (only noise and
+    dp_n ship) — mirroring the release-surface shape, though with a
+    public seed that withholding is cosmetic, per the caveat above.
     """
     d = load_table(spark, sf_dir, "documents")
     g = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    # F.concat (NOT concat_ws): it NULL-propagates exactly like the
+    # oracle's `||`, so a NULL lang/source hashes to NULL (noise -K)
+    # in BOTH engines instead of silently diverging (ADVICE r8).
     u32 = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))), 1, 8
+            F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))), 1, 8
         ),
         16,
         10,

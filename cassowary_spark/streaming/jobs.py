@@ -521,16 +521,22 @@ def resumable_ingest(spark: SparkSession, src_dir: str, schema: str) -> DataFram
 
 
 def dp_type_counts(events: DataFrame) -> DataFrame:
-    """S17: differentially-private streaming counter release — the
-    running per-event-type counts pushed through the SAME
-    discrete-Laplace mechanism as the batch release (C156
-    `q_dp_counts`): noise is a pure integer staircase lookup seeded
-    by the group key's md5, so EVERY micro-batch re-emission of a
-    key's count carries the SAME noise draw. That is the
-    noise-reuse posture a continual-observation release needs —
-    re-publishing an updated count must not spend fresh privacy
-    budget on the noise each trigger, and consumers diffing two
-    releases see only the true increment plus a constant.
+    """S17: noisy streaming counter release (mechanism shape; NO
+    privacy guarantee) — the running per-event-type counts pushed
+    through the SAME discrete-Laplace noise shape as the batch
+    release (C156 `q_dp_counts`): noise is a pure integer staircase
+    lookup seeded by the group key's md5, so EVERY micro-batch
+    re-emission of a key's count carries the SAME noise draw. That
+    determinism demonstrates the noise-reuse posture a
+    continual-observation release needs — re-publishing an updated
+    count must not draw fresh noise each trigger, and consumers
+    diffing two releases see only the true increment plus a
+    constant. PRIVACY CAVEAT (per C156): the seed is the PUBLIC
+    group key, so the noise is recomputable and this release leaks
+    the exact counts; production keys the draw with a secret salt —
+    HMAC(secret, key) — to obtain a real epsilon with identical
+    plumbing. The public-md5 seed here is a harness requirement
+    (tests must reproduce the release bit-for-bit).
 
     Complete-output-mode unwindowed agg: state is one row per event
     type (bounded by type cardinality); the noise projection is

@@ -71,6 +71,57 @@ def settled_rounds() -> dict[str, int]:
     return out
 
 
+def _ship_commit(root: str, latest: int) -> str | None:
+    """The commit the latest-round keys were adjudicated against: the
+    first parent of the commit that ADDED CORRECTNESS_r{latest}.json
+    (the driver commits the artifacts on top of the round's final
+    builder commit)."""
+    import subprocess
+
+    try:
+        add = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "-1",
+             "--", f"CORRECTNESS_r{latest:02d}.json"],
+            cwd=root, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if not add:
+            return None
+        return subprocess.run(
+            ["git", "rev-parse", f"{add}^"],
+            cwd=root, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return None
+
+
+def _edited_since(root: str, commit: str) -> set[str]:
+    """Repo-relative source paths that differ between ``commit`` and
+    the WORKING TREE (committed edits since the ship commit AND
+    uncommitted edits both count)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", commit, "--",
+             "cassowary_spark", "__spark_entry__.py"],
+            cwd=root, capture_output=True, text=True, check=True,
+        ).stdout
+        return {line.strip() for line in out.splitlines() if line.strip()}
+    except Exception:
+        return set()
+
+
+def _key_file(root: str, key: str) -> str | None:
+    """Repo-relative source file defining a registered query fn."""
+    import inspect
+
+    try:
+        f = inspect.getsourcefile(registry.QUERIES[key])
+        return os.path.relpath(f, root) if f else None
+    except (OSError, TypeError):
+        return None
+
+
 def main() -> None:
     rebless = "--rebless" in sys.argv
     registry.load_all()
@@ -81,20 +132,40 @@ def main() -> None:
             old = json.load(f)
     except Exception:
         old = {}
+    old.pop("__meta__", None)
     rounds = settled_rounds()
     latest = max(rounds.values(), default=0)
+    # Latest-round keys get their hash refreshed to the CURRENT source
+    # — but only if their defining file is untouched since the ship
+    # commit. If the script runs late (after this round already edited
+    # a latest-round-settled query), blessing the current hash would
+    # silently record the unadjudicated edit as adjudicated (ADVICE
+    # r8). Such keys keep their old hash (if any) or are left stale.
+    ship = _ship_commit(root, latest)
+    edited = _edited_since(root, ship) if ship else set()
+    suspect: list[str] = []
     out: dict[str, str] = {}
     for k, rnd in sorted(rounds.items()):
         if k not in registry.QUERIES:
             continue
         cur = registry.source_hash(k)
-        fresh = rebless or rnd == latest or k not in old
+        fresh = rebless or k not in old or (
+            rnd == latest and (_key_file(root, k) or "") not in edited
+        )
+        if rnd == latest and not rebless and (_key_file(root, k) or "") in edited:
+            suspect.append(k)
         out[k] = cur if fresh else old[k]
+    meta = {"latest_round": latest, "ship_commit": ship or "unknown"}
     with open(path, "w") as f:
-        json.dump(out, f, indent=0, sort_keys=True)
+        json.dump({**out, "__meta__": meta}, f, indent=0, sort_keys=True)
         f.write("\n")
     stale = sorted(k for k, h in out.items() if registry.source_hash(k) != h)
-    print(f"snapshot: {len(out)} settled keys (latest round r{latest}) -> {path}")
+    print(f"snapshot: {len(out)} settled keys (latest round r{latest},"
+          f" ship commit {ship or 'unknown'}) -> {path}")
+    if suspect:
+        print(f"WARNING: latest-round keys whose source file changed since"
+              f" the ship commit — NOT re-blessed (kept prior hash or"
+              f" left stale): {suspect}")
     if stale:
         print(f"STALE (will re-enter window): {stale}")
 

@@ -1,5 +1,5 @@
-"""Planted gates for wave 34: q_freq_itemsets (C153), q_dp_counts
-(C154), q_embedding_drift (C155)."""
+"""Planted gates for wave 34: q_freq_itemsets (C155), q_dp_counts
+(C156), q_embedding_drift (C157)."""
 
 from __future__ import annotations
 
@@ -16,7 +16,7 @@ from cassowary_spark.registry import QUERIES
 registry.load_all()
 
 
-# ------------------------------------------------------- C153 fixtures
+# ------------------------------------------------------- C155 fixtures
 
 
 def _write_baskets(tmp_path, baskets):
@@ -85,7 +85,7 @@ class TestFreqItemsets:
                     assert r.n_baskets <= pair_n[sub], (r.items, sub)
 
 
-# ------------------------------------------------------- C154 DP counts
+# ------------------------------------------------------- C156 DP counts
 
 
 def _dp_noise_ref(key: str) -> int:
@@ -113,6 +113,45 @@ class TestDpCounts:
             assert abs(r.noise) <= _DP_K
             assert r.dp_n == true_n[(r.lang, r.source)] + r.noise
 
+    def test_null_key_parity_with_oracle(self, spark, tmp_path):
+        """A NULL lang/source must hash identically on both engines:
+        Spark F.concat NULL-propagates like DuckDB's ||, so u32 is
+        NULL and noise clamps to -K on BOTH sides (ADVICE r8 — the
+        old concat_ws silently skipped NULLs and diverged)."""
+        import duckdb as _duck
+
+        from cassowary_spark.queries.datapipe32 import _DP_K
+        from cassowary_spark.registry import ORACLES
+
+        doc = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "lang": pa.array(["en", None, "en", None], pa.string()),
+                "source": pa.array(["web", "web", "web", None], pa.string()),
+            }
+        )
+        pq.write_table(doc, str(tmp_path / "documents.parquet"))
+        nkey = lambda t: (t[0] or "", t[1] or "", t[2], t[3])  # noqa: E731
+        srows = sorted(
+            (
+                (r.lang, r.source, r.noise, r.dp_n)
+                for r in QUERIES["q_dp_counts"](spark, str(tmp_path)).collect()
+            ),
+            key=nkey,
+        )
+        con = _duck.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        orows = sorted(
+            (tuple(t) for t in con.execute(ORACLES["q_dp_counts"]).fetchall()),
+            key=nkey,
+        )
+        assert srows == orows
+        null_groups = [r for r in srows if r[0] is None or r[1] is None]
+        assert null_groups and all(r[2] == -_DP_K for r in null_groups)
+
     def test_staircase_is_monotone_and_covers_tails(self):
         from cassowary_spark.queries.datapipe32 import _DP_K, _DP_TS
 
@@ -138,7 +177,7 @@ class TestDpCounts:
         assert 0.5 * true_var < var < 1.5 * true_var
 
 
-# ------------------------------------------------------- C155 drift
+# ------------------------------------------------------- C157 drift
 
 
 def _write_corpus(tmp_path, vecs):
