@@ -74,15 +74,21 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max degree, min-id tiebreak) and the edge set are
     deterministic.
 
-    Scale shape: edge-gen is C127's bounded-basket equi-join; the
-    hub selection is one degree partial-agg + a 1-row TakeOrdered;
-    each
+    Scale shape: edge-gen is C127's bounded-basket equi-join; hub
+    selection and the graph's node COUNT come out of ONE degree
+    aggregation (min over struct(-d, node) picks the hub, count(*)
+    the order — a single 1-row reduce, no TakeOrdered sort); each
     BFS round joins only the CURRENT FRONTIER to the adjacency list
     (each edge traversed at most twice across all rounds) and
     anti-joins the last TWO frontiers — sufficient dedup on an
     undirected graph, so every broadcast is frontier-bounded, never
     O(settled); the driver sees a 1-row emptiness probe per round,
     never node data. Rounds are bounded by the min(diameter, 20).
+    The unreachable remainder is NOT a separate nodes-anti-join job:
+    BFS settles each node exactly once, so a single rollup over the
+    settled set yields the per-distance histogram AND the reached
+    total in one shuffle, and unreached = n_nodes - reached is a
+    row-local subtraction on the grand-total row.
     """
     from cassowary_spark.operators.graph import bfs_distances
 
@@ -104,29 +110,37 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(F.col("x").alias("node")).unionAll(
         edges.select(F.col("y").alias("node"))
     )
-    hub = (
+    # ONE job yields both the hub (max degree, min-id tiebreak: min
+    # over struct(-d, node)) and the node count — replacing the old
+    # TakeOrdered hub job plus a later nodes-distinct anti-join.
+    deg_row = (
         sym.groupBy("node")
         .agg(F.count("*").alias("d"))
-        .orderBy(F.col("d").desc(), F.col("node"))
-        .limit(1)
-        .collect()[0][0]
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min(
+                F.struct((-F.col("d")).alias("nd"), F.col("node").alias("v"))
+            ).alias("h"),
+        )
+        .collect()[0]
     )
+    hub, n_nodes = deg_row["h"]["v"], deg_row["n_nodes"]
     dist = bfs_distances(
         edges, "x", "y", source=hub, max_hops=_SP_MAX_HOPS
     )
-    nodes = (
-        edges.select(F.col("x").alias("node"))
-        .union(edges.select(F.col("y").alias("node")))
-        .distinct()
-    )
-    hist = dist.groupBy("dist").agg(
-        F.count("*").cast("long").alias("n_parts")
-    )
-    unreach = (
-        nodes.join(dist, "node", "left_anti")
-        .agg(
-            F.lit(-1).cast("int").alias("dist"),
-            F.count("*").cast("long").alias("n_parts"),
+    # rollup = per-distance counts + a grand-total row (dist NULL) in
+    # one shuffle; the NULL row becomes the unreachable bucket. BFS
+    # settles each node once, so reached = the grand total and
+    # unreached = n_nodes - reached (always emitted, 0 included —
+    # matching the oracle's ungrouped count over the anti set).
+    return (
+        dist.rollup("dist")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("dist"),
+            F.when(F.col("dist").isNull(), F.lit(n_nodes) - F.col("c"))
+            .otherwise(F.col("c"))
+            .cast("long")
+            .alias("n_parts"),
         )
     )
-    return hist.unionByName(unreach)
