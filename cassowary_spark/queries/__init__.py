@@ -55,6 +55,7 @@ _MODULES = (
     "datapipe31",
     "datapipe32",
     "datapipe33",
+    "datapipe33",
     "datapipe34",
     "datapipe35",
     "datapipe36",
