@@ -55,11 +55,12 @@ _MODULES = (
     "datapipe31",
     "datapipe32",
     "datapipe33",
-    "datapipe33",
     "datapipe34",
     "datapipe35",
     "datapipe36",
     "datapipe37",
+    "datapipe38",
+    "datapipe39",
 )
 
 _loaded = False

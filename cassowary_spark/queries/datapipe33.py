@@ -1,13 +1,7 @@
-"""Round-9 wave 40 (SURVEY.md §2): rank correlation (Spearman, C168),
-symmetric distribution distance (Jensen-Shannon, C169), embedding
-dimension health (dead-dim variance profile, C170), off-policy value
-estimation (inverse-propensity scoring, C171), per-source exact-dup
-audit (C172), and CCNet-style perplexity bucketing (C173).
-
-All six follow the established determinism contract: exact integer
-accumulation wherever a sum is unordered, srnd quantization BEFORE any
-compare/rank on a float, and fixed-order (C69) folds for any sum over
-already-quantized float terms.
+"""Round-8 wave 35 (SURVEY.md §2): split-conformal prediction
+intervals (C158) and stratified k-fold assignment with one-pass
+out-of-fold statistics (C159) — the model-evaluation plumbing a
+training pipeline runs between dataset assembly and metric reporting.
 """
 
 from __future__ import annotations
@@ -19,600 +13,238 @@ from cassowary_spark.exprs import sql_srnd, srnd
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
-# ------------------------------------ C168 Spearman rank correlation
+# --------------------------------------- C158 split-conformal interval
 
-# n_tokens proxy: spaces + 1 — pure string arithmetic, identical on
-# both engines (no regex dialect risk), monotone enough in the real
-# token count for a rank statistic.
-_SP_NTOK = "length(text) - length(replace(text, ' ', '')) + 1"
+_CF_ALPHA_PCT = 10  # 90% target coverage
+
+
+def _u32_sql(key: str) -> str:
+    return f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+def _u32_col(key) -> F.Column:
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
 
 
 @query(
-    "q_spearman_corr",
+    "q_conformal_interval",
     oracle=f"""
-    WITH m AS (
-        SELECT doc_id, lang,
-               CAST(n_chars AS BIGINT) AS x,
-               CAST({_SP_NTOK} AS BIGINT) AS y
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               {_u32_sql("doc_id")} % 10 AS b
         FROM documents
     ),
-    r AS (
+    pred AS (
         SELECT lang,
-               2 * rank() OVER (PARTITION BY lang ORDER BY x)
-                 + count(*) OVER (PARTITION BY lang, x) - 1 AS u,
-               2 * rank() OVER (PARTITION BY lang ORDER BY y)
-                 + count(*) OVER (PARTITION BY lang, y) - 1 AS v
-        FROM m
+               CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT)
+                   AS pred_micro
+        FROM d WHERE b <= 6 GROUP BY lang
     ),
-    s AS (
-        SELECT lang, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(u) AS BIGINT) AS su,
-               CAST(sum(v) AS BIGINT) AS sv,
-               CAST(sum(u * v) AS BIGINT) AS suv,
-               CAST(sum(u * u) AS BIGINT) AS suu,
-               CAST(sum(v * v) AS BIGINT) AS svv
-        FROM r GROUP BY lang
+    cal AS (
+        SELECT d.lang,
+               abs(d.n_chars * 1000000 - p.pred_micro) AS r
+        FROM d JOIN pred p ON p.lang = d.lang
+        WHERE d.b IN (7, 8)
+    ),
+    kq AS (
+        SELECT lang, count(*) AS n_cal,
+               CAST(least(ceil((count(*) + 1) * (100 - {_CF_ALPHA_PCT})
+                          / 100.0), count(*)) AS BIGINT) AS kth
+        FROM cal GROUP BY lang
+    ),
+    qhat AS (
+        SELECT c.lang, kq.n_cal, c.r AS q_hat
+        FROM (SELECT lang, r,
+                     row_number() OVER (PARTITION BY lang ORDER BY r) AS rn
+              FROM cal) c
+        JOIN kq ON kq.lang = c.lang AND c.rn = kq.kth
     )
-    SELECT lang, n,
+    SELECT q.lang,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(q.q_hat AS BIGINT) AS q_hat_micro,
+           CAST(count(*) AS BIGINT) AS n_test,
            {sql_srnd(
-               "(CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)"
-               " - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))"
-               " / nullif(sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)"
-               "               - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))"
-               "          * sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)"
-               "                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)),"
-               " 0.0)",
-               6)} AS spearman_rho
-    FROM s
+               "CAST(sum(CASE WHEN abs(d.n_chars * 1000000 - p.pred_micro)"
+               " <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / CAST(count(*) AS DOUBLE)", 4)} AS coverage
+    FROM d JOIN pred p ON p.lang = d.lang
+    JOIN qhat q ON q.lang = d.lang
+    WHERE d.b = 9
+    GROUP BY q.lang, q.n_cal, q.q_hat
     """,
 )
-def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation (C168): per-language ρ between
-    document length in chars and the whitespace token count — the
-    nonparametric monotone-association screen (does length track
-    token count the same way in every language, or is one lang's
-    content structurally different?). Completes the association
-    battery: Pearson-style slopes (C140 Theil-Sen is the robust
-    line), χ²/Cramér's V (categorical), MI (C131), and now a
-    rank-based coefficient robust to any monotone transform.
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (C158): per-lang 90%
+    intervals around a group-mean predictor of document length, with
+    EMPIRICAL test coverage — the distribution-free uncertainty
+    wrapper (Vovk; Lei et al.) a pipeline fits after any point
+    predictor. Three hash splits (train 70 / calibration 20 / test
+    10, md5-bucketed like C94): the predictor fits on train, q_hat is
+    the ceil((n+1)(1-α))-th smallest absolute calibration residual
+    (the finite-sample-valid conformal quantile, clamped to n), and
+    coverage is the fraction of test docs inside pred ± q_hat.
 
-    Determinism: ties get AVERAGE ranks via the exact integer
-    identity 2·ar = 2·min_rank + tie_count − 1 (rank() is value-
-    determined, so row order can't move it), and ρ is Pearson over
-    those integer doubled-ranks — five exact BIGINT sums per lang,
-    then ONE fixed float expression per group, srnd6-quantized.
-    No float accumulates anywhere.
+    Determinism: the predictor is an exact integer floor-division
+    (micro-units; Spark ``div`` = DuckDB ``//`` on non-negative
+    sums), residuals are exact integers, q_hat is an ORDER STATISTIC
+    of integers (row_number = k — ties in r give the same r value, so
+    no tiebreak column is needed for the VALUE), and coverage is an
+    integer-compare ratio srnd4-quantized once.
 
-    Scale shape: ranks come from two per-lang windows over the
-    (doc, x, y) projection — the same lang-keyed shuffle serves
-    both rank() calls and the tie counts; the reduction is a
-    map-side-combining groupBy to |langs| rows. At 100 TB the
-    per-lang sort is the cost (range-partitioned, same class as
-    B26 ORDER BY); the whale lang dominates but stays a sort, not
-    a join.
+    Scale shape: split tags are row-local md5 predicates; the
+    predictor and the k-table are tiny per-lang aggs joined by
+    broadcast; the order statistic is a lang-partitioned window (one
+    shuffle of the 20% calibration slice — at 100 TB replace with
+    approx_percentile on the residuals, the documented approx
+    evolution, trading finite-sample exactness for a sketch bound);
+    the coverage pass is one filtered agg over the 10% test slice.
     """
-    d = load_table(spark, sf_dir, "documents")
-    m = d.select(
-        "lang",
-        F.col("n_chars").cast("long").alias("x"),
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            + 1
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("b", _u32_col(F.col("doc_id")) % 10)
+        .persist()  # tagged once; train/cal/test slices reuse it
+    )
+    pred = (
+        d.filter(F.col("b") <= 6)
+        .groupBy("lang")
+        .agg(
+            F.expr("(sum(n_chars) * 1000000) div count(*)")
+            .cast("long")
+            .alias("pred_micro")
         )
-        .cast("long")
-        .alias("y"),
     )
-    wx = Window.partitionBy("lang").orderBy("x")
-    wy = Window.partitionBy("lang").orderBy("y")
-    r = m.select(
-        "lang",
-        (
-            2 * F.rank().over(wx)
-            + F.count("*").over(Window.partitionBy("lang", "x"))
-            - 1
-        ).alias("u"),
-        (
-            2 * F.rank().over(wy)
-            + F.count("*").over(Window.partitionBy("lang", "y"))
-            - 1
-        ).alias("v"),
-    )
-    s = r.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("u").cast("long").alias("su"),
-        F.sum("v").cast("long").alias("sv"),
-        F.sum(F.col("u") * F.col("v")).cast("long").alias("suv"),
-        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
-    )
-    num = F.col("n").cast("double") * F.col("suv").cast("double") - F.col(
-        "su"
-    ).cast("double") * F.col("sv").cast("double")
-    den = F.sqrt(
-        F.col("n").cast("double") * F.col("suu").cast("double")
-        - F.col("su").cast("double") * F.col("su").cast("double")
-    ) * F.sqrt(
-        F.col("n").cast("double") * F.col("svv").cast("double")
-        - F.col("sv").cast("double") * F.col("sv").cast("double")
-    )
-    return s.select(
-        "lang",
-        "n",
-        srnd(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho"),
-    )
-
-
-# --------------------------- C169 Jensen-Shannon divergence by source
-
-
-@query(
-    "q_js_divergence",
-    oracle=f"""
-    WITH cell AS (
-        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
-        FROM documents GROUP BY 1, 2
-    ),
-    per_src AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs
-                FROM cell GROUP BY 1),
-    per_lang AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl
-                 FROM cell GROUP BY 1),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cell),
-    grid AS (
-        SELECT s.source, s.cs, l.lang, l.cl, coalesce(cell.c, 0) AS c
-        FROM per_src s CROSS JOIN per_lang l
-        LEFT JOIN cell ON cell.source = s.source AND cell.lang = l.lang
-    ),
-    terms AS (
-        SELECT source, lang, cs,
-               {sql_srnd(
-                   "0.5 * (CASE WHEN c > 0 THEN"
-                   "  CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)"
-                   "  * ln((CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))"
-                   "       / (0.5 * (CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)"
-                   "                 + CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE))))"
-                   " ELSE 0.0 END"
-                   " + CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE)"
-                   "  * ln((CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE))"
-                   "       / (0.5 * (CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)"
-                   "                 + CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE)))))",
-                   8)} AS term
-        FROM grid CROSS JOIN tot
-    )
-    SELECT source, CAST(max(cs) AS BIGINT) AS n_docs,
-           {sql_srnd("list_sum(list(term ORDER BY lang))", 6)} AS js_nats
-    FROM terms GROUP BY 1
-    """,
-)
-def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jensen-Shannon divergence of the language mix (C169):
-    JSD(P_source ‖ Q_corpus) = ½·KL(P‖M) + ½·KL(Q‖M) with
-    M = (P+Q)/2 — the SYMMETRIC, bounded (≤ ln 2) companion to
-    C136's KL, and the metric of choice when neither distribution
-    is the privileged "truth" (cross-source corpus comparisons,
-    tokenizer-mix drift dashboards; √JSD is a true metric).
-
-    Unlike KL, the q-side term q·ln(q/m) contributes even where the
-    source has ZERO docs in a language (m = q/2 → the term is
-    q·ln 2), so the term grid is the FULL |sources|×|langs| cross of
-    the marginals with absent cells coalesced to c = 0 — both
-    engines materialize identical grids; the p-side term takes the
-    p→0 limit (0) on those cells.
-
-    Determinism: every probability is a ratio of exact BIGINT
-    counts; each grid cell's term is one fixed IEEE sequence
-    srnd8-quantized, and the per-source sum is the C69 fixed-order
-    fold over lang. Scale shape: one (source × lang)-bounded partial
-    agg reused by both marginals (persisted); the grid is
-    marginal-sized (≤ a few hundred rows at any corpus size), so
-    everything after the single corpus scan is arithmetic on tiny
-    broadcast frames.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    cell = (
-        d.groupBy("source", "lang")
-        .agg(F.count("*").cast("long").alias("c"))
-        .persist()  # <=100 cells; both marginals reuse one scan
-    )
-    per_src = cell.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
-    per_lang = cell.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
-    tot = cell.agg(F.sum("c").cast("long").alias("nn"))
-    grid = (
-        per_src.crossJoin(F.broadcast(per_lang))
-        .join(F.broadcast(cell), ["source", "lang"], "left")
+    cal = (
+        d.filter(F.col("b").isin(7, 8))
+        .join(F.broadcast(pred), "lang")
         .select(
-            "source",
             "lang",
-            "cs",
-            "cl",
-            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            F.abs(
+                F.col("n_chars") * F.lit(1000000) - F.col("pred_micro")
+            ).alias("r"),
         )
     )
-    p = F.col("c").cast("double") / F.col("cs").cast("double")
-    q = F.col("cl").cast("double") / F.col("nn").cast("double")
-    m = 0.5 * (p + q)
-    term = srnd(
-        0.5
-        * (
-            F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
-            + q * F.log(q / m)
-        ),
-        8,
-    )
-    terms = grid.crossJoin(F.broadcast(tot)).select(
-        "source", "lang", "cs", term.alias("term")
-    )
-    # C69 fixed-order fold: the srnd8-quantized terms sum in lang
-    # order on both engines (plain sum() risks a 1-ulp fold flip at
-    # an srnd6 boundary — the q_kl_divergence lesson)
-    return terms.groupBy("source").agg(
-        F.max("cs").cast("long").alias("n_docs"),
-        srnd(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(lang, term))),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+    kq = cal.groupBy("lang").agg(
+        F.count("*").alias("n_cal"),
+        F.least(
+            F.ceil(
+                (F.count("*") + 1) * F.lit(100 - _CF_ALPHA_PCT) / F.lit(100.0)
             ),
-            6,
-        ).alias("js_nats"),
-    )
-
-
-# ------------------------------- C170 embedding dimension variance
-
-_DV_Q = 1_000_000.0  # micro-unit quantization (C157's idiom)
-_DV_DEAD = 1e-4  # variance floor below which a dimension is "dead"
-# Oracle fragments precomputed so the f-string stays flat
-_DV_MEAN_SQL = f"CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * {_DV_Q})"
-_DV_VAR_SQL = (
-    f"CAST(sqq AS DOUBLE) / (CAST(n AS DOUBLE) * {_DV_Q} * {_DV_Q})"
-    f" - ({_DV_MEAN_SQL}) * ({_DV_MEAN_SQL})"
-)
-
-
-@query(
-    "q_dim_variance",
-    oracle=f"""
-    WITH comp AS (
-        SELECT i AS dim,
-               CAST(floor(CAST(embedding[i] AS DOUBLE) * {_DV_Q} + 0.5)
-                    AS BIGINT) AS q
-        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
-    ),
-    s AS (
-        SELECT dim, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(q) AS BIGINT) AS sq,
-               CAST(sum(q * q) AS BIGINT) AS sqq
-        FROM comp GROUP BY dim
-    )
-    SELECT CAST(dim AS INT) AS dim, n,
-           {sql_srnd(_DV_MEAN_SQL, 6)} AS mean,
-           {sql_srnd(_DV_VAR_SQL, 8)} AS variance,
-           CAST(CASE WHEN {sql_srnd(_DV_VAR_SQL, 8)} < {_DV_DEAD}
-               THEN 1 ELSE 0 END AS INT) AS is_dead
-    FROM s
-    """,
-)
-def q_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding dimension health (C170): per-dimension mean and
-    population variance across the whole embedding table, with a
-    dead-dimension flag (variance < 1e-4) — the model-ops audit that
-    catches collapsed/unused dimensions after a bad training run or
-    a truncation bug (complements C150 matryoshka truncation and
-    C66's norm QA, which look at rows; this looks at columns).
-
-    Determinism: components quantize to integer micro-units BEFORE
-    any sum (the C157 idiom), so Σq and Σq² are exact BIGINTs under
-    any partitioning; mean/variance are then single fixed float
-    expressions per dimension — variance is srnd8-quantized and the
-    dead flag compares the QUANTIZED value, so a 1-ulp difference
-    cannot flip the flag.
-
-    Scale shape: posexplode to (dim, q) pairs that partial-agg
-    map-side down to |dims| rows before the one shuffle — the
-    classic column-profile reduction; no joins, corpus scanned once.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    comp = e.select(
-        F.posexplode("embedding").alias("dim0", "x")
-    ).select(
-        (F.col("dim0") + 1).alias("dim"),
-        F.floor(F.col("x").cast("double") * _DV_Q + 0.5)
+            F.count("*"),
+        )
         .cast("long")
-        .alias("q"),
+        .alias("kth"),
     )
-    s = comp.groupBy("dim").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("q").cast("long").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    rn = cal.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("r"))
     )
-    mean = F.col("sq").cast("double") / (F.col("n").cast("double") * _DV_Q)
-    var = srnd(
-        F.col("sqq").cast("double") / (F.col("n").cast("double") * _DV_Q * _DV_Q)
-        - mean * mean,
-        8,
+    qhat = (
+        rn.join(F.broadcast(kq), "lang")
+        .filter(F.col("rn") == F.col("kth"))
+        .select("lang", "n_cal", F.col("r").alias("q_hat"))
     )
-    return s.select(
-        F.col("dim").cast("int").alias("dim"),
-        "n",
-        srnd(mean, 6).alias("mean"),
-        var.alias("variance"),
-        F.when(var < _DV_DEAD, 1).otherwise(0).cast("int").alias("is_dead"),
+    test = (
+        d.filter(F.col("b") == 9)
+        .join(F.broadcast(pred), "lang")
+        .join(F.broadcast(qhat), "lang")
+    )
+    covered = F.when(
+        F.abs(F.col("n_chars") * F.lit(1000000) - F.col("pred_micro"))
+        <= F.col("q_hat"),
+        1,
+    ).otherwise(0)
+    return (
+        test.groupBy("lang", "n_cal", "q_hat")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(covered).alias("n_cov"),
+        )
+        .select(
+            "lang",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("q_hat").cast("long").alias("q_hat_micro"),
+            "n_test",
+            srnd(
+                F.col("n_cov").cast("double") / F.col("n_test").cast("double"),
+                4,
+            ).alias("coverage"),
+        )
     )
 
 
-# --------------------------- C171 inverse-propensity policy estimate
+# --------------------------------------- C159 stratified k-fold + OOF
+
+_KF_FOLDS = 5
 
 
 @query(
-    "q_ips_estimate",
+    "q_stratified_kfold",
     oracle=f"""
-    WITH acts AS (
-        SELECT event_type, CAST(cnt AS BIGINT) AS c,
-               CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS idx,
-               CAST(count(*) OVER () AS BIGINT) AS k
-        FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1) g
-    ),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM acts),
-    matched AS (
-        SELECT e.event_type,
-               CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS r_cents
-        FROM events e JOIN acts a ON a.event_type = e.event_type
-        WHERE 1 + (CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8)
-                        AS BIGINT) % a.k) = a.idx
+    WITH d AS (
+        SELECT lang, n_chars,
+               {_u32_sql("doc_id")} % {_KF_FOLDS} AS fold
+        FROM documents
     ),
     per AS (
-        SELECT a.event_type, a.c,
-               CAST(coalesce(sum(m.r_cents), 0) AS BIGINT) AS s_cents,
-               CAST(count(m.event_type) AS BIGINT) AS n_match
-        FROM acts a LEFT JOIN matched m ON m.event_type = a.event_type
-        GROUP BY a.event_type, a.c
+        SELECT fold, lang, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS s
+        FROM d GROUP BY fold, lang
     ),
-    folded AS (
-        SELECT CAST(sum(n_match) AS BIGINT) AS n_matched,
-               list_sum(list(
-                   {sql_srnd(
-                       "CAST(s_cents AS DOUBLE)"
-                       " / (100.0 * CAST(c AS DOUBLE))", 8)}
-                   ORDER BY event_type)) AS v
-        FROM per
+    tot AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(s) AS BIGINT) AS ss
+        FROM per GROUP BY lang
     )
-    SELECT (SELECT nn FROM tot) AS n_events, n_matched,
-           {sql_srnd("v", 6)} AS ips_value
-    FROM folded
-    """,
-)
-def q_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverse-propensity off-policy estimate (C171): the value of a
-    deterministic target policy π (each user is assigned one action
-    by hashing their id over the action vocabulary) evaluated from
-    LOGGED events only — V̂_IPS = (1/N)·Σ 1{a_i = π(u_i)}·r_i/p̂(a_i)
-    with the logging propensity p̂(a) taken as the empirical action
-    frequency. The counterfactual-evaluation primitive behind every
-    "would the new ranking policy have done better" question asked
-    of interaction logs (reward = event value in cents).
-
-    The estimator reduces exactly: (1/N)·(N/c_a) = 1/c_a, so
-    V̂ = Σ_a S_a/(100·c_a) where S_a is the matched-reward cents sum
-    for action a — each S_a an exact BIGINT, each term one division
-    srnd8-quantized, and the ≤|actions| terms folded in action order
-    (the C69 idiom). The policy hash is the established md5-hex-u32
-    (identical in both engines); matching is a row-local predicate.
-
-    Scale shape: the action frame (propensities + policy indices) is
-    a |actions|-row broadcast; the log is scanned ONCE with the
-    match predicate evaluated row-local, then partial-aggs to
-    |actions| rows. No corpus-sized shuffle at all.
-    """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "value"
-    )
-    acts = (
-        ev.groupBy("event_type")
-        .agg(F.count("*").cast("long").alias("c"))
-        .select(
-            "event_type",
-            "c",
-            F.row_number()
-            .over(Window.orderBy("event_type"))
-            .cast("long")
-            .alias("idx"),
-        )
-        .withColumn("k", F.count("*").over(Window.partitionBy()).cast("long"))
-        .persist()  # |actions| rows; broadcast to the scan + reused below
-    )
-    tot = acts.agg(F.sum("c").cast("long").alias("nn"))
-    u32 = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    matched = (
-        ev.join(F.broadcast(acts), "event_type")
-        .filter(1 + (u32 % F.col("k")) == F.col("idx"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
-            .cast("long")
-            .alias("s_cents"),
-            F.count("*").cast("long").alias("n_match"),
-        )
-    )
-    per = (
-        acts.join(F.broadcast(matched), "event_type", "left")
-        .select(
-            "event_type",
-            "c",
-            F.coalesce(F.col("s_cents"), F.lit(0)).cast("long").alias("s_cents"),
-            F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
-        )
-    )
-    term = srnd(
-        F.col("s_cents").cast("double") / (100.0 * F.col("c").cast("double")),
-        8,
-    )
-    folded = per.select(
-        "event_type", "n_match", term.alias("term")
-    ).agg(
-        F.sum("n_match").cast("long").alias("n_matched"),
-        srnd(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(event_type, term))),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
-            ),
-            6,
-        ).alias("ips_value"),
-    )
-    return folded.crossJoin(F.broadcast(tot)).select(
-        F.col("nn").alias("n_events"), "n_matched", "ips_value"
-    )
-
-
-# ------------------------------- C172 per-source exact-dup rate audit
-
-
-@query(
-    "q_dup_rate_by_source",
-    oracle=f"""
-    WITH h AS (
-        SELECT source, md5(text) AS hh FROM documents
-    ),
-    marked AS (
-        SELECT source,
-               CASE WHEN count(*) OVER (PARTITION BY hh) > 1
-                    THEN 1 ELSE 0 END AS is_dup
-        FROM h
-    )
-    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+    SELECT CAST(p.fold AS INT) AS fold, p.lang,
+           CAST(p.n AS BIGINT) AS n,
            {sql_srnd(
-               "CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
-               6)} AS dup_rate
-    FROM marked GROUP BY source
+               "CAST(p.n AS DOUBLE) / CAST(t.nn AS DOUBLE)", 6)} AS frac,
+           {sql_srnd(
+               "CAST(t.ss - p.s AS DOUBLE) / CAST(t.nn - p.n AS DOUBLE)",
+               6)} AS oof_mean_chars
+    FROM per p JOIN tot t ON t.lang = p.lang
     """,
 )
-def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source exact-duplicate rate (C172): for each source, the
-    count and share of documents whose exact text occurs more than
-    once ANYWHERE in the corpus — the ingest-quality audit that
-    attributes duplication to its origin (C6's dedup removes dups;
-    this says WHO ships them, the number a crawl operator acts on).
-    Cross-source duplicates count against every source holding a
-    copy, by design — a mirror site and its origin both get flagged.
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold audit with one-pass out-of-fold means
+    (C159): deterministic md5 fold assignment (append-stable, the C94
+    split discipline generalized to k folds), per-(fold, stratum)
+    balance fractions, and each fold's OUT-OF-FOLD mean document
+    length — the target-encoding / CV-baseline statistic.
 
-    Determinism: membership is an exact md5-equality property (no
-    thresholds), counts are integers, the one ratio divides exact
-    BIGINTs and srnd6-quantizes.
-
-    Scale shape: ONE hash-keyed shuffle (the window count over
-    md5(text) groups — hashes, never text, move) followed by a
-    map-side-combining groupBy on source. At 100 TB the hash frame
-    is the dedup family's standard working set; no joins.
+    The scale trick: OOF statistics for ALL k folds come from ONE
+    pass — per-(fold, lang) integer sums roll up to per-lang totals,
+    and fold f's out-of-fold mean is (total − fold_f) / (N − n_f),
+    exact integer subtraction before the single srnd6 division. A
+    naive implementation re-aggregates the complement k times (k
+    corpus scans); this is the leave-one-out identity that makes
+    k-fold target encoding feasible at 100 TB. Fold assignment is
+    row-local; the only shuffle is the (fold × stratum)-keyed partial
+    agg, and the totals join is broadcast-size.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", F.md5("text").alias("hh")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars", _u32_col(F.col("doc_id")).alias("u"))
+        .withColumn("fold", F.col("u") % _KF_FOLDS)
     )
-    marked = d.select(
-        "source",
-        F.when(
-            F.count("*").over(Window.partitionBy("hh")) > 1, 1
-        ).otherwise(0).alias("is_dup"),
+    per = d.groupBy("fold", "lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
     )
-    return marked.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("is_dup").cast("long").alias("n_dup_docs"),
-        srnd(
-            F.sum("is_dup").cast("double") / F.count("*").cast("double"), 6
-        ).alias("dup_rate"),
+    tot = per.groupBy("lang").agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ss")
     )
-
-
-# ------------------------------ C173 perplexity buckets (CCNet-style)
-
-_PB_N = 3  # head / middle / tail
-
-
-@query(
-    "q_perplexity_buckets",
-    oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-    sc AS (
-        SELECT doc_id, tf,
-               sum(tf) OVER (PARTITION BY term) AS cnt_t,
-               sum(tf) OVER () AS tot
-        FROM tf
-    ),
-    lp AS (
-        SELECT doc_id,
-               {sql_srnd(
-                   "ln(sum(tf * cnt_t) / (sum(tf) * max(tot)))", 6)} AS lp
-        FROM sc GROUP BY doc_id
-    ),
-    cut AS (
-        SELECT d.lang, ntile({_PB_N}) OVER (ORDER BY lp.lp DESC, lp.doc_id)
-                   AS bucket,
-               lp.lp
-        FROM lp JOIN documents d ON d.doc_id = lp.doc_id
-    )
-    SELECT lang, CAST(bucket AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           {sql_srnd("min(lp)", 6)} AS lp_min,
-           {sql_srnd("max(lp)", 6)} AS lp_max
-    FROM cut GROUP BY lang, bucket
-    """,
-)
-def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity bucketing (C173): score every document
-    with C29's unigram-LM log-probability, cut the corpus into
-    head/middle/tail terciles by score (bucket 1 = most
-    stereotypical text, 3 = rarest), and report each language's doc
-    count and score range per bucket — the curriculum/quality
-    banding a pretraining pipeline uses to mix "clean" head data
-    with harder tail data at controlled ratios.
-
-    Determinism: the per-doc score is C29's single-ln construction
-    (exact integer accumulation, one float op, srnd6-quantized);
-    the tercile cut is ntile over the TOTAL order (lp DESC, doc_id)
-    so tied scores can't straddle a boundary engine-dependently
-    (C143's idiom); min/max per bucket are order-free over
-    quantized values.
-
-    Scale shape: the scoring pass is C29's term-keyed shuffle + doc
-    partial agg; the cut is the one global sort (same class as
-    C143 — range-partitioned at scale, and the documented 100 TB
-    evolution is the same approx-quantile threshold swap
-    operators/quantiles.with_approx_ntiles gives C143/C97/C142);
-    the report is a ≤ |langs|×3-row agg.
-    """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tot = tf.agg(F.sum("tf").alias("__tot"))
-    wt = Window.partitionBy("term")
-    sc = tf.withColumn("cnt_t", F.sum("tf").over(wt)).crossJoin(
-        F.broadcast(tot)
-    )
-    lp = sc.groupBy("doc_id").agg(
-        srnd(
-            F.log(
-                F.sum(F.col("tf") * F.col("cnt_t"))
-                / (F.sum("tf") * F.max("__tot"))
-            ),
-            6,
-        ).alias("lp")
-    )
-    cut = lp.join(d.select("doc_id", "lang"), "doc_id").select(
+    return per.join(F.broadcast(tot), "lang").select(
+        F.col("fold").cast("int").alias("fold"),
         "lang",
-        F.ntile(_PB_N)
-        .over(Window.orderBy(F.col("lp").desc(), F.col("doc_id")))
-        .alias("bucket"),
-        "lp",
-    )
-    return cut.groupBy("lang", "bucket").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        srnd(F.min("lp"), 6).alias("lp_min"),
-        srnd(F.max("lp"), 6).alias("lp_max"),
+        F.col("n").cast("long").alias("n"),
+        srnd(F.col("n").cast("double") / F.col("nn").cast("double"), 6).alias(
+            "frac"
+        ),
+        srnd(
+            (F.col("ss") - F.col("s")).cast("double")
+            / (F.col("nn") - F.col("n")).cast("double"),
+            6,
+        ).alias("oof_mean_chars"),
     )
