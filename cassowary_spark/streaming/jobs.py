@@ -565,3 +565,97 @@ def dp_type_counts(events: DataFrame) -> DataFrame:
             (F.col("n") + F.col("noise")).cast("long").alias("dp_n"),
         )
     )
+
+
+def cdc_merge_stream(
+    spark: SparkSession,
+    cdc_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: str = "pk BIGINT, seq BIGINT, op STRING, cents BIGINT",
+):
+    """S18: streaming CDC merge — a file stream of Debezium-shaped
+    change rows (pk, seq, op ∈ I/U/D, payload) continuously MERGEd
+    into a keyed sink table via ``foreachBatch``: per key the
+    highest-seq op wins and a winning DELETE removes the row (the
+    exact A22 ``q_cdc_apply`` resolution, lifted from batch replay to
+    continuous apply).
+
+    Exactly-once WITHOUT sink transactions: the file source's
+    checkpoint gives at-least-once batch delivery, and the merge is
+    IDEMPOTENT — re-applying any replayed batch to a state that
+    already absorbed it is a no-op, because latest-wins by (seq, op)
+    is associative/commutative/idempotent over the per-key history.
+    That (idempotent apply ∘ checkpointed source) composition is how
+    real foreachBatch-MERGE pipelines get effective exactly-once on
+    stores with only atomic-rename semantics. The planted test kills
+    the query between batches and proves the restarted apply yields
+    the same final state as one batch replay of the whole log.
+
+    Each micro-batch rewrites the sink via a versioned directory +
+    atomic pointer swap (the A25 manifest discipline in miniature:
+    readers never observe a half-written sink). At 100 TB the sink
+    rewrite becomes a table-format MERGE INTO (Delta/Iceberg) keyed
+    on pk — the batch-side algebra (union → per-key latest-wins
+    window → drop D) is IDENTICAL; only the writer changes. State
+    stays bounded: the sink holds one row per live key, and each
+    merge touches |batch ∪ sink| rows, not history.
+
+    Returns the started StreamingQuery (availableNow trigger so tests
+    and backfills drain the source and stop).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = os.path.join(sink_dir, "CURRENT")
+        cur = None
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = f.read().strip()
+        parts = [batch_df.select("pk", "seq", "op", "cents")]
+        if cur:
+            parts.append(
+                batch_df.sparkSession.read.parquet(
+                    os.path.join(sink_dir, cur)
+                ).select(
+                    "pk", "seq", F.lit("I").alias("op"), "cents"
+                )
+            )
+        log = parts[0]
+        for p in parts[1:]:
+            log = log.unionByName(p)
+        w = Window.partitionBy("pk").orderBy(
+            F.desc("seq"), F.desc("op")  # op tiebreak: stable if seq reused
+        )
+        nxt = (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("pk", "seq", "cents")
+        )
+        vdir = f"v{batch_id}"
+        nxt.write.mode("overwrite").parquet(os.path.join(sink_dir, vdir))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, ptr)  # atomic pointer swap: readers see old/new
+
+    os.makedirs(sink_dir, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(cdc_dir)
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Read the current CDC sink state through the pointer."""
+    import os
+
+    ptr = os.path.join(sink_dir, "CURRENT")
+    with open(ptr) as f:
+        cur = f.read().strip()
+    return spark.read.parquet(os.path.join(sink_dir, cur))

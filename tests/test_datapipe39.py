@@ -182,3 +182,100 @@ class TestSnapshotExpire:
             map(tuple, QUERIES["q_snapshot_expire"](spark, sf).collect())
         )
         assert a == b
+
+
+# ----------------------------------------- S18 streaming CDC merge
+
+
+class TestCdcMergeStream:
+    @staticmethod
+    def _add_cdc(src, name, rows):
+        """rows = [(pk, seq, op, cents)]"""
+        tbl = pa.table(
+            {
+                "pk": pa.array([r[0] for r in rows], pa.int64()),
+                "seq": pa.array([r[1] for r in rows], pa.int64()),
+                "op": pa.array([r[2] for r in rows], pa.string()),
+                "cents": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    @staticmethod
+    def _reference_apply(all_rows):
+        """Latest-wins by (seq, op) per pk; winning D removes."""
+        best = {}
+        for pk, seq, op, cents in all_rows:
+            cur = best.get(pk)
+            if cur is None or (seq, op) > (cur[0], cur[1]):
+                best[pk] = (seq, op, cents)
+        return {
+            pk: (seq, cents)
+            for pk, (seq, op, cents) in best.items()
+            if op != "D"
+        }
+
+    def _run_once(self, spark, src, sink, chk):
+        from cassowary_spark.streaming.jobs import cdc_merge_stream
+
+        q = cdc_merge_stream(spark, str(src), str(sink), str(chk))
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    def test_exactly_once_merge_across_restart(self, spark, tmp_path):
+        """Batch 1 inserts + updates; the query stops; batch 2 (more
+        updates + deletes) arrives; a restarted query (same checkpoint)
+        must produce the same final state as a single batch replay of
+        the whole log — per-key latest-wins, deletes drop rows, no
+        double-application of batch 1."""
+        from cassowary_spark.streaming.jobs import read_cdc_sink
+
+        src = tmp_path / "cdc"
+        src.mkdir()
+        sink, chk = tmp_path / "sink", tmp_path / "chk"
+        b1 = [(k, 1, "I", 100 * k) for k in range(1, 8)] + [
+            (3, 2, "U", 999),
+            (5, 2, "U", 555),
+        ]
+        self._add_cdc(src, "b1.parquet", b1)
+        self._run_once(spark, src, sink, chk)
+        state1 = {
+            r.pk: (r.seq, r.cents)
+            for r in read_cdc_sink(spark, str(sink)).collect()
+        }
+        assert state1 == self._reference_apply(b1)
+        assert state1[3] == (2, 999) and state1[1] == (1, 100)
+
+        b2 = [(3, 3, "D", 0), (1, 2, "U", 111), (9, 1, "I", 900)]
+        self._add_cdc(src, "b2.parquet", b2)
+        self._run_once(spark, src, sink, chk)
+        state2 = {
+            r.pk: (r.seq, r.cents)
+            for r in read_cdc_sink(spark, str(sink)).collect()
+        }
+        assert state2 == self._reference_apply(b1 + b2)
+        assert 3 not in state2  # the delete won
+        assert state2[1] == (2, 111) and state2[9] == (1, 900)
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """Re-applying an already-absorbed batch must be a no-op:
+        latest-wins over (seq, op) makes the merge idempotent, which is
+        what turns at-least-once batch delivery into exactly-once
+        sink state."""
+        from cassowary_spark.streaming.jobs import read_cdc_sink
+
+        src = tmp_path / "cdc"
+        src.mkdir()
+        sink = tmp_path / "sink"
+        rows = [(1, 1, "I", 10), (2, 1, "I", 20), (2, 2, "D", 0)]
+        self._add_cdc(src, "b.parquet", rows)
+        # two separate checkpoints -> the second run REPLAYS the batch
+        self._run_once(spark, src, sink, tmp_path / "chk1")
+        s1 = sorted(
+            map(tuple, read_cdc_sink(spark, str(sink)).collect())
+        )
+        self._run_once(spark, src, sink, tmp_path / "chk2")
+        s2 = sorted(
+            map(tuple, read_cdc_sink(spark, str(sink)).collect())
+        )
+        assert s1 == s2 == [(1, 1, 10)]
