@@ -61,6 +61,7 @@ _MODULES = (
     "datapipe37",
     "datapipe38",
     "datapipe39",
+    "datapipe40",
 )
 
 _loaded = False

@@ -659,3 +659,86 @@ def read_cdc_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     with open(ptr) as f:
         cur = f.read().strip()
     return spark.read.parquet(os.path.join(sink_dir, cur))
+
+
+def observed_counts(
+    spark: SparkSession,
+    src_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    max_files_per_trigger: int = 1,
+):
+    """S19: zero-cost pipeline observability — per-micro-batch row
+    counts and value sums collected with ``DataFrame.observe``, the
+    mechanism that attaches accumulator-backed metrics to the SAME
+    pass that writes the data (no second aggregation job, no sink
+    read-back). Each batch's QueryProgressEvent carries the observed
+    map; a listener appends it to the returned list. This is how a
+    production ingest reports "rows in / cents in per batch" to its
+    metrics store without paying a shadow aggregate over 100 TB —
+    the observation rides the write's own scan.
+
+    Returns (StreamingQuery, metrics_list); metrics_list fills as
+    batches complete — each entry {"batch_id", "n_rows", "cents_sum"}.
+    """
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    metrics: list[dict] = []
+    done = threading.Event()
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            row = event.progress.observedMetrics.get("ingest_metrics")
+            if row is not None:
+                metrics.append(
+                    {
+                        "batch_id": event.progress.batchId,
+                        "n_rows": row["n_rows"],
+                        "cents_sum": row["cents_sum"],
+                    }
+                )
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            done.set()
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+        .observe(
+            "ingest_metrics",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # The caller awaits the query; listener events are delivered
+    # asynchronously — wrap awaitTermination so metrics are complete
+    # when control returns.
+    orig_await = q.awaitTermination
+
+    def await_and_drain(timeout=None):
+        res = orig_await(timeout)
+        done.wait(30)
+        spark.streams.removeListener(listener)
+        return res
+
+    q.awaitTermination = await_and_drain
+    return q, metrics
