@@ -62,6 +62,7 @@ _MODULES = (
     "datapipe38",
     "datapipe39",
     "datapipe40",
+    "datapipe41",
 )
 
 _loaded = False
