@@ -63,6 +63,7 @@ _MODULES = (
     "datapipe39",
     "datapipe40",
     "datapipe41",
+    "datapipe42",
 )
 
 _loaded = False
