@@ -64,6 +64,7 @@ _MODULES = (
     "datapipe40",
     "datapipe41",
     "datapipe42",
+    "datapipe43",
 )
 
 _loaded = False
