@@ -65,6 +65,7 @@ _MODULES = (
     "datapipe41",
     "datapipe42",
     "datapipe43",
+    "datapipe44",
 )
 
 _loaded = False
