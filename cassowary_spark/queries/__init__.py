@@ -66,6 +66,7 @@ _MODULES = (
     "datapipe42",
     "datapipe43",
     "datapipe44",
+    "datapipe45",
 )
 
 _loaded = False
