@@ -67,6 +67,7 @@ _MODULES = (
     "datapipe43",
     "datapipe44",
     "datapipe45",
+    "datapipe46",
 )
 
 _loaded = False
