@@ -40,6 +40,7 @@ HEADLINE_QUERIES: tuple[str, ...] = (
     "q_text_stats", "q_tfidf", "q_bm25",
     "q_shortest_path", "q_theil_sen", "q_bootstrap_ci",
     "q_corpus_pipeline_e2e", "q_freq_itemsets", "q_hard_negatives",
+    "q_raking", "q_zonemap_skip", "q_quantile_normalize",
 )
 
 

@@ -68,6 +68,7 @@ _MODULES = (
     "datapipe44",
     "datapipe45",
     "datapipe46",
+    "datapipe47",
 )
 
 _loaded = False
