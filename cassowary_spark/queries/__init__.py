@@ -69,6 +69,7 @@ _MODULES = (
     "datapipe45",
     "datapipe46",
     "datapipe47",
+    "datapipe48",
 )
 
 _loaded = False
