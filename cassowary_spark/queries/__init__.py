@@ -70,6 +70,7 @@ _MODULES = (
     "datapipe46",
     "datapipe47",
     "datapipe48",
+    "datapipe49",
 )
 
 _loaded = False
