@@ -71,6 +71,7 @@ _MODULES = (
     "datapipe47",
     "datapipe48",
     "datapipe49",
+    "datapipe50",
 )
 
 _loaded = False
