@@ -72,6 +72,7 @@ _MODULES = (
     "datapipe48",
     "datapipe49",
     "datapipe50",
+    "datapipe51",
 )
 
 _loaded = False
