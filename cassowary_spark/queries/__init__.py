@@ -73,6 +73,7 @@ _MODULES = (
     "datapipe49",
     "datapipe50",
     "datapipe51",
+    "datapipe52",
 )
 
 _loaded = False
