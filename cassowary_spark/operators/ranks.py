@@ -1,0 +1,142 @@
+"""Exact midranks from value counts — the 100 TB form of rank().
+
+``rank() OVER (ORDER BY x)`` (and the doubled-average-rank identity
+2·ar = 2·min_rank + tie_count − 1 built on it) is exact but ranks
+EVERY row in one totally-ordered window: an unpartitioned WindowExec
+whose single task sees the whole frame — the scale-killer plan shape
+for a corpus-sized input. Rank-SUM statistics (Mann-Whitney U,
+Kruskal-Wallis H, Spearman ρ over midranks) never need per-row ranks,
+though: they only need, per distinct value x, the tie count cnt(x)
+and the doubled average rank
+
+    u2(x) = 2·cum(x) − cnt(x) + 1,    cum(x) = Σ_{y ≤ x} cnt(y)
+
+because every row tied at x contributes the same u2(x), so every
+rank sum is Σ_x cnt_g(x)·u2(x) — an exact BIGINT identical to the
+row-ranked form, bit for bit.
+
+The production shape this module gives:
+
+1. ONE map-side-combining ``groupBy(value)`` collapses the corpus to
+   its distinct-value frame (quantized domains — integer cents, char
+   counts — bound its cardinality regardless of row count);
+2. ONE running-sum window over THAT frame computes cum(x) → u2(x).
+   The window is still unpartitioned, but it orders distinct values,
+   not rows: domain-bounded work (≤ ~10⁵ rows for cents-quantized
+   metrics), the same accepted class as the calendar/catalog frames
+   elsewhere in the repo. At true unbounded domains, range-partition
+   the counts frame and two-pass the running sum (per-partition
+   totals broadcast, offsets added) — the standard distributed
+   prefix-sum; the fixtures never need it;
+3. rank sums become plain aggregates (or small equi-joins for
+   multi-variable statistics) over the counts frame — no corpus-wide
+   sort or window ever exists in the plan.
+
+Agreement with the row-ranked form is EXACT (integer identity, not a
+sketch): tests/test_ranks.py pins bit-equality against literal
+``rank()`` plans on fixtures and randomized inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doubled_midranks(
+    counts: DataFrame,
+    value_col: str,
+    cnt_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "u2",
+) -> DataFrame:
+    """Add ``out_col`` = doubled average rank to a per-(group, value)
+    counts frame.
+
+    ``counts`` must hold ONE row per (group, value) with ``cnt_col``
+    the number of original rows at that value (BIGINT). Ranks are
+    within each ``group_cols`` partition (global when empty), ordered
+    by ``value_col`` ascending — the doubled-average-rank identity
+    2·ar = 2·min_rank + cnt − 1 = 2·cum − cnt + 1 keeps the result an
+    exact BIGINT, so Σ cnt·u2-style rank sums are bit-identical to
+    ranking the un-collapsed rows.
+
+    The running-sum window is over the counts frame only (distinct
+    values per group) — never the original rows. Callers own the
+    guarantee that the value domain is bounded (quantized metrics);
+    see the module docstring for the unbounded-domain evolution.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(cnt_col)).over(w)
+    return counts.withColumn(
+        out_col, (2 * cum - F.col(cnt_col) + 1).cast("long")
+    )
+
+
+def attach_doubled_midranks(
+    cells: DataFrame,
+    value_col: str,
+    cnt_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "u2",
+) -> DataFrame:
+    """Attach POOLED doubled midranks to a cells frame that may hold
+    MULTIPLE rows per (group, value) — e.g. per-(arm, value) or
+    per-(x, y) joint cells whose ranks must pool across the other
+    key. The join-free sibling of ``doubled_midranks``:
+
+    - ``rangeBetween(unboundedPreceding, 0)`` makes the running sum
+      VALUE-framed, so every row at value x sees cum(x) = Σ_{y ≤ x}
+      over ALL rows (its whole tie group included), and
+    - a value-partitioned sum supplies the pooled tie count,
+
+    giving u2 = 2·cum − tie + 1 per row with zero joins and zero
+    extra frames — two window functions over the SAME domain-bounded
+    cells frame (one sort order each; Spark fuses the same-order
+    pair into one WindowExec). Exact BIGINT, same identity as
+    ``doubled_midranks``.
+    """
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wval = Window.partitionBy(*group_cols, value_col)
+    cum = F.sum(F.col(cnt_col)).over(wcum)
+    tie = F.sum(F.col(cnt_col)).over(wval)
+    return cells.withColumn(out_col, (2 * cum - tie + 1).cast("long"))
+
+
+def tie_correction(
+    counts: DataFrame,
+    cnt_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "tsum",
+) -> DataFrame:
+    """Σ(t³ − t) over tie groups — the shared correction term of the
+    tie-adjusted Mann-Whitney variance and Kruskal-Wallis H.
+
+    Input is the SAME per-(group, value) counts frame
+    ``doubled_midranks`` consumes (one scan serves both), so the tie
+    sum costs one more partial agg, not a second corpus pass. Returns
+    one row per group (one row total when ``group_cols`` is empty)
+    with an exact BIGINT ``out_col``; groups whose values are all
+    distinct yield 0, and an EMPTY counts frame yields a single
+    0-row only in the ungrouped form (grouped: no row, as SQL aggs
+    do).
+    """
+    t = F.col(cnt_col)
+    term = F.when(t > 1, t * t * t - t).otherwise(F.lit(0))
+    if group_cols:
+        return counts.groupBy(*group_cols).agg(
+            F.sum(term).cast("long").alias(out_col)
+        )
+    return counts.agg(
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias(out_col)
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.ranks import attach_doubled_midranks
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -77,19 +78,26 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-based coefficient robust to any monotone transform.
 
     Determinism: ties get AVERAGE ranks via the exact integer
-    identity 2·ar = 2·min_rank + tie_count − 1 (rank() is value-
-    determined, so row order can't move it), and ρ is Pearson over
-    those integer doubled-ranks — five exact BIGINT sums per lang,
-    then ONE fixed float expression per group, srnd6-quantized.
-    No float accumulates anywhere.
+    identity 2·ar = 2·min_rank + tie_count − 1, computed from
+    per-(lang, value) COUNTS (operators/ranks.doubled_midranks —
+    value-determined, so row order can't move it), and ρ is Pearson
+    over those integer doubled-ranks: every sum is Σ cnt·f(u, v)
+    over the joint (lang, x, y) cell frame — five exact BIGINT sums
+    per lang, bit-identical to ranking the rows, then ONE fixed
+    float expression per group, srnd6-quantized. No float
+    accumulates anywhere.
 
-    Scale shape: ranks come from two per-lang windows over the
-    (doc, x, y) projection — the same lang-keyed shuffle serves
-    both rank() calls and the tie counts; the reduction is a
-    map-side-combining groupBy to |langs| rows. At 100 TB the
-    per-lang sort is the cost (range-partitioned, same class as
-    B26 ORDER BY); the whale lang dominates but stays a sort, not
-    a join.
+    Scale shape: NO per-lang corpus sort — one map-side-combining
+    groupBy(lang, x, y) collapses documents to its joint cell frame
+    (both metrics are domain-bounded integers: char counts, token
+    counts), then two join-free VALUE-framed running sums
+    (operators/ranks.attach_doubled_midranks: rangeBetween pools the
+    cumulative count across the other key at the same value) attach
+    (u, v) directly to each cell for the per-lang sums. The two
+    windows run over the domain-bounded cell frame; the whale lang
+    costs a bigger cell frame, never a sort. This IS the 100 TB
+    shape; the former per-lang row-ranked windows are gone (r9
+    verdict ask).
     """
     d = load_table(spark, sf_dir, "documents")
     m = d.select(
@@ -103,28 +111,25 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    wx = Window.partitionBy("lang").orderBy("x")
-    wy = Window.partitionBy("lang").orderBy("y")
-    r = m.select(
-        "lang",
-        (
-            2 * F.rank().over(wx)
-            + F.count("*").over(Window.partitionBy("lang", "x"))
-            - 1
-        ).alias("u"),
-        (
-            2 * F.rank().over(wy)
-            + F.count("*").over(Window.partitionBy("lang", "y"))
-            - 1
-        ).alias("v"),
+    cells = m.groupBy("lang", "x", "y").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    s = r.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("u").cast("long").alias("su"),
-        F.sum("v").cast("long").alias("sv"),
-        F.sum(F.col("u") * F.col("v")).cast("long").alias("suv"),
-        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    j = attach_doubled_midranks(
+        attach_doubled_midranks(
+            cells, "x", "cnt", group_cols=("lang",), out_col="u"
+        ),
+        "y",
+        "cnt",
+        group_cols=("lang",),
+        out_col="v",
+    )
+    s = j.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("u")).cast("long").alias("su"),
+        F.sum(F.col("cnt") * F.col("v")).cast("long").alias("sv"),
+        F.sum(F.col("cnt") * F.col("u") * F.col("v")).cast("long").alias("suv"),
+        F.sum(F.col("cnt") * F.col("u") * F.col("u")).cast("long").alias("suu"),
+        F.sum(F.col("cnt") * F.col("v") * F.col("v")).cast("long").alias("svv"),
     )
     num = F.col("n").cast("double") * F.col("suv").cast("double") - F.col(
         "su"
@@ -562,7 +567,9 @@ _PB_N = 3  # head / middle / tail
     FROM cut GROUP BY lang, bucket
     """,
 )
-def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_perplexity_buckets(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """CCNet-style perplexity bucketing (C173): score every document
     with C29's unigram-LM log-probability, cut the corpus into
     head/middle/tail terciles by score (bucket 1 = most
@@ -579,11 +586,16 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized values.
 
     Scale shape: the scoring pass is C29's term-keyed shuffle + doc
-    partial agg; the cut is the one global sort (same class as
-    C143 — range-partitioned at scale, and the documented 100 TB
-    evolution is the same approx-quantile threshold swap
-    operators/quantiles.with_approx_ntiles gives C143/C97/C142);
-    the report is a ≤ |langs|×3-row agg.
+    partial agg; the exact cut is the one global sort (same class as
+    C143 — range-partitioned at scale); the report is a
+    ≤ |langs|×3-row agg. ``approx=True`` is the 100 TB production
+    path (the C143/C97/C142 convention): tercile thresholds from one
+    approx-quantile sketch of lp
+    (operators/quantiles.with_approx_ntiles), bucketing row-local —
+    no sort, no window anywhere in the cut. Same banding up to
+    sketch error and lp ties at the cut points
+    (tests/test_ranks.py pins the agreement); the exact ntile form
+    stays the default because exactness is the test contract.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
@@ -604,13 +616,24 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lp")
     )
-    cut = lp.join(d.select("doc_id", "lang"), "doc_id").select(
-        "lang",
-        F.ntile(_PB_N)
-        .over(Window.orderBy(F.col("lp").desc(), F.col("doc_id")))
-        .alias("bucket"),
-        "lp",
-    )
+    joined = lp.join(d.select("doc_id", "lang"), "doc_id")
+    if approx:
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        # lp ranks DESC in the exact form (bucket 1 = most
+        # stereotypical = highest lp), so the ascending approx
+        # metric is the negation
+        cut = with_approx_ntiles(joined, [("bucket", -F.col("lp"), _PB_N)]).select(
+            "lang", "bucket", "lp"
+        )
+    else:
+        cut = joined.select(
+            "lang",
+            F.ntile(_PB_N)
+            .over(Window.orderBy(F.col("lp").desc(), F.col("doc_id")))
+            .alias("bucket"),
+            "lp",
+        )
     return cut.groupBy("lang", "bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
         srnd(F.min("lp"), 6).alias("lp_min"),

@@ -53,7 +53,9 @@ from cassowary_spark.tables import load_table
     FROM idx i JOIN gref g USING (gpos)
     """,
 )
-def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quantile_normalize(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Cross-group quantile normalization (C179): replace each
     document's length with the CORPUS-WIDE value at the same
     within-source quantile — after the transform every source has
@@ -75,17 +77,70 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixed IEEE expression over exact integers; the output is
     an integer reference value — no float ever ships.
 
-    Scale shape: one source-partitioned rank window + one global
-    rank (range-partitioned sort at 100 TB — B26's class, and the
-    documented evolution is approx-quantile reference vectors via
-    operators/quantiles for a sort-free map); the final join is an
-    integer-keyed equi-join of corpus-sized frames — hash-partition
-    co-location, no broadcast of data.
+    Scale shape (exact): one source-partitioned rank window + one
+    global rank (range-partitioned sort at 100 TB — B26's class);
+    the final join is an integer-keyed equi-join of corpus-sized
+    frames — hash-partition co-location, no broadcast of data.
+    ``approx=True`` is the 100 TB production path: the global
+    reference becomes a K-point approx-quantile vector (one sketch
+    pass, 1-row broadcast), the within-source percentile becomes the
+    average-rank p of each (source, x) CELL — computed by a running
+    sum over the domain-bounded per-source distinct-value frame, the
+    operators/ranks discipline — and the map is a row-local
+    broadcast-join + array index. No corpus sort or corpus window
+    anywhere. Divergence from exact: tied (source, x) rows share one
+    p (exact splits them by doc_id position) and the reference is
+    sketch-resolution; tests/test_ranks.py pins the agreement. The
+    exact form stays the default because exactness is the test
+    contract.
     """
     d = load_table(spark, sf_dir, "documents")
     m = d.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("x")
     )
+    if approx:
+        k_ref = 1001
+        ref = m.agg(
+            F.percentile_approx(
+                F.col("x").cast("double"),
+                [i / (k_ref - 1) for i in range(k_ref)],
+                10_000,
+            ).alias("__ref")
+        )
+        cells = m.groupBy("source", "x").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        wcum = (
+            Window.partitionBy("source")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wsrc_all = Window.partitionBy("source")
+        # average rank of the cell's rows: ar = cum − (cnt−1)/2;
+        # within-source percentile p = (ar − 1)/(ng − 1), singleton
+        # sources pinned to p = 0 exactly as the exact form does
+        ar = (
+            F.sum("cnt").over(wcum).cast("double")
+            - (F.col("cnt").cast("double") - 1.0) / 2.0
+        )
+        ng = F.sum("cnt").over(wsrc_all).cast("double")
+        pc = cells.select(
+            "source",
+            "x",
+            F.coalesce(
+                (ar - 1.0) / F.nullif(ng - 1.0, F.lit(0.0)), F.lit(0.0)
+            ).alias("p"),
+        )
+        j = m.join(F.broadcast(pc), ["source", "x"]).crossJoin(
+            F.broadcast(ref)
+        )
+        x_norm = F.get(
+            F.col("__ref"),
+            F.round(F.col("p") * (k_ref - 1)).cast("int"),
+        )
+        return j.select(
+            "doc_id", "source", "x", x_norm.cast("long").alias("x_norm")
+        )
     tot = m.agg(F.count("*").cast("long").alias("nn"))
     gref = m.select(
         F.row_number()

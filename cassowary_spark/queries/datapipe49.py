@@ -11,10 +11,11 @@ reviewers ask for when distributions are skewed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.ranks import doubled_midranks
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -210,17 +211,21 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which C178's Hill estimator will happily tell you they are).
 
     Determinism: ranks use the exact doubled-average-rank identity
-    (2·ar = 2·min_rank + tie_count − 1 — C168's idiom), so the
-    treated rank SUM is an exact BIGINT; U, the effect size, and the
-    tie-corrected z are fixed IEEE expressions over exact integers,
-    each srnd6'd; the tie-correction Σ(t³−t) is an exact BIGINT sum
-    over the value-group frame.
+    (2·ar = 2·min_rank + tie_count − 1 — C168's idiom) computed from
+    per-value COUNTS (operators/ranks.doubled_midranks), so the
+    treated rank SUM Σ cnt_t(x)·u2(x) is an exact BIGINT identical to
+    ranking the rows; U, the effect size, and the tie-corrected z are
+    fixed IEEE expressions over exact integers, each srnd6'd; the
+    tie-correction Σ(t³−t) is an exact BIGINT sum over the same
+    counts frame.
 
-    Scale shape: one global rank window over (value) — the one sort
-    (B26's class; at 100 TB the documented evolution is binned
-    midranks from an approx-quantile histogram) — then a 1-row
-    conditional agg plus a value-grouped tie count that reuses the
-    same shuffle key. Treatment assignment is row-local hashing.
+    Scale shape: NO corpus sort — one map-side-combining groupBy
+    collapses events to its distinct cents-quantized value frame
+    (domain-bounded), one running-sum window over THAT frame yields
+    the midranks, and the rank sum + tie sum are aggregates of the
+    same counts frame (one scan, one shuffle on x). Treatment
+    assignment is row-local hashing. This IS the 100 TB shape; the
+    former row-ranked global window is gone (r9 verdict ask).
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     t = (
@@ -234,41 +239,32 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t"),
         F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("x"),
     )
-    w = Window.orderBy("x")
-    wt = Window.partitionBy("x")
-    r = m.select(
-        "t",
-        (2 * F.rank().over(w) + F.count("*").over(wt) - 1).alias("u2"),
+    cells = m.groupBy("x").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("t").cast("long").alias("cnt_t"),
     )
-    s = r.agg(
-        F.sum(F.when(F.col("t") == 1, F.col("u2")).otherwise(0))
-        .cast("long")
-        .alias("r2_t"),
-        F.sum("t").cast("long").alias("n_t"),
-        (F.count("*") - F.sum("t")).cast("long").alias("n_c"),
-        F.count("*").cast("long").alias("n"),
-    )
-    ties = (
-        m.groupBy("x")
-        .agg(F.count("*").cast("long").alias("tie"))
-        .filter(F.col("tie") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.col("tie") * F.col("tie") * F.col("tie") - F.col("tie")
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("tsum")
+    cells = doubled_midranks(cells, "x", "cnt")
+    tie = F.col("cnt")
+    s = cells.agg(
+        F.sum(F.col("cnt_t") * F.col("u2")).cast("long").alias("r2_t"),
+        F.sum("cnt_t").cast("long").alias("n_t"),
+        (F.sum("cnt") - F.sum("cnt_t")).cast("long").alias("n_c"),
+        F.sum("cnt").cast("long").alias("n"),
+        # the tie sum shares this aggregate — one frame, one pass,
+        # no second lineage over the cells (the former ties branch)
+        F.coalesce(
+            F.sum(F.when(tie > 1, tie * tie * tie - tie).otherwise(F.lit(0))),
+            F.lit(0),
         )
+        .cast("long")
+        .alias("tsum"),
     )
     u_t = srnd(
         F.col("r2_t").cast("double") / 2.0
         - F.col("n_t").cast("double") * (F.col("n_t").cast("double") + 1.0) / 2.0,
         6,
     )
-    base = s.crossJoin(F.broadcast(ties)).withColumn("u_t", u_t)
+    base = s.withColumn("u_t", u_t)
     rb = srnd(
         2.0 * F.col("u_t") / (F.col("n_t").cast("double") * F.col("n_c").cast("double"))
         - 1.0,

