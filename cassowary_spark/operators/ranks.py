@@ -51,6 +51,7 @@ def doubled_midranks(
     cnt_col: str,
     group_cols: Sequence[str] = (),
     out_col: str = "u2",
+    cum_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = doubled average rank to a per-(group, value)
     counts frame.
@@ -67,6 +68,11 @@ def doubled_midranks(
     values per group) — never the original rows. Callers own the
     guarantee that the value domain is bounded (quantized metrics);
     see the module docstring for the unbounded-domain evolution.
+
+    ``cum_col`` additionally exposes the inclusive cumulative count
+    cum(x) — consumers that also need positional cut arithmetic
+    (top-decile membership, weighted-quantile thresholds) read it
+    from the same window instead of re-deriving (u2 + cnt − 1)/2.
     """
     w = (
         Window.partitionBy(*group_cols)
@@ -74,9 +80,15 @@ def doubled_midranks(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(cnt_col)).over(w)
-    return counts.withColumn(
+    out = counts.withColumn(
         out_col, (2 * cum - F.col(cnt_col) + 1).cast("long")
     )
+    if cum_col is not None:
+        out = out.withColumn(
+            cum_col,
+            ((F.col(out_col) + F.col(cnt_col) - 1) / 2).cast("long"),
+        )
+    return out
 
 
 def attach_doubled_midranks(

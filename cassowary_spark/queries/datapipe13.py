@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.ranks import doubled_midranks
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -259,20 +260,25 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending-sorted revenues, plus the top-decile revenue share —
     the whale-curve statistic behind C6/C8's sampling-bias checks.
 
-    Determinism: revenues are integer cents; ranks come from a
-    (rev, custkey)-ordered row_number, and Σi·xᵢ is invariant under
-    permutations of tied revenues, so the rank tiebreak cannot change
-    the statistic. Both engines convert the same exact BIGINTs to
+    Determinism: revenues are integer cents; Σi·xᵢ is invariant
+    under permutations of tied revenues (the oracle's row_number
+    tiebreak on custkey cannot change it), so it is computed EXACTLY
+    from per-(segment, rev) counts: a tie block of t rows at value v
+    starting at min_rank m contributes v·(t·m + t(t−1)/2) = v·t·u2/2
+    with u2 the doubled midrank (operators/ranks). The top-decile
+    sum is equally tie-invariant: every row in a block shares v, so
+    only the COUNT above the cutoff matters — min(t, cum − cutoff)
+    clamped at 0. Both engines convert the same exact BIGINTs to
     double for the two final divisions ((n+1.0)·T stays in double to
     dodge int64 overflow at extreme scale).
 
-    Scale shape: one custkey partial agg, one custkey equi-join (both
-    sides key-partitioned — one hash family), then a per-segment
-    ranked window. Segments are few, so the window is the skew point
-    at 100 TB: the documented evolution is percent_rank over a
-    range-partitioned sort (Spark's global-sort machinery) rather
-    than a per-segment single reducer; the statistic itself needs
-    only (rank, value) pairs, which that plan also yields.
+    Scale shape (r10): one custkey partial agg, one custkey
+    equi-join (both sides key-partitioned — one hash family), then a
+    (segment, rev)-cell collapse BEFORE the window — the per-segment
+    running sum ranks distinct revenue values, not customers, so the
+    whale segment costs its distinct-value count, never a
+    per-customer single reducer. The former per-customer row_number
+    window is gone (r9 verdict item 6).
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -283,26 +289,40 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         "rev_cents",
     )
-    d = r.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("segment").orderBy("rev_cents", "custkey")
+    cells = doubled_midranks(
+        r.groupBy("segment", "rev_cents").agg(
+            F.count("*").cast("long").alias("cnt")
         ),
-    ).withColumn("n_seg", F.count("*").over(Window.partitionBy("segment")))
-    per = d.groupBy("segment").agg(
-        F.count("*").cast("long").alias("n_cust"),
-        F.sum("rev_cents").cast("long").alias("total_cents"),
-        F.sum(F.col("rn") * F.col("rev_cents")).cast("long").alias(
-            "s_weighted"
+        "rev_cents",
+        "cnt",
+        group_cols=("segment",),
+        cum_col="cum",
+    ).withColumn(
+        "n_seg",
+        F.sum("cnt").over(Window.partitionBy("segment")).cast("long"),
+    )
+    # rows of the tie block above the decile cutoff: the block spans
+    # ranks (cum − cnt, cum], so min(cnt, cum − cutoff) clamped at 0
+    above = F.greatest(
+        F.lit(0),
+        F.least(
+            F.col("cnt"),
+            F.col("cum") - (F.col("n_seg") - F.expr("n_seg div 10")),
         ),
-        F.sum(
-            F.when(
-                F.col("rn") > F.col("n_seg") - F.expr("n_seg div 10"),
-                F.col("rev_cents"),
-            ).otherwise(0)
-        )
+    )
+    per = cells.groupBy("segment").agg(
+        F.sum("cnt").cast("long").alias("n_cust"),
+        F.sum(F.col("cnt") * F.col("rev_cents")).cast("long").alias(
+            "total_cents"
+        ),
+        # Σ rn·x over a tie block = v·t·u2/2 (t·u2 is always even);
+        # integer div keeps the halving exact past 2^53
+        F.expr("sum(rev_cents * cnt * u2) div 2")
         .cast("long")
-        .alias("top_decile_cents"),
+        .alias("s_weighted"),
+        F.sum(above * F.col("rev_cents")).cast("long").alias(
+            "top_decile_cents"
+        ),
     )
     return per.select(
         "segment",
