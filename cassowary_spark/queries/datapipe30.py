@@ -357,11 +357,11 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, so DCG is a sum of ≤10 identical exact values on both
     engines and IDCG is a closed-form lookup.
 
-    Scale shape: row_number over the score order is the one
-    corpus-sized sort (B26 class, range-partitioned); at 100 TB the
-    standard evolution is TakeOrdered(10) — a per-partition top-10
-    then a 10-row merge — which the engine's q_topk already
-    demonstrates; everything after is arithmetic over ≤10 rows.
+    Scale shape: the top-10 selection SHIPS as orderBy+limit →
+    TakeOrderedAndProject (per-partition top-10 then a 10-row merge
+    — the q_topk evolution, r10); the rank window and the DCG ladder
+    run over the 10 surviving rows only, and n_pos is a plain
+    corpus agg on the same scan.
     """
     o = load_table(spark, sf_dir, "orders")
     y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
@@ -375,7 +375,8 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h % 1000 + 300 * y).alias("s"),
         y.alias("y"),
     )
-    top = scored.select(
+    sel = scored.orderBy(F.col("s").desc(), F.col("k")).limit(_NDCG_K)
+    top = sel.select(
         "y",
         F.row_number()
         .over(Window.orderBy(F.col("s").desc(), F.col("k")))

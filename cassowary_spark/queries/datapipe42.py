@@ -302,22 +302,26 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the mean folds the k quantized terms in RANK order (C69).
 
     Scale shape: the only corpus-wide work is the top-(k+1)
-    selection — a rank window here (exact contract), a TakeOrdered /
-    per-partition top-k + merge at 100 TB (the q_topk evolution,
-    same result set); the estimator itself is arithmetic over k+1
-    rows.
+    selection, SHIPPED as orderBy+limit → TakeOrderedAndProject
+    (per-partition top-k + a (k+1)-row merge — the q_topk evolution,
+    r10); the rank window and the estimator run over the k+1
+    surviving rows only.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     v = ev.select(
         F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
         "event_id",
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("event_id"))
-    top = (
-        v.select("cents", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= _HILL_K + 1)
-        .persist()  # k+1 rows; the kth pivot and the terms reuse it
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-(k+1) + a (k+1)-row merge, NO corpus-wide sort or window;
+    # row_number then ranks only the k+1 surviving rows (r10)
+    sel = v.orderBy(F.col("cents").desc(), F.col("event_id")).limit(
+        _HILL_K + 1
     )
+    w = Window.orderBy(F.col("cents").desc(), F.col("event_id"))
+    top = sel.select(
+        "cents", F.row_number().over(w).alias("rnk")
+    ).persist()  # k+1 rows; the kth pivot and the terms reuse it
     kth = top.filter(F.col("rnk") == _HILL_K + 1).select(
         F.col("cents").alias("ck")
     )
