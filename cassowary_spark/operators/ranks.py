@@ -110,9 +110,11 @@ def attach_doubled_midranks(
 
     giving u2 = 2·cum − tie + 1 per row with zero joins and zero
     extra frames — two window functions over the SAME domain-bounded
-    cells frame (one sort order each; Spark fuses the same-order
-    pair into one WindowExec). Exact BIGINT, same identity as
-    ``doubled_midranks``.
+    cells frame. The tie partition (group, value) is a prefix-
+    compatible refinement of the cum sort (group, value-ordered), so
+    both WindowExec nodes share ONE exchange + sort (verified:
+    q_spearman_corr runs two attach calls in 2 exchanges total).
+    Exact BIGINT, same identity as ``doubled_midranks``.
     """
     wcum = (
         Window.partitionBy(*group_cols)
