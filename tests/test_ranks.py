@@ -143,6 +143,48 @@ class TestOperator:
         assert got == want
 
 
+class TestOperatorProperties:
+    """Hypothesis sweep: randomized (group, value) frames, rank sums
+    re-derived by a pure-Python reference (the dual-derivation
+    discipline of SURVEY §5)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=5,
+            max_size=120,
+        )
+    )
+    @settings(max_examples=6, deadline=None)
+    def test_pooled_rank_sums_match_reference(self, spark, rows):
+        df = spark.createDataFrame(rows, "grp long, x long")
+        cells = df.groupBy("grp", "x").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        got = {
+            r.grp: r.s
+            for r in attach_doubled_midranks(cells, "x", "cnt")
+            .groupBy("grp")
+            .agg(F.sum(F.col("cnt") * F.col("u2")).cast("long").alias("s"))
+            .collect()
+        }
+        # reference: literal average ranks over the pooled multiset
+        ref = _rank_reference([x for _, x in rows])
+        want = {}
+        for g, x in rows:
+            want[g] = want.get(g, 0) + ref[x]
+        assert got == want
+        # total doubled-rank mass is the closed form n(n+1)
+        n = len(rows)
+        assert sum(got.values()) == n * (n + 1)
+
+
 class TestQueryAgreement:
     def test_perplexity_buckets_approx_agrees(self, spark, sf_dir):
         exact = QUERIES["q_perplexity_buckets"](spark, sf_dir).collect()
