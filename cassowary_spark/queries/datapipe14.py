@@ -312,7 +312,9 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cls GROUP BY 1
     """,
 )
-def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_abc_classification(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """ABC classification (C111): parts ranked by revenue, classified
     A (first 80% of cumulative revenue), B (next 15%), C (tail) —
     the inventory-management Pareto cut. C101's Gini measures HOW
@@ -327,10 +329,17 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partkey partial agg, a 1-row total broadcast,
     then a global ranked running sum. The global window is the
     honest cost: at catalog scale (parts ≪ facts — 20M parts for
-    100 TB of facts) a range-partitioned sort handles it; the
-    documented alternative is precomputing the two boundary values
-    via percentile-of-cumulative and classifying with a broadcast
-    compare, which removes the single-reducer tail entirely.
+    100 TB of facts) a range-partitioned sort handles it.
+    ``approx=True`` SHIPS the boundary-precompute evolution (r10):
+    revenues collapse into geometric bins, the tiny bin frame
+    (≤ ~2.4k rows at any scale — log1p-quantized) carries the one
+    DESC running share, and each bin's WHOLE part population
+    classifies by the bin boundary — a broadcast compare, row-local
+    after the bin agg, no catalog-sized window anywhere. Divergence
+    from exact: the parts inside the two boundary BINS classify with
+    their bin (the ties-together convention of with_approx_ntiles);
+    tests/test_ranks.py bounds the class-mass drift by the boundary
+    bins' mass. The exact form stays the default (oracle contract).
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
@@ -338,6 +347,39 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("long").alias("rev_cents")
     )
     tot = per.agg(F.sum("rev_cents").cast("long").alias("t"))
+    if approx:
+        # geometric bins: ≤ ~5.7k ids over the whole int64 range
+        # (log1p * 128), so the running share runs over a frame
+        # whose size is scale-INDEPENDENT
+        b = (
+            F.floor(F.log1p(F.col("rev_cents").cast("double")) * 128.0)
+            .cast("long")
+            .alias("bin")
+        )
+        bins = per.select(b, "rev_cents").groupBy("bin").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("rev_cents").cast("long").alias("s"),
+        )
+        wb = Window.orderBy(F.desc("bin")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cumb = bins.crossJoin(F.broadcast(tot)).withColumn(
+            "cum", F.sum("s").over(wb).cast("long")
+        )
+        cls_a = cumb.select(
+            F.when(F.col("cum") * 5 <= F.col("t") * 4, "A")
+            .when(F.col("cum") * 20 <= F.col("t") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "n",
+            "s",
+            "t",
+        )
+        return cls_a.groupBy("abc_class").agg(
+            F.sum("n").cast("long").alias("n_parts"),
+            F.sum("s").cast("long").alias("class_cents"),
+            srnd(F.sum("s") * 1.0 / F.max("t"), 6).alias("rev_share"),
+        )
     w = Window.orderBy(
         F.desc("rev_cents"), F.asc("l_partkey")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)

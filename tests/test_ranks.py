@@ -242,6 +242,37 @@ class TestQueryAgreement:
                 assert n1 <= n2, (src, x1, n1, x2, n2)
 
 
+    def test_abc_approx_agrees(self, spark, sf_dir):
+        exact = {
+            r.abc_class: r
+            for r in QUERIES["q_abc_classification"](spark, sf_dir).collect()
+        }
+        approx = {
+            r.abc_class: r
+            for r in QUERIES["q_abc_classification"](
+                spark, sf_dir, approx=True
+            ).collect()
+        }
+        n_parts = sum(r.n_parts for r in exact.values())
+        # every part classified exactly once, all revenue accounted
+        assert sum(r.n_parts for r in approx.values()) == n_parts
+        assert sum(r.class_cents for r in approx.values()) == sum(
+            r.class_cents for r in exact.values()
+        )
+        assert set(approx) <= {"A", "B", "C"}
+        # boundary-bin drift only: class masses stay close (the two
+        # boundary bins hold a few % of parts on the fixtures)
+        for c, r in exact.items():
+            a = approx.get(c)
+            assert a is not None, c
+            assert abs(a.n_parts - r.n_parts) <= max(5, 0.1 * n_parts), c
+            assert abs(a.rev_share - r.rev_share) <= 0.05, c
+        # Pareto shape survives: A carries the revenue plurality
+        assert approx["A"].rev_share == max(
+            r.rev_share for r in approx.values()
+        )
+
+
 class TestPlans:
     def test_rewritten_defaults_have_no_row_rank(self, spark, sf_dir):
         # the r9-weak corpus-frame rank windows must be gone from the
@@ -255,7 +286,11 @@ class TestPlans:
             assert "row_number(" not in plan, key
 
     def test_approx_paths_have_no_positional_cut(self, spark, sf_dir):
-        for key in ("q_perplexity_buckets", "q_quantile_normalize"):
+        for key in (
+            "q_perplexity_buckets",
+            "q_quantile_normalize",
+            "q_abc_classification",
+        ):
             plan = formatted_plan(QUERIES[key](spark, sf_dir, approx=True))
             assert "ntile(" not in plan, key
             assert "row_number(" not in plan, key
