@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,15 +80,16 @@ def doubled_midranks(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(cnt_col)).over(w)
-    out = counts.withColumn(
-        out_col, (2 * cum - F.col(cnt_col) + 1).cast("long")
-    )
+    cols = [
+        counts["*"],
+        (2 * cum - F.col(cnt_col) + 1).cast("long").alias(out_col),
+    ]
     if cum_col is not None:
-        out = out.withColumn(
-            cum_col,
-            ((F.col(out_col) + F.col(cnt_col) - 1) / 2).cast("long"),
-        )
-    return out
+        # the window sum itself, not a float re-derivation from u2 —
+        # exact BIGINT at any magnitude (both columns share the one
+        # WindowExec)
+        cols.append(cum.cast("long").alias(cum_col))
+    return counts.select(*cols)
 
 
 def attach_doubled_midranks(

@@ -316,8 +316,9 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
         # Σ rn·x over a tie block = v·t·u2/2 (t·u2 is always even);
-        # integer div keeps the halving exact past 2^53
-        F.expr("sum(rev_cents * cnt * u2) div 2")
+        # halve per cell BEFORE summing — integer div is exact and
+        # the accumulator keeps the row_number form's full headroom
+        F.expr("sum(rev_cents * ((cnt * u2) div 2))")
         .cast("long")
         .alias("s_weighted"),
         F.sum(above * F.col("rev_cents")).cast("long").alias(

@@ -332,7 +332,7 @@ def q_abc_classification(
     100 TB of facts) a range-partitioned sort handles it.
     ``approx=True`` SHIPS the boundary-precompute evolution (r10):
     revenues collapse into geometric bins, the tiny bin frame
-    (≤ ~2.4k rows at any scale — log1p-quantized) carries the one
+    (≤ ~5.7k rows at any scale — ln(2⁶³)·128 ids) carries the one
     DESC running share, and each bin's WHOLE part population
     classifies by the bin boundary — a broadcast compare, row-local
     after the bin agg, no catalog-sized window anywhere. Divergence

@@ -86,8 +86,9 @@ def q_quantile_normalize(
     pass, 1-row broadcast), the within-source percentile becomes the
     average-rank p of each (source, x) CELL — computed by a running
     sum over the domain-bounded per-source distinct-value frame, the
-    operators/ranks discipline — and the map is a row-local
-    broadcast-join + array index. No corpus sort or corpus window
+    operators/ranks discipline — and the map is a (source, x)
+    hash equi-join + row-local array index into the broadcast
+    reference vector. No corpus sort or corpus window
     anywhere. Divergence from exact: tied (source, x) rows share one
     p (exact splits them by doc_id position) and the reference is
     sketch-resolution; tests/test_ranks.py pins the agreement. The
@@ -131,9 +132,11 @@ def q_quantile_normalize(
                 (ar - 1.0) / F.nullif(ng - 1.0, F.lit(0.0)), F.lit(0.0)
             ).alias("p"),
         )
-        j = m.join(F.broadcast(pc), ["source", "x"]).crossJoin(
-            F.broadcast(ref)
-        )
+        # pc is (source, x)-distinct but doc lengths are NOT a small
+        # quantized domain — no broadcast hint; the hash equi-join
+        # co-partitions both sides (AQE may still broadcast when pc
+        # measures small). Only the 1-row ref vector force-broadcasts.
+        j = m.join(pc, ["source", "x"]).crossJoin(F.broadcast(ref))
         x_norm = F.get(
             F.col("__ref"),
             F.round(F.col("p") * (k_ref - 1)).cast("int"),
