@@ -29,6 +29,133 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+#: nodes whose OUTPUT cardinality is bounded regardless of input size
+#: — an aggregate collapses to its key count, a limit to N; a window
+#: above one of these ranks a collapsed frame, not the corpus.
+#: ReusedExchange is treated as bounded because the exchange it
+#: mirrors is audited at its original site.
+_BOUNDING = frozenset(
+    {
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "TakeOrderedAndProject",
+        "CollectLimit",
+        "GlobalLimit",
+        "LocalLimit",
+        "LocalTableScan",
+        "Range",
+        "ReusedExchange",
+    }
+)
+
+
+def single_partition_corpus_windows(df: DataFrame) -> int:
+    """Count Window nodes that rank a CORPUS frame in ONE task (see
+    ``_sp_corpus_windows_from_text`` for the rule)."""
+    df.sparkSession.catalog.clearCache()
+    return _sp_corpus_windows_from_text(formatted_plan(df))
+
+
+def _sp_corpus_windows_from_text(text: str) -> int:
+    """Count Window nodes that rank a CORPUS frame in ONE task.
+
+    The r9-verdict "weak" plan class, made machine-checkable: a
+    Window whose required child distribution is SinglePartition (the
+    ``Exchange SinglePartition`` on its input chain) AND whose input
+    subtree reaches a source scan without passing a
+    cardinality-bounding node (aggregate / limit / TakeOrdered).
+    Partitioned windows over corpus frames are fine (parallel);
+    unpartitioned windows over aggregated frames are fine (bounded);
+    only the combination — every corpus row through one task — is the
+    scale-killer this counts.
+
+    Parses the tree header of ``explain("formatted")`` (node ids +
+    parentage from indentation, 3 chars per level) joined with each
+    node's Arguments from the detail section (which names the
+    exchange's partitioning). Subquery trees are not walked — their
+    windows run per subquery execution and are audited by the
+    budgets' total window/exchange counts instead.
+    """
+    import re
+
+    lines = text.splitlines()
+    try:
+        start = (
+            next(
+                i
+                for i, l in enumerate(lines)
+                if l.startswith("== Physical Plan ==")
+            )
+            + 1
+        )
+    except StopIteration:
+        return 0
+    head = re.compile(r"^([ :+\-]*)([A-Za-z][A-Za-z]*)[^(]*\((\d+)\)\s*$")
+    names: dict[int, str] = {}
+    children: dict[int, list[int]] = {}
+    by_depth: dict[int, int] = {}
+    for l in lines[start:]:
+        if not l.strip():
+            break
+        m = head.match(l)
+        if not m:
+            continue
+        prefix, name, nid = m.group(1), m.group(2), int(m.group(3))
+        depth = len(prefix) // 3
+        names[nid] = name
+        children.setdefault(nid, [])
+        if depth > 0 and (depth - 1) in by_depth:
+            children[by_depth[depth - 1]].append(nid)
+        by_depth[depth] = nid
+    # Arguments per node id from the detail section
+    args: dict[int, str] = {}
+    cur = None
+    detail = re.compile(r"^\((\d+)\) ")
+    for l in lines:
+        m = detail.match(l)
+        if m:
+            cur = int(m.group(1))
+        elif cur is not None and l.startswith("Arguments:"):
+            args[cur] = l
+
+    def reaches_corpus(nid: int) -> bool:
+        name = names.get(nid, "")
+        if name in _BOUNDING:
+            return False
+        if name.startswith("Scan") or name.startswith("BatchScan"):
+            return True
+        ch = children.get(nid, [])
+        return any(reaches_corpus(c) for c in ch)
+
+    def flagged(nid: int) -> bool:
+        """Walk the input chain below a Window: pass-through nodes
+        until the Exchange that set its distribution (or a bounding
+        node / scan)."""
+        for c in children.get(nid, []):
+            name = names.get(c, "")
+            if name in _BOUNDING:
+                continue
+            if name == "Exchange":
+                if "SinglePartition" in args.get(c, "") and any(
+                    reaches_corpus(g) for g in children.get(c, [])
+                ):
+                    return True
+                continue
+            if name.startswith("Scan") or name.startswith("BatchScan"):
+                continue  # multi-partition scan feeding the window
+                # directly means its distribution was NOT single
+            if flagged(c):
+                return True
+        return False
+
+    return sum(
+        1
+        for nid, name in names.items()
+        if name in ("Window", "WindowInPandas") and flagged(nid)
+    )
+
+
 def node_counts(df: DataFrame) -> dict[str, int]:
     """Shuffle-relevant node counts for budget checks.
 
@@ -46,4 +173,5 @@ def node_counts(df: DataFrame) -> dict[str, int]:
         "broadcasts": p.count(") BroadcastExchange"),
         "scans": p.count(") Scan ") + p.count(") BatchScan"),
         "cartesian": p.count(") CartesianProduct"),
+        "sp_corpus_windows": _sp_corpus_windows_from_text(p),
     }

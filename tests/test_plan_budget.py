@@ -45,3 +45,18 @@ def test_exchange_budget(name, spark, sf_dir):
         f"{BUDGETS[name]['exchanges']} — an extra shuffle crept in "
         "(restore the plan or consciously regen the budget)"
     )
+    # the r9 "weak" class, pinned per query: a Window ranking a
+    # corpus-sized frame in ONE task may exist only where the budget
+    # consciously records one (the exact ntile/row_number oracle
+    # contracts — every one of which ships an approx=True or
+    # repartitionByRange production path in its docstring)
+    assert got["sp_corpus_windows"] <= BUDGETS[name].get(
+        "sp_corpus_windows", 0
+    ), (
+        f"{name}: a single-partition corpus-frame Window appeared "
+        f"({got['sp_corpus_windows']} > "
+        f"{BUDGETS[name].get('sp_corpus_windows', 0)}) — collapse the "
+        "frame first (operators/ranks counts idiom), select with "
+        "orderBy+limit (TakeOrdered), or ship an approx production "
+        "path before consciously regenerating the budget"
+    )

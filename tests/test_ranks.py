@@ -296,6 +296,23 @@ class TestPlans:
             assert "row_number(" not in plan, key
             assert "rank(" not in plan, key
 
+    def test_approx_paths_have_no_single_partition_corpus_window(
+        self, spark, sf_dir
+    ):
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+
+        for key in (
+            "q_perplexity_buckets",
+            "q_quantile_normalize",
+            "q_abc_classification",
+            "q_lift_deciles",
+            "q_equidepth_hist",
+        ):
+            n = single_partition_corpus_windows(
+                QUERIES[key](spark, sf_dir, approx=True)
+            )
+            assert n == 0, (key, n)
+
     def test_exact_paths_unchanged(self, spark, sf_dir):
         # the oracle-pinned defaults must still be the positional forms
         assert "ntile(" in formatted_plan(
