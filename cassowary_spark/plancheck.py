@@ -75,7 +75,9 @@ def _sp_corpus_windows_from_text(text: str) -> int:
     node's Arguments from the detail section (which names the
     exchange's partitioning). Subquery trees are not walked — their
     windows run per subquery execution and are audited by the
-    budgets' total window/exchange counts instead.
+    budgets' total window/exchange counts instead (empirically
+    vacuous: an r10 full-registry scan found ZERO Window nodes in
+    any query's subquery section).
     """
     import re
 
