@@ -88,6 +88,21 @@ class TestOperator:
         assert out[("g2", 2)] == _rank_reference([2, 2, 2, 7])[2]
         assert out[("g2", 7)] == _rank_reference([2, 2, 2, 7])[7]
 
+    def test_doubled_midranks_grouped_with_cum(self, spark):
+        rows = [("a", 5, 2), ("a", 3, 1), ("b", 5, 4)]
+        df = spark.createDataFrame(rows, "g string, x long, cnt long")
+        out = {
+            (r.g, r.x): (r.u2, r.cum)
+            for r in doubled_midranks(
+                df, "x", "cnt", group_cols=("g",), cum_col="cum"
+            ).collect()
+        }
+        # group a: multiset {3, 5, 5} — ranks 1, then {2,3} averaged
+        assert out[("a", 3)] == (_rank_reference([3, 5, 5])[3], 1)
+        assert out[("a", 5)] == (_rank_reference([3, 5, 5])[5], 3)
+        # group b: one tie block of 4 — 2*avg_rank = 2*2.5 = 5
+        assert out[("b", 5)] == (5, 4)
+
     def test_tie_correction(self, spark):
         counts = spark.createDataFrame(
             [(1, 3), (2, 1), (3, 4)], "x long, cnt long"
