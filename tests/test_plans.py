@@ -355,3 +355,107 @@ def test_join_strategy_hints_control_physical_plan(spark):
     assert "BroadcastHashJoin" in plan("BROADCAST(o)")
     assert "ShuffledHashJoin" in plan("SHUFFLE_HASH(o)")
     assert "SortMergeJoin" in plan("MERGE(o)")
+
+
+class TestSinglePartitionCorpusWindowDetector:
+    """The sp_corpus_windows parser against live plans of every shape
+    it must distinguish: join branches (the ':-' tree prefix),
+    partitioned vs unpartitioned windows, aggregate-collapsed and
+    TakeOrdered-bounded frames."""
+
+    def _events(self, spark, n=200):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+        )
+
+    def test_unpartitioned_window_over_scan_flagged(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        df = d.select(F.rank().over(Window.orderBy("n_chars")).alias("r"))
+        assert single_partition_corpus_windows(df) == 1
+
+    def test_partitioned_window_over_scan_clean(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        df = d.select(
+            F.rank()
+            .over(Window.partitionBy("lang").orderBy("n_chars"))
+            .alias("r")
+        )
+        assert single_partition_corpus_windows(df) == 0
+
+    def test_window_over_aggregate_clean(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        agg = d.groupBy("lang").agg(F.count("*").alias("n"))
+        df = agg.select(F.rank().over(Window.orderBy("n")).alias("r"))
+        assert single_partition_corpus_windows(df) == 0
+
+    def test_window_over_take_ordered_clean(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        top = d.orderBy(F.desc("n_chars")).limit(10)
+        df = top.select(F.rank().over(Window.orderBy("n_chars")).alias("r"))
+        assert single_partition_corpus_windows(df) == 0
+
+    def test_window_above_join_branch_flagged(self, spark, sf_dir):
+        # the ':-' multi-child tree prefix: a corpus scan on the LEFT
+        # branch of a join must still be reachable from the window
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        dims = (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+        )
+        j = d.join(F.broadcast(dims), "lang")
+        df = j.select(F.rank().over(Window.orderBy("n_chars")).alias("r"))
+        assert single_partition_corpus_windows(df) == 1
+
+    def test_window_above_two_aggregated_join_sides_clean(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        a = (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+        )
+        b = (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.max("n_chars").alias("mx"))
+        )
+        j = a.join(b, "lang")
+        df = j.select(F.rank().over(Window.orderBy("n")).alias("r"))
+        assert single_partition_corpus_windows(df) == 0
