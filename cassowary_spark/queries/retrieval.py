@@ -199,7 +199,9 @@ _RRF_TOPK = 50
     ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
     """,
 )
-def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rank_fusion(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Reciprocal-rank fusion (C62): combine two independent rankings
     of the corpus — a length/quality ranking and a term-frequency
     ranking standing in for sparse-vs-dense retriever outputs — via
@@ -216,6 +218,15 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows sort 500-row frames. The fuse join is doc-keyed and the
     final cut is TakeOrdered. At 100 TB the inputs are per-query
     shortlists of ≤1k rows each — driver-sized by construction.
+    ``approx=True`` additionally SHIPS the corpus-inputs form (r10):
+    both rankings become MIN-ranks from DESC running sums over the
+    distinct-VALUE frames (doc lengths and term counts are
+    domain-bounded — the operators/ranks counts discipline), carried
+    onto docs by two broadcast joins, with the cut still TakeOrdered.
+    No corpus sort or window; divergence from exact is tie handling
+    only (tied metric values share their block's first rank instead
+    of splitting by doc_id — same ties-together convention as
+    with_approx_ntiles). tests/test_ranks.py pins top-k agreement.
     """
     d = load_table(spark, sf_dir, "documents")
     tf = (
@@ -231,17 +242,36 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_chars", F.coalesce("tf", F.lit(0)).alias("tf")
         )
     )
-    ranked = base.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
-        .cast("long")
-        .alias("r_len"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
-        .cast("long")
-        .alias("r_tf"),
-    )
+    if approx:
+        def min_ranks(val: str, out: str) -> DataFrame:
+            cnt = base.groupBy(val).agg(F.count("*").cast("long").alias("c"))
+            wd = Window.orderBy(F.desc(val)).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            return cnt.select(
+                val,
+                (F.coalesce(F.sum("c").over(wd), F.lit(0)) + 1)
+                .cast("long")
+                .alias(out),
+            )
+
+        ranked = base.join(
+            F.broadcast(min_ranks("n_chars", "r_len")), "n_chars"
+        ).join(F.broadcast(min_ranks("tf", "r_tf")), "tf").select(
+            "doc_id", "r_len", "r_tf"
+        )
+    else:
+        ranked = base.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .cast("long")
+            .alias("r_len"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
+            .cast("long")
+            .alias("r_tf"),
+        )
     fused = ranked.select(
         "doc_id",
         "r_len",

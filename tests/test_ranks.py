@@ -257,6 +257,26 @@ class TestQueryAgreement:
                 assert n1 <= n2, (src, x1, n1, x2, n2)
 
 
+    def test_rank_fusion_approx_agrees(self, spark, sf_dir):
+        exact = QUERIES["q_rank_fusion"](spark, sf_dir).collect()
+        approx = QUERIES["q_rank_fusion"](
+            spark, sf_dir, approx=True
+        ).collect()
+        assert len(approx) == len(exact)
+        ex_ids = {r.doc_id for r in exact}
+        ap_ids = {r.doc_id for r in approx}
+        # only tie-boundary docs may differ between the positional and
+        # the min-rank (ties-together) cut
+        assert len(ex_ids & ap_ids) >= 0.9 * len(ex_ids)
+        ex_rrf = {r.doc_id: r.rrf for r in exact}
+        for r in approx:
+            if r.doc_id in ex_rrf:
+                # min-rank <= positional rank, so approx rrf >= exact
+                assert r.rrf >= ex_rrf[r.doc_id] - 1e-9, r.doc_id
+        # ranks are min-ranks of the same orderings: r_len/r_tf valid
+        for r in approx:
+            assert r.r_len >= 1 and r.r_tf >= 1
+
     def test_abc_approx_agrees(self, spark, sf_dir):
         exact = {
             r.abc_class: r
@@ -322,6 +342,7 @@ class TestPlans:
             "q_abc_classification",
             "q_lift_deciles",
             "q_equidepth_hist",
+            "q_rank_fusion",
         ):
             n = single_partition_corpus_windows(
                 QUERIES[key](spark, sf_dir, approx=True)
