@@ -502,7 +502,9 @@ def _z_interleave_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
     FROM ranked
     """,
 )
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_zorder_layout(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Z-order layout clustering (C33): assign rows to output files
     along a Morton space-filling curve over (doc_id, n_chars), so
     file-level min/max statistics prune scans filtered on EITHER
@@ -515,11 +517,27 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     which samples ranges instead of global-sorting; the query
     materializes the same file mapping with an explicit rank so the
     oracle can check it row-for-row (50 rows/file is fixture-scaled).
+    ``approx=True`` SHIPS that production analogue (r10): file
+    boundaries from one approx-quantile sketch of zkey (the same
+    sampling role repartitionByRange's RangePartitioner plays),
+    bucketing row-local — no corpus sort or window; files are
+    near-equal-sized instead of exactly ``_Z_FILE_ROWS`` and tied
+    zkeys stay together (tests/test_ranks.py pins the agreement).
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     z = d.withColumn(
         "zkey", F.expr(_z_interleave_sql("doc_id", "n_chars")).cast("long")
     )
+    if approx:
+        from cassowary_spark.operators.quantiles import with_approx_ntiles
+
+        n_files = max(2, z.count() // _Z_FILE_ROWS)
+        return with_approx_ntiles(z, [("__f", F.col("zkey"), n_files)]).select(
+            "doc_id",
+            "n_chars",
+            "zkey",
+            (F.col("__f") - 1).cast("long").alias("zfile"),
+        )
     return z.select(
         "doc_id",
         "n_chars",

@@ -277,6 +277,28 @@ class TestQueryAgreement:
         for r in approx:
             assert r.r_len >= 1 and r.r_tf >= 1
 
+    def test_zorder_approx_agrees(self, spark, sf_dir):
+        exact = QUERIES["q_zorder_layout"](spark, sf_dir).collect()
+        approx = QUERIES["q_zorder_layout"](
+            spark, sf_dir, approx=True
+        ).collect()
+        assert len(approx) == len(exact)  # every row assigned a file
+        # zfile is monotone in (zkey): a larger z-key never lands in a
+        # smaller file — the property file-level min/max pruning needs
+        pairs = sorted((r.zkey, r.zfile) for r in approx)
+        for (z1, f1), (z2, f2) in zip(pairs, pairs[1:]):
+            assert f1 <= f2, (z1, f1, z2, f2)
+        # near-equal file sizes (sketch + tie tolerance)
+        from collections import Counter
+
+        sizes = Counter(r.zfile for r in approx)
+        n = len(approx)
+        target = n / len(sizes)
+        assert all(s <= 3 * target for s in sizes.values()), sizes
+        # file count close to the exact layout's
+        exact_files = len({r.zfile for r in exact})
+        assert abs(len(sizes) - exact_files) <= max(2, 0.25 * exact_files)
+
     def test_abc_approx_agrees(self, spark, sf_dir):
         exact = {
             r.abc_class: r
@@ -343,6 +365,7 @@ class TestPlans:
             "q_lift_deciles",
             "q_equidepth_hist",
             "q_rank_fusion",
+            "q_zorder_layout",
         ):
             n = single_partition_corpus_windows(
                 QUERIES[key](spark, sf_dir, approx=True)
