@@ -128,6 +128,60 @@ def attach_doubled_midranks(
     return cells.withColumn(out_col, (2 * cum - tie + 1).cast("long"))
 
 
+def counts_bands(
+    cells: DataFrame,
+    value_col: str,
+    cnt_col: str,
+    n_bands: int,
+    *,
+    descending: bool = False,
+    group_cols: Sequence[str] = (),
+    out_col: str = "band",
+) -> DataFrame:
+    """Ties-together equi-depth banding over a cells frame — the
+    scale-safe exact sibling of ``ntile(B)``.
+
+    ``ntile`` splits tied values across band boundaries by row
+    position, which (a) needs a corpus-wide totally-ordered window
+    and (b) makes the cut depend on an arbitrary tiebreak column.
+    This banding keeps every tie group whole: a cell (one row per
+    (group, value), or several — ties pool via the RANGE frame) is
+    assigned
+
+        band = 1 + ((cum − 1) · B) div N
+
+    where cum is the inclusive cumulative count through the END of
+    the value's tie group (RANGE frame pools peers) and N the
+    partition total. Bands are 1..B, monotone in the value order,
+    each within one tie-group's mass of N/B — the classic equi-depth
+    histogram with ties-together semantics (what ANALYZE-style
+    equi-height histograms store). The window runs over the CELLS
+    frame (distinct values — domain-bounded for quantized metrics),
+    never the corpus: sp_corpus_windows = 0 by construction.
+
+    Exactness: cum, N are BIGINTs; (cum−1)·B is computed in BIGINT
+    and divided exactly via the subtract-remainder identity
+    (a − a mod n)/n — the float division is a multiple of its
+    divisor with a small quotient, so IEEE rounds it exactly; no
+    floor-of-near-integer hazard. The matching ANSI form is
+    ``1 + ((cum - 1) * B) // tot``.
+    """
+    order = (
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = F.sum(F.col(cnt_col)).over(wcum).cast("long")
+    tot = F.sum(F.col(cnt_col)).over(wtot).cast("long")
+    num = (cum - 1) * F.lit(n_bands).cast("long")
+    band = F.lit(1) + (num - F.pmod(num, tot)) / tot
+    return cells.withColumn(out_col, band.cast("int"))
+
+
 def tie_correction(
     counts: DataFrame,
     cnt_col: str,

@@ -32,8 +32,10 @@ def formatted_plan(df: DataFrame) -> str:
 #: nodes whose OUTPUT cardinality is bounded regardless of input size
 #: — an aggregate collapses to its key count, a limit to N; a window
 #: above one of these ranks a collapsed frame, not the corpus.
-#: ReusedExchange is treated as bounded because the exchange it
-#: mirrors is audited at its original site.
+#: ReusedExchange is NOT here: it is resolved to the exchange it
+#: mirrors and that subtree is walked (a Window fed via a reused
+#: SinglePartition corpus exchange is just as single-task as the
+#: original consumer).
 _BOUNDING = frozenset(
     {
         "HashAggregate",
@@ -45,14 +47,20 @@ _BOUNDING = frozenset(
         "LocalLimit",
         "LocalTableScan",
         "Range",
-        "ReusedExchange",
     }
 )
 
 
 def single_partition_corpus_windows(df: DataFrame) -> int:
     """Count Window nodes that rank a CORPUS frame in ONE task (see
-    ``_sp_corpus_windows_from_text`` for the rule)."""
+    ``_sp_corpus_windows_from_text`` for the rule).
+
+    Clears the session cache first — a necessary global side effect:
+    a query whose lineage was persisted earlier in the session plans
+    an InMemoryTableScan where the source scan would be, hiding the
+    corpus scan this detector walks for (the count would then depend
+    on session history, not the query). Callers that rely on a live
+    persist() must re-trigger it after auditing."""
     df.sparkSession.catalog.clearCache()
     return _sp_corpus_windows_from_text(formatted_plan(df))
 
@@ -71,13 +79,17 @@ def _sp_corpus_windows_from_text(text: str) -> int:
     scale-killer this counts.
 
     Parses the tree header of ``explain("formatted")`` (node ids +
-    parentage from indentation, 3 chars per level) joined with each
-    node's Arguments from the detail section (which names the
-    exchange's partitioning). Subquery trees are not walked — their
-    windows run per subquery execution and are audited by the
-    budgets' total window/exchange counts instead (empirically
-    vacuous: an r10 full-registry scan found ZERO Window nodes in
-    any query's subquery section).
+    parentage from indentation, 3 chars per level — the ``* ``
+    whole-stage-codegen marker of non-AQE plans adds 2 chars within
+    the same level and is consumed by the prefix class) joined with
+    each node's Arguments from the detail section (which names the
+    exchange's partitioning). ReusedExchange nodes are resolved to
+    the exchange they mirror (``[Reuses operator id: N]`` in the
+    detail section) and the mirrored subtree is walked. Subquery
+    trees are not walked — their windows run per subquery execution
+    and are audited by the budgets' total window/exchange counts
+    instead (empirically vacuous: an r10 full-registry scan found
+    ZERO Window nodes in any query's subquery section).
     """
     import re
 
@@ -93,7 +105,7 @@ def _sp_corpus_windows_from_text(text: str) -> int:
         )
     except StopIteration:
         return 0
-    head = re.compile(r"^([ :+\-]*)([A-Za-z][A-Za-z]*)[^(]*\((\d+)\)\s*$")
+    head = re.compile(r"^([ :+\-*]*)([A-Za-z][A-Za-z]*)[^(]*\((\d+)\)\s*$")
     names: dict[int, str] = {}
     children: dict[int, list[int]] = {}
     by_depth: dict[int, int] = {}
@@ -110,14 +122,22 @@ def _sp_corpus_windows_from_text(text: str) -> int:
         if depth > 0 and (depth - 1) in by_depth:
             children[by_depth[depth - 1]].append(nid)
         by_depth[depth] = nid
-    # Arguments per node id from the detail section
+    # Arguments + ReusedExchange references per node id from the
+    # detail section
     args: dict[int, str] = {}
+    reuse: dict[int, int] = {}
     cur = None
     detail = re.compile(r"^\((\d+)\) ")
+    reuse_re = re.compile(
+        r"^\((\d+)\) ReusedExchange \[Reuses operator id: (\d+)\]"
+    )
     for l in lines:
         m = detail.match(l)
         if m:
             cur = int(m.group(1))
+            r = reuse_re.match(l)
+            if r:
+                reuse[cur] = int(r.group(2))
         elif cur is not None and l.startswith("Arguments:"):
             args[cur] = l
 
@@ -125,6 +145,11 @@ def _sp_corpus_windows_from_text(text: str) -> int:
         name = names.get(nid, "")
         if name in _BOUNDING:
             return False
+        if name == "ReusedExchange":
+            # walk the mirrored exchange's subtree; an unresolvable
+            # reference is conservatively treated as corpus-reaching
+            ref = reuse.get(nid)
+            return True if ref is None else reaches_corpus(ref)
         if name.startswith("Scan") or name.startswith("BatchScan"):
             return True
         ch = children.get(nid, [])
@@ -133,10 +158,19 @@ def _sp_corpus_windows_from_text(text: str) -> int:
     def flagged(nid: int) -> bool:
         """Walk the input chain below a Window: pass-through nodes
         until the Exchange that set its distribution (or a bounding
-        node / scan)."""
+        node / scan). A ReusedExchange is audited AS the exchange it
+        mirrors — same partitioning, same input subtree."""
         for c in children.get(nid, []):
             name = names.get(c, "")
             if name in _BOUNDING:
+                continue
+            if name == "ReusedExchange":
+                ref = reuse.get(c)
+                if ref is not None:
+                    if "SinglePartition" in args.get(ref, "") and any(
+                        reaches_corpus(g) for g in children.get(ref, [])
+                    ):
+                        return True
                 continue
             if name == "Exchange":
                 if "SinglePartition" in args.get(c, "") and any(

@@ -529,14 +529,35 @@ def q_zorder_layout(
         "zkey", F.expr(_z_interleave_sql("doc_id", "n_chars")).cast("long")
     )
     if approx:
-        from cassowary_spark.operators.quantiles import with_approx_ntiles
-
-        n_files = max(2, z.count() // _Z_FILE_ROWS)
-        return with_approx_ntiles(z, [("__f", F.col("zkey"), n_files)]).select(
+        # one LAZY aggregate carries both the zkey rank sketch and the
+        # row count (r10-advice fix: no eager z.count() in the query
+        # builder — constructing the frame no longer runs a job). The
+        # sketch is a fixed-K rank estimator: a row's estimated global
+        # position is (#thresholds strictly below zkey)/K · N, and its
+        # file is that position div _Z_FILE_ROWS — near-equal files of
+        # ~_Z_FILE_ROWS rows, ties together, no corpus sort or window.
+        k_sketch = 2048
+        st = z.agg(
+            F.percentile_approx(
+                F.col("zkey").cast("double"),
+                [i / k_sketch for i in range(1, k_sketch)],
+                10_000,
+            ).alias("__th"),
+            F.count("*").cast("long").alias("__n"),
+        )
+        j = z.crossJoin(F.broadcast(st))
+        zv = F.col("zkey").cast("double")
+        idx = F.aggregate(
+            F.col("__th"),
+            F.lit(0),
+            lambda acc, t: acc + F.when(zv > t, 1).otherwise(0),
+        )
+        pos = idx.cast("double") / k_sketch * F.col("__n").cast("double")
+        return j.select(
             "doc_id",
             "n_chars",
             "zkey",
-            (F.col("__f") - 1).cast("long").alias("zfile"),
+            F.floor(pos / _Z_FILE_ROWS).cast("long").alias("zfile"),
         )
     return z.select(
         "doc_id",

@@ -177,14 +177,23 @@ _EQD_BINS = 10
 @query(
     "q_equidepth_hist",
     oracle=f"""
-    WITH binned AS (
-        SELECT l_extendedprice AS v,
-               ntile({_EQD_BINS}) OVER (ORDER BY l_extendedprice,
-                                        l_orderkey, l_linenumber) AS bin
-        FROM lineitem
+    WITH cells AS (
+        SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS tot
+        FROM cells
+    ),
+    binned AS (
+        SELECT CAST(1 + ((cum - 1) * {_EQD_BINS}) // tot AS INT) AS bin,
+               v, cnt
+        FROM cum
     )
     SELECT bin,
-           count(*) AS n_rows,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
            {sql_srnd("min(v)", 4)} AS lo,
            {sql_srnd("max(v)", 4)} AS hi
     FROM binned GROUP BY 1
@@ -193,25 +202,35 @@ _EQD_BINS = 10
 def q_equidepth_hist(
     spark: SparkSession, sf_dir: str, *, approx: bool = False
 ) -> DataFrame:
-    """Equi-depth histogram (C83): {n} equal-count bins over
+    """Equi-depth histogram (C83): {n} near-equal-count bins over
     l_extendedprice with per-bin bounds — the histogram a cost-based
     optimizer stores (ANALYZE ... FOR COLUMNS) and the skew-aware
     sibling of B22c's fixed-width binning: bin WIDTH adapts so each
-    holds the same row count, which is what makes selectivity
-    estimates robust to skew.
+    holds (close to) the same row count, which is what makes
+    selectivity estimates robust to skew.
 
-    Determinism: ntile orders by (value, orderkey, linenumber) — a
-    strict total order, so bin assignment of tied values is
-    engine-stable.
+    Semantics (r11 re-authoring, the q_mann_whitney precedent): the
+    cut is TIES-TOGETHER — operators/ranks.counts_bands assigns every
+    tie group whole to bin 1 + ((cum−1)·{n}) div N over the
+    distinct-value counts frame, exactly what equi-height histograms
+    store (a value never straddles two buckets). Tie-invariant: no
+    positional tiebreak column exists, so the result is a pure
+    function of the value multiset.
 
-    Scale shape: the demonstration ntile is an unpartitioned window
-    (exact form); the rollup is a {n}-key partial agg. ``approx=True``
-    is the 100 TB production form: approx_percentile's mergeable
-    sketch for the boundaries (no row shuffle) + one row-local
-    bucketing pass (operators/quantiles.with_approx_ntiles) — same
-    output shape, per-bin mass within sketch tolerance
-    (tests/test_quantiles.py); the exact form stays the default
-    because the oracle must be bit-checkable.
+    Determinism: exact BIGINT cumulative counts and integer division
+    on both engines; lo/hi are srnd4-quantized mins/maxes of exact
+    parquet doubles — no engine-dependent float path.
+
+    Scale shape: ONE map-side-combining groupBy collapses the corpus
+    to its value cells (integer-cents quantization bounds the domain
+    regardless of row count — ≤ ~10⁷ cells at any scale); the banding
+    window runs over THAT frame only (sp_corpus_windows = 0); the
+    rollup is a {n}-key partial agg. No corpus sort or corpus window
+    anywhere — this exact form IS the 100 TB form. ``approx=True``
+    keeps the sketch-boundary variant (approx_percentile cuts +
+    row-local bucketing, operators/quantiles.with_approx_ntiles) for
+    pipelines that prefer zero value-shuffle over cell exactness;
+    per-bin mass agreement pinned in tests/test_quantiles.py.
     """
     li = load_table(spark, sf_dir, "lineitem")
     if approx:
@@ -221,14 +240,19 @@ def q_equidepth_hist(
             li.select(F.col("l_extendedprice").alias("v")),
             [("bin", F.col("v"), _EQD_BINS)],
         )
-    else:
-        w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        binned = li.select(
-            F.col("l_extendedprice").alias("v"),
-            F.ntile(_EQD_BINS).over(w).alias("bin"),
+        return binned.groupBy("bin").agg(
+            F.count("*").alias("n_rows"),
+            srnd(F.min("v"), 4).alias("lo"),
+            srnd(F.max("v"), 4).alias("hi"),
         )
+    from cassowary_spark.operators.ranks import counts_bands
+
+    cells = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    binned = counts_bands(cells, "v", "cnt", _EQD_BINS, out_col="bin")
     return binned.groupBy("bin").agg(
-        F.count("*").alias("n_rows"),
+        F.sum("cnt").cast("long").alias("n_rows"),
         srnd(F.min("v"), 4).alias("lo"),
         srnd(F.max("v"), 4).alias("hi"),
     )

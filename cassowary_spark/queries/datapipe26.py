@@ -34,14 +34,23 @@ _SQL_SCORED_KEYED = """
     "q_lift_deciles",
     oracle=f"""
     WITH {_SQL_SCORED_KEYED},
-    decs AS (
-        SELECT ntile(10) OVER (ORDER BY s DESC, k) AS decile, y
-        FROM scored
+    cells AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS cpos
+        FROM scored GROUP BY 1
+    ),
+    banded AS (
+        SELECT s, cnt, cpos,
+               CAST(1 + ((CAST(sum(cnt) OVER (ORDER BY s DESC)
+                               AS BIGINT) - 1) * 10)
+                    // CAST(sum(cnt) OVER () AS BIGINT)
+                    AS INT) AS decile
+        FROM cells
     ),
     per AS (
-        SELECT decile, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(y) AS BIGINT) AS pos
-        FROM decs GROUP BY 1
+        SELECT decile, CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cpos) AS BIGINT) AS pos
+        FROM banded GROUP BY 1
     ),
     cum AS (
         SELECT decile, n, pos,
@@ -70,31 +79,36 @@ def q_lift_deciles(
     spark: SparkSession, sf_dir: str, *, approx: bool = False
 ) -> DataFrame:
     """Cumulative gains / lift deciles (C143): rank the population by
-    C99's classifier score, cut into ntile(10) deciles, and report
-    each decile's response rate, the cumulative capture (share of
-    all positives reached by decile d) and cumulative lift vs the
+    C99's classifier score, cut into 10 equi-depth score bands, and
+    report each decile's response rate, the cumulative capture (share
+    of all positives reached by decile d) and cumulative lift vs the
     base rate — the targeting chart ("mail the top 3 deciles, get
     68% of responders") that turns C99's threshold-free AUC into an
     operating decision. Completes the eval battery: ROC (ranking),
     calibration (probability quality), lift (business targeting).
 
-    Determinism: the decile cut is ntile over a TOTAL order
-    (score DESC, order key) — tied scores cannot straddle a
-    boundary engine-dependently; all counts are exact BIGINTs and
-    the three ratios divide exact integers; the cumulative window
-    runs over 10 rows.
+    Semantics (r11 re-authoring): the decile cut is TIES-TOGETHER
+    (operators/ranks.counts_bands, score DESC) — every order with the
+    same score lands in the same decile, which is the operationally
+    honest chart (you cannot mail half the customers at one score
+    threshold). Tie-invariant: no positional tiebreak, the result is
+    a pure function of the (score, label) multiset. Decile sizes are
+    equal up to tie-group granularity (exact when scores at the cuts
+    are distinct).
 
-    Scale shape: the exact path's ntile needs a global sort of
-    (s, k) pairs — the one genuinely corpus-sized sort in this
-    family, the same cost class as B26 ORDER BY (range-partitioned
-    sort, no single-node bottleneck); everything after is a 10-key
-    agg and windows over 10 rows. ``approx=True`` is the 100 TB
-    evolution: decile cuts from one approx-quantile sketch of s
-    (operators/quantiles.with_approx_ntiles), bucketing row-local —
-    no sort at all. Same chart up to sketch error and score ties at
-    the cut points (tests/test_quantiles.py pins the agreement);
-    the exact ntile form stays the default because exactness is the
-    test contract.
+    Determinism: all counts are exact BIGINTs through the banding
+    arithmetic; the three ratios divide exact integers; the
+    cumulative window runs over 10 rows.
+
+    Scale shape: ONE groupBy collapses the corpus to its score cells
+    (the score domain is 0..1299 here — 1300 cells at ANY corpus
+    size; real model scores quantize to fixed decimals the same way);
+    the banding window runs over that frame only
+    (sp_corpus_windows = 0) — no corpus sort exists in the plan, so
+    this exact form IS the 100 TB form. ``approx=True`` keeps the
+    sketch-cut variant (approx_percentile boundaries + row-local
+    bucketing) for unquantized score domains;
+    tests/test_quantiles.py pins the agreement.
     """
     o = load_table(spark, sf_dir, "orders")
     y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
@@ -116,17 +130,24 @@ def q_lift_deciles(
         decs = with_approx_ntiles(scored, [("decile", -F.col("s"), 10)]).select(
             "decile", "y"
         )
-    else:
-        decs = scored.select(
-            F.ntile(10)
-            .over(Window.orderBy(F.col("s").desc(), F.col("k")))
-            .alias("decile"),
-            "y",
+        per = decs.groupBy("decile").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
         )
-    per = decs.groupBy("decile").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("y").cast("long").alias("pos"),
-    )
+    else:
+        from cassowary_spark.operators.ranks import counts_bands
+
+        cells = scored.groupBy("s").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("cpos"),
+        )
+        banded = counts_bands(
+            cells, "s", "cnt", 10, descending=True, out_col="decile"
+        )
+        per = banded.groupBy("decile").agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("cpos").cast("long").alias("pos"),
+        )
     wc = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -554,14 +554,23 @@ _PB_N = 3  # head / middle / tail
                    "ln(sum(tf * cnt_t) / (sum(tf) * max(tot)))", 6)} AS lp
         FROM sc GROUP BY doc_id
     ),
-    cut AS (
-        SELECT d.lang, ntile({_PB_N}) OVER (ORDER BY lp.lp DESC, lp.doc_id)
-                   AS bucket,
-               lp.lp
+    cells AS (
+        SELECT lp.lp AS lp, d.lang, CAST(count(*) AS BIGINT) AS cnt
         FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+        GROUP BY 1, 2
+    ),
+    cut AS (
+        SELECT lang, lp, cnt,
+               CAST(1 + ((CAST(sum(cnt) OVER (ORDER BY lp DESC
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) - 1)
+                         * {_PB_N})
+                    // CAST(sum(cnt) OVER () AS BIGINT)
+                    AS INT) AS bucket
+        FROM cells
     )
-    SELECT lang, CAST(bucket AS INT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_docs,
+    SELECT lang, bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
            {sql_srnd("min(lp)", 6)} AS lp_min,
            {sql_srnd("max(lp)", 6)} AS lp_max
     FROM cut GROUP BY lang, bucket
@@ -578,24 +587,29 @@ def q_perplexity_buckets(
     banding a pretraining pipeline uses to mix "clean" head data
     with harder tail data at controlled ratios.
 
+    Semantics (r11 re-authoring): the tercile cut is TIES-TOGETHER
+    (operators/ranks.counts_bands over the (lp, lang) score cells,
+    lp DESC) — documents with identical quality scores always share a
+    bucket, which is what a curriculum mixer wants (a score threshold
+    either includes a score class or it doesn't). Tie-invariant: no
+    doc_id tiebreak, the banding is a pure function of the score
+    multiset.
+
     Determinism: the per-doc score is C29's single-ln construction
     (exact integer accumulation, one float op, srnd6-quantized);
-    the tercile cut is ntile over the TOTAL order (lp DESC, doc_id)
-    so tied scores can't straddle a boundary engine-dependently
-    (C143's idiom); min/max per bucket are order-free over
-    quantized values.
+    banding arithmetic is exact BIGINT on both engines; min/max per
+    bucket are order-free over quantized values.
 
     Scale shape: the scoring pass is C29's term-keyed shuffle + doc
-    partial agg; the exact cut is the one global sort (same class as
-    C143 — range-partitioned at scale); the report is a
-    ≤ |langs|×3-row agg. ``approx=True`` is the 100 TB production
-    path (the C143/C97/C142 convention): tercile thresholds from one
-    approx-quantile sketch of lp
-    (operators/quantiles.with_approx_ntiles), bucketing row-local —
-    no sort, no window anywhere in the cut. Same banding up to
-    sketch error and lp ties at the cut points
-    (tests/test_ranks.py pins the agreement); the exact ntile form
-    stays the default because exactness is the test contract.
+    partial agg (corpus-parallel); ONE groupBy then collapses to
+    (lp, lang) cells — lp is srnd6-quantized over a bounded score
+    range, so the cell frame is domain-bounded (≤ ~10⁷ rows at ANY
+    corpus size) and the banding window runs over it only
+    (sp_corpus_windows = 0); the report is a ≤ |langs|×3-row agg. No
+    corpus sort anywhere — this exact form IS the 100 TB form.
+    ``approx=True`` keeps the sketch-threshold variant
+    (operators/quantiles.with_approx_ntiles, zero windows of any
+    kind); tests/test_ranks.py pins the agreement.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
@@ -626,16 +640,21 @@ def q_perplexity_buckets(
         cut = with_approx_ntiles(joined, [("bucket", -F.col("lp"), _PB_N)]).select(
             "lang", "bucket", "lp"
         )
-    else:
-        cut = joined.select(
-            "lang",
-            F.ntile(_PB_N)
-            .over(Window.orderBy(F.col("lp").desc(), F.col("doc_id")))
-            .alias("bucket"),
-            "lp",
+        return cut.groupBy("lang", "bucket").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            srnd(F.min("lp"), 6).alias("lp_min"),
+            srnd(F.max("lp"), 6).alias("lp_max"),
         )
+    from cassowary_spark.operators.ranks import counts_bands
+
+    cells = joined.groupBy("lp", "lang").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    cut = counts_bands(
+        cells, "lp", "cnt", _PB_N, descending=True, out_col="bucket"
+    )
     return cut.groupBy("lang", "bucket").agg(
-        F.count("*").cast("long").alias("n_docs"),
+        F.sum("cnt").cast("long").alias("n_docs"),
         srnd(F.min("lp"), 6).alias("lp_min"),
         srnd(F.max("lp"), 6).alias("lp_max"),
     )

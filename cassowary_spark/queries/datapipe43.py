@@ -29,28 +29,39 @@ from cassowary_spark.tables import load_table
         FROM documents
     ),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM m),
-    gref AS (
-        SELECT row_number() OVER (ORDER BY x, doc_id) AS gpos, x AS gx
-        FROM m
+    cells AS (
+        SELECT source, x, CAST(count(*) AS BIGINT) AS cnt
+        FROM m GROUP BY 1, 2
     ),
-    ranked AS (
-        SELECT doc_id, source, x,
-               row_number() OVER (PARTITION BY source
-                                  ORDER BY x, doc_id) AS r,
-               count(*) OVER (PARTITION BY source) AS ng
-        FROM m
+    sc AS (
+        SELECT source, x,
+               CAST(2 * sum(cnt) OVER (PARTITION BY source ORDER BY x)
+                    - cnt + 1 AS BIGINT) AS u2,
+               CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS ng
+        FROM cells
     ),
-    idx AS (
-        SELECT doc_id, source, x,
+    tpos AS (
+        SELECT source, x,
                CAST(1 + floor(
-                   coalesce((CAST(r AS DOUBLE) - 1.0)
-                            / nullif(CAST(ng AS DOUBLE) - 1.0, 0.0), 0.0)
+                   coalesce((CAST(u2 AS DOUBLE) - 2.0)
+                            / nullif(2.0 * CAST(ng AS DOUBLE) - 2.0,
+                                     0.0), 0.0)
                    * (CAST((SELECT nn FROM tot) AS DOUBLE) - 1.0)
-                   + 0.5) AS BIGINT) AS gpos
-        FROM ranked
+                   + 0.5) AS BIGINT) AS t
+        FROM sc
+    ),
+    g AS (
+        SELECT x AS gx,
+               CAST(sum(cnt2) OVER (ORDER BY x) AS BIGINT) AS hi,
+               CAST(sum(cnt2) OVER (ORDER BY x) - cnt2 + 1
+                    AS BIGINT) AS lo
+        FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt2
+              FROM m GROUP BY 1)
     )
-    SELECT i.doc_id, i.source, i.x, CAST(g.gx AS BIGINT) AS x_norm
-    FROM idx i JOIN gref g USING (gpos)
+    SELECT m.doc_id, m.source, m.x, CAST(g.gx AS BIGINT) AS x_norm
+    FROM m
+    JOIN tpos ON m.source = tpos.source AND m.x = tpos.x
+    JOIN g ON tpos.t BETWEEN g.lo AND g.hi
     """,
 )
 def q_quantile_normalize(
@@ -65,35 +76,37 @@ def q_quantile_normalize(
     comparable when sources have wildly different length profiles
     (C44's length bands then cut identically everywhere).
 
-    Mechanics: within-source position p = (rank−1)/(n_g−1) over the
-    TOTAL order (x, doc_id); the reference value is the global
-    (x, doc_id)-ordered sequence at index 1 + ⌊p·(N−1) + 0.5⌋ — the
-    nearest-rank discrete quantile map, exact for equal group sizes
-    and nearest-neighbor interpolated otherwise. Singleton groups
-    map to p = 0 (the explicit nullif/coalesce both engines spell).
+    Mechanics (r11 re-authoring, tie-invariant): the within-source
+    percentile is the AVERAGE-RANK of the doc's (source, x) cell —
+    p = (ar − 1)/(n_g − 1) with 2·ar = u2 the exact doubled midrank
+    (operators/ranks.doubled_midranks) — and the reference value is
+    the global value whose cumulative-count interval [lo, hi]
+    contains the target position t = 1 + ⌊p·(N−1) + 0.5⌋: the
+    nearest-rank discrete quantile map with ties pooled on BOTH
+    sides. A pure function of the two value multisets — no doc_id
+    tiebreak anywhere. Singleton groups map to p = 0 (the explicit
+    nullif/coalesce both engines spell).
 
-    Determinism: both rankings carry doc_id tiebreaks (identical
-    sequences on both engines); p and the index arithmetic are the
-    same fixed IEEE expression over exact integers; the output is
-    an integer reference value — no float ever ships.
+    Determinism: midranks and cumulative intervals are exact BIGINTs;
+    p and the index arithmetic are the same fixed IEEE expression on
+    both engines; every t lands in exactly one [lo, hi] (the
+    intervals tile 1..N); the output is an integer reference value —
+    no float ever ships.
 
-    Scale shape (exact): one source-partitioned rank window + one
-    global rank (range-partitioned sort at 100 TB — B26's class);
-    the final join is an integer-keyed equi-join of corpus-sized
-    frames — hash-partition co-location, no broadcast of data.
-    ``approx=True`` is the 100 TB production path: the global
-    reference becomes a K-point approx-quantile vector (one sketch
-    pass, 1-row broadcast), the within-source percentile becomes the
-    average-rank p of each (source, x) CELL — computed by a running
-    sum over the domain-bounded per-source distinct-value frame, the
-    operators/ranks discipline — and the map is a (source, x)
-    hash equi-join + row-local array index into the broadcast
-    reference vector. No corpus sort or corpus window
-    anywhere. Divergence from exact: tied (source, x) rows share one
-    p (exact splits them by doc_id position) and the reference is
-    sketch-resolution; tests/test_ranks.py pins the agreement. The
-    exact form stays the default because exactness is the test
-    contract.
+    Scale shape: two groupBys collapse the corpus to its (source, x)
+    and global x cells — doc-length domains are bounded (≤ ~10⁶
+    distinct) regardless of row count, so the per-source running-sum
+    windows and the global cumulative window all run over
+    domain-bounded frames (sp_corpus_windows = 0; no corpus sort
+    exists in the plan). The quantile map is a range join of the
+    cells frame against the BROADCAST global-cells intervals, then
+    one (source, x) hash equi-join back to rows — the only
+    corpus-sized shuffle. At truly unbounded domains the range join
+    evolves to the union-and-forward-fill as-of form (B12's class);
+    the fixtures never need it. ``approx=True`` keeps the
+    sketch-reference variant (K-point approx-quantile vector, zero
+    range join) for pipelines that cap reference resolution;
+    tests/test_ranks.py pins the agreement.
     """
     d = load_table(spark, sf_dir, "documents")
     m = d.select(
@@ -144,39 +157,50 @@ def q_quantile_normalize(
         return j.select(
             "doc_id", "source", "x", x_norm.cast("long").alias("x_norm")
         )
+    from cassowary_spark.operators.ranks import doubled_midranks
+
     tot = m.agg(F.count("*").cast("long").alias("nn"))
-    gref = m.select(
-        F.row_number()
-        .over(Window.orderBy("x", "doc_id"))
-        .cast("long")
-        .alias("gpos"),
-        F.col("x").alias("gx"),
+    cells = m.groupBy("source", "x").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    wsrc = Window.partitionBy("source").orderBy("x", "doc_id")
-    ranked = m.select(
-        "doc_id",
-        "source",
-        "x",
-        F.row_number().over(wsrc).alias("r"),
-        F.count("*").over(Window.partitionBy("source")).alias("ng"),
+    sc = doubled_midranks(
+        cells, "x", "cnt", group_cols=["source"], out_col="u2"
+    ).withColumn(
+        "ng",
+        F.sum("cnt").over(Window.partitionBy("source")).cast("long"),
     )
     p = F.coalesce(
-        (F.col("r").cast("double") - 1.0)
-        / F.nullif(F.col("ng").cast("double") - 1.0, F.lit(0.0)),
+        (F.col("u2").cast("double") - 2.0)
+        / F.nullif(2.0 * F.col("ng").cast("double") - 2.0, F.lit(0.0)),
         F.lit(0.0),
     )
-    idx = ranked.crossJoin(F.broadcast(tot)).select(
-        "doc_id",
+    tpos = sc.crossJoin(F.broadcast(tot)).select(
         "source",
         "x",
-        (
-            1
-            + F.floor(p * (F.col("nn").cast("double") - 1.0) + 0.5)
+        (1 + F.floor(p * (F.col("nn").cast("double") - 1.0) + 0.5))
+        .cast("long")
+        .alias("t"),
+    )
+    gcells = m.groupBy("x").agg(F.count("*").cast("long").alias("cnt2"))
+    gcum = (
+        F.sum("cnt2")
+        .over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
         )
         .cast("long")
-        .alias("gpos"),
     )
-    return idx.join(gref, "gpos").select(
+    g = gcells.select(
+        F.col("x").alias("gx"),
+        (gcum - F.col("cnt2") + 1).alias("lo"),
+        gcum.alias("hi"),
+    )
+    mapped = tpos.join(
+        F.broadcast(g),
+        (F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")),
+    ).select("source", "x", "gx")
+    return m.join(mapped, ["source", "x"]).select(
         "doc_id", "source", "x", F.col("gx").cast("long").alias("x_norm")
     )
 

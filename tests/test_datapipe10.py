@@ -133,23 +133,31 @@ class TestPeriodMovers:
 
 
 class TestEquidepthHist:
-    def test_equal_counts_under_ties(self, spark, tmp_path):
-        """20 rows, 15 of them the SAME value: bins stay 2-deep each
-        (ntile splits ties by the orderkey tiebreak), and bounds are
-        monotonically non-decreasing across bins."""
+    def test_ties_stay_together(self, spark, tmp_path):
+        """20 rows, 16 of them the SAME value (500.0): the r11
+        ties-together banding puts the whole tie group in ONE bin —
+        cells {100,200,300,400} have cum {1,2,3,4} and 500 has
+        cum 20, so bin = 1 + (cum-1)*10 div 20 gives bins
+        {1: (100,200), 2: (300,400), 10: 500×16}; bounds are
+        non-overlapping and total mass is conserved."""
         rows = [(i, 1, 500.0) for i in range(15)]
         rows += [(100 + i, 1, 100.0 * (i + 1)) for i in range(5)]
         sf = _write_lineitem(tmp_path, rows)
-        got = sorted(
-            (r["bin"], r["n_rows"], r["lo"], r["hi"])
+        got = {
+            r["bin"]: (r["n_rows"], r["lo"], r["hi"])
             for r in QUERIES["q_equidepth_hist"](spark, sf).collect()
-        )
-        assert [g[1] for g in got] == [2] * 10
-        bounds = [(g[2], g[3]) for g in got]
+        }
+        assert got == {
+            1: (2, 100.0, 200.0),
+            2: (2, 300.0, 400.0),
+            10: (16, 500.0, 500.0),
+        }
+        bounds = [got[b][1:] for b in sorted(got)]
         for (lo, hi) in bounds:
             assert lo <= hi
         for a, b in zip(bounds, bounds[1:]):
             assert a[1] <= b[0]
+        assert sum(v[0] for v in got.values()) == 20
 
 
 class TestRegression:

@@ -49,12 +49,11 @@ def _write_orders(tmp_path, rows):
 
 class TestLiftDeciles:
     def test_separable_population_closed_form(self, spark, tmp_path):
-        """100 orders, 20 positives. The +300 label shift doesn't
-        perfectly separate (hash term spans 1000), so derive the
-        expected deciles with a Python replication of the exact
-        scoring + ntile rule, then check the closed-form invariants:
-        capture is monotone to 1.0, decile sizes are exactly 10, and
-        total lift ends at 1.0."""
+        """100 orders, 20 positives. Derive the expected deciles with
+        a Python replication of the r11 ties-together banding rule
+        (group by score, desc cumulative count, decile =
+        1 + (cum−1)·10 div N), then check the closed-form invariants:
+        capture is monotone to 1.0 and total lift ends at 1.0."""
         import hashlib
 
         t = dt.datetime(1996, 6, 1)
@@ -67,30 +66,39 @@ class TestLiftDeciles:
             r["decile"]: r
             for r in QUERIES["q_lift_deciles"](spark, sf).collect()
         }
-        # python replication: score then ntile(10) over (s desc, k)
-        scored = []
+        # python replication: score cells, desc cum, banding
+        cells = {}
         for k in range(1, 101):
             y = 1 if k <= 20 else 0
             h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
-            scored.append((h % 1000 + 300 * y, k, y))
-        scored.sort(key=lambda t: (-t[0], t[1]))
-        K = sum(y for _, _, y in scored)
-        exp_pos = {}
-        for i, (_, _, y) in enumerate(scored):
-            d = i // 10 + 1  # 100 rows -> exact deciles of 10
-            exp_pos[d] = exp_pos.get(d, 0) + y
-        cum = 0
-        for d in range(1, 11):
-            cum += exp_pos.get(d, 0)
+            s = h % 1000 + 300 * y
+            c = cells.setdefault(s, [0, 0])
+            c[0] += 1
+            c[1] += y
+        K = sum(p for _, p in cells.values())
+        N = sum(n for n, _ in cells.values())
+        exp_n, exp_pos, cum = {}, {}, 0
+        for s in sorted(cells, reverse=True):
+            n, p = cells[s]
+            cum += n
+            d = 1 + (cum - 1) * 10 // N
+            exp_n[d] = exp_n.get(d, 0) + n
+            exp_pos[d] = exp_pos.get(d, 0) + p
+        assert set(out) == set(exp_n)
+        cum_pos, cum_n = 0, 0
+        for d in sorted(out):
+            cum_pos += exp_pos[d]
+            cum_n += exp_n[d]
             r = out[d]
-            assert r["n"] == 10
-            assert r["pos"] == exp_pos.get(d, 0), d
-            assert r["capture"] == _srnd(cum / K, 6), d
+            assert r["n"] == exp_n[d], d
+            assert r["pos"] == exp_pos[d], d
+            assert r["capture"] == _srnd(cum_pos / K, 6), d
             assert r["cum_lift"] == _srnd(
-                (cum / (10 * d)) / (K / 100), 6
+                (cum_pos / cum_n) / (K / N), 6
             ), d
-        assert out[10]["capture"] == 1.0
-        assert out[10]["cum_lift"] == 1.0
+        last = max(out)
+        assert out[last]["capture"] == 1.0
+        assert out[last]["cum_lift"] == 1.0
 
 
 class TestForecastInterval:

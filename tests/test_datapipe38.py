@@ -270,4 +270,8 @@ class TestPerplexityBuckets:
         for r in rows:
             per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + r.n_docs
         ns = list(per_bucket.values())
-        assert max(ns) - min(ns) <= 1  # ntile guarantee
+        # ties-together banding: each tercile within one lp tie
+        # group's mass of N/3 (lp is srnd6 of near-unique doc scores
+        # on the fixture, so the slack is small)
+        total = sum(ns)
+        assert max(ns) - min(ns) <= max(2, 0.05 * total)

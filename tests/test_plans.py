@@ -459,3 +459,56 @@ class TestSinglePartitionCorpusWindowDetector:
         j = a.join(b, "lang")
         df = j.select(F.rank().over(Window.orderBy("n")).alias("r"))
         assert single_partition_corpus_windows(df) == 0
+
+    def test_non_aqe_codegen_markers_parsed(self, spark, sf_dir):
+        # r10-advice fix: with AQE off the tree header spells
+        # '* Sort (4)' — the '*' codegen marker must not break
+        # parent-child links (the detector silently counted 0 before)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        flagged = d.select(
+            F.rank().over(Window.orderBy("n_chars")).alias("r")
+        )
+        clean = (
+            d.groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .select(F.rank().over(Window.orderBy("n")).alias("r"))
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            assert single_partition_corpus_windows(flagged) == 1
+            assert single_partition_corpus_windows(clean) == 0
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def test_reused_exchange_resolved_to_mirrored_subtree(
+        self, spark, sf_dir
+    ):
+        # r10-advice fix: a Window fed via a ReusedExchange of a
+        # SinglePartition corpus exchange is just as single-task as
+        # the original — the mirrored subtree must be walked, not
+        # treated as bounded
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        ranked = d.select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("n_chars")).alias("r"),
+        )
+        j = ranked.alias("a").join(ranked.alias("b"), "r")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            # exchange reuse fires only in non-AQE planning; both the
+            # original and the mirrored window must count
+            assert single_partition_corpus_windows(j) == 2
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")

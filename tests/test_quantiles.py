@@ -189,7 +189,9 @@ class TestApproxPlans:
                 assert ") Sort" not in plan, key
 
     def test_exact_paths_unchanged(self, spark, sf_dir):
-        # the oracle-pinned default must still be the ntile form
+        # the oracle-pinned defaults are exact window forms (rfm's
+        # ntile; equidepth/lift's r11 counts-frame banding windows) —
+        # distinct from the windowless approx paths above
         for key in ("q_rfm_segmentation", "q_equidepth_hist", "q_lift_deciles"):
             plan = formatted_plan(QUERIES[key](spark, sf_dir))
             assert ") Window" in plan, key

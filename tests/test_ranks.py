@@ -372,11 +372,21 @@ class TestPlans:
             )
             assert n == 0, (key, n)
 
-    def test_exact_paths_unchanged(self, spark, sf_dir):
-        # the oracle-pinned defaults must still be the positional forms
-        assert "ntile(" in formatted_plan(
-            QUERIES["q_perplexity_buckets"](spark, sf_dir)
-        )
-        assert "row_number(" in formatted_plan(
-            QUERIES["q_quantile_normalize"](spark, sf_dir)
-        )
+    def test_reauthored_defaults_are_counts_based(self, spark, sf_dir):
+        # r11 re-authoring: the oracle-pinned DEFAULTS of the former
+        # positional-cut queries are now ties-together counts/banding
+        # plans — no ntile/row_number over a corpus frame, and zero
+        # single-partition corpus windows
+        from cassowary_spark.plancheck import single_partition_corpus_windows
+
+        for key in (
+            "q_perplexity_buckets",
+            "q_quantile_normalize",
+            "q_equidepth_hist",
+            "q_lift_deciles",
+        ):
+            df = QUERIES[key](spark, sf_dir)
+            plan = formatted_plan(df)
+            assert "ntile(" not in plan, key
+            assert "row_number(" not in plan, key
+            assert single_partition_corpus_windows(df) == 0, key
