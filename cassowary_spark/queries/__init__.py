@@ -74,6 +74,9 @@ _MODULES = (
     "datapipe50",
     "datapipe51",
     "datapipe52",
+    "datapipe53",
+    "datapipe54",
+    "datapipe55",
 )
 
 _loaded = False
