@@ -77,6 +77,9 @@ _MODULES = (
     "datapipe53",
     "datapipe54",
     "datapipe55",
+    "datapipe56",
+    "datapipe57",
+    "datapipe58",
 )
 
 _loaded = False

@@ -46,7 +46,7 @@ def bench(sf_dir: str, keys: list[str]) -> dict[str, float]:
         BENCH_PASSES="2",
         BENCH_REPS="2",
     )
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env,
         capture_output=True,
@@ -54,16 +54,27 @@ def bench(sf_dir: str, keys: list[str]) -> dict[str, float]:
         cwd=ROOT,
         check=True,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["queries"]
+    # the stdout line is the compact HEADLINE subset only — the full
+    # per-query map is the BENCH_FULL.json sidecar, snapshot it
+    # before the next run overwrites it
+    with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
+        return json.load(f)["queries"]
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
-        full = json.load(f)
-    ranked = sorted(full["queries"].items(), key=lambda kv: -kv[1])
-    keys = [k for k, _ in ranked[:n]]
+    if len(sys.argv) > 2 and sys.argv[1] == "--keys":
+        keys = sys.argv[2].split(",")
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+        with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
+            full = json.load(f)
+        if len(full["queries"]) < 100:
+            sys.exit(
+                "BENCH_FULL.json holds a partial sweep — run the full"
+                " bench first or pass --keys k1,k2,..."
+            )
+        ranked = sorted(full["queries"].items(), key=lambda kv: -kv[1])
+        keys = [k for k, _ in ranked[:n]]
     if not os.path.isdir(SF1):
         sys.exit("sf1 fixtures missing — run scripts/gen_sf1_fixtures.py")
     print(f"rehearsing {len(keys)} keys at sf0.1 then sf1 ...", flush=True)
