@@ -80,6 +80,7 @@ _MODULES = (
     "datapipe56",
     "datapipe57",
     "datapipe58",
+    "datapipe59",
 )
 
 _loaded = False
