@@ -81,6 +81,7 @@ _MODULES = (
     "datapipe57",
     "datapipe58",
     "datapipe59",
+    "datapipe60",
 )
 
 _loaded = False
