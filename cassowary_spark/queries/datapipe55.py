@@ -522,23 +522,24 @@ _NA_MAX_T = 180
     ),
     ev_t AS (
         SELECT dur AS t, d, n_risk,
-               {sql_srnd(
-                   "CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)",
-                   8)} AS hterm,
-               {sql_srnd(
-                   "CAST(d AS DOUBLE)"
-                   " / (CAST(n_risk AS DOUBLE)"
-                   "    * CAST(n_risk AS DOUBLE))", 8)} AS vterm
+               CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                          * 100000000.0 + 0.5) AS BIGINT) AS hu,
+               CAST(floor(CAST(d AS DOUBLE)
+                          / (CAST(n_risk AS DOUBLE)
+                             * CAST(n_risk AS DOUBLE))
+                          * 100000000.0 + 0.5) AS BIGINT) AS vu
         FROM risk WHERE d > 0 AND dur <= {_NA_MAX_T}
     )
     SELECT t, n_risk, d,
            {sql_srnd(
-               "sum(hterm) OVER (ORDER BY t"
-               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+               "CAST(sum(hu) OVER (ORDER BY t"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               " AS DOUBLE) / 100000000.0",
                6)} AS h_hat,
            {sql_srnd(
-               "sqrt(sum(vterm) OVER (ORDER BY t"
-               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+               "sqrt(CAST(sum(vu) OVER (ORDER BY t"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               " AS DOUBLE) / 100000000.0)",
                6)} AS se
     FROM ev_t
     """,
@@ -555,9 +556,12 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: durations are integer day diffs; at-risk counts are
     a reverse running sum over per-duration aggregates; each hazard
-    and variance term is srnd8-quantized BEFORE its cumulative sum
-    (exact event-time order, the C145 discipline); the output
-    quantizes srnd6.
+    and variance term quantizes to INTEGER 1e-8 units before its
+    cumulative sum, so the accumulation is an exact BIGINT under any
+    windowed-sum association (DuckDB's segment-tree vs Spark's
+    sequential fold differ in ulps on a 180-term double cumsum —
+    caught by the r11 sf0.1 parity sweep); the output quantizes
+    srnd6 of the exact integer totals.
 
     Scale shape: identical to C145 — two custkey partial aggs, a
     1-row censor reduce, then everything runs over the per-duration
@@ -606,14 +610,18 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dur").alias("t"),
         "n_risk",
         "d",
-        srnd(dd / nr, 8).alias("hterm"),
-        srnd(dd / (nr * nr), 8).alias("vterm"),
+        F.floor(dd / nr * 1e8 + 0.5).cast("long").alias("hu"),
+        F.floor(dd / (nr * nr) * 1e8 + 0.5).cast("long").alias("vu"),
     )
     w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     return ev_t.select(
         "t",
         "n_risk",
         "d",
-        srnd(F.sum("hterm").over(w_asc), 6).alias("h_hat"),
-        srnd(F.sqrt(F.sum("vterm").over(w_asc)), 6).alias("se"),
+        srnd(F.sum("hu").over(w_asc).cast("double") / 1e8, 6).alias(
+            "h_hat"
+        ),
+        srnd(
+            F.sqrt(F.sum("vu").over(w_asc).cast("double") / 1e8), 6
+        ).alias("se"),
     )

@@ -236,8 +236,8 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     any order (headroom documented: gaps ≤ the 30-day fixture span,
     ≤ 2.6e6 s, squares ≤ 6.8e12 — 1.3M gaps per type before BIGINT
     pressure at 9.2e18; wider spans quantize to minutes); μ, σ, B
-    are fixed srnd expressions with the constant-gap σ+μ=0 case...
-    σ+μ = 0 only when all gaps are 0, NULL-guarded.
+    are fixed srnd expressions; σ+μ = 0 (possible only when every
+    gap is zero) is NULL-guarded.
 
     Scale shape: the lag window partitions by (user, type) — high
     cardinality, embarrassingly parallel, never single-partition;
