@@ -42,21 +42,14 @@ _ASSORT_SUPPORT = 2
               UNION ALL SELECT y FROM edges)
         GROUP BY 1
     ),
-    ends AS (
-        SELECT dx.d AS a, dy.d AS b FROM edges e
-        JOIN deg dx ON dx.node = e.x
-        JOIN deg dy ON dy.node = e.y
-        UNION ALL
-        SELECT dy.d, dx.d FROM edges e
-        JOIN deg dx ON dx.node = e.x
-        JOIN deg dy ON dy.node = e.y
-    ),
     s AS (
-        SELECT CAST(count(*) AS BIGINT) AS m,
-               CAST(sum(a) AS BIGINT) AS sa,
-               CAST(sum(a * b) AS BIGINT) AS sab,
-               CAST(sum(a * a) AS BIGINT) AS saa
-        FROM ends
+        SELECT CAST(2 * count(*) AS BIGINT) AS m,
+               CAST(sum(dx.d + dy.d) AS BIGINT) AS sa,
+               CAST(2 * sum(dx.d * dy.d) AS BIGINT) AS sab,
+               CAST(sum(dx.d * dx.d + dy.d * dy.d) AS BIGINT) AS saa
+        FROM edges e
+        JOIN deg dx ON dx.node = e.x
+        JOIN deg dy ON dy.node = e.y
     )
     SELECT CAST(m / 2 AS BIGINT) AS n_edges,
            {sql_srnd(
@@ -116,14 +109,17 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = deg.select(F.col("node").alias("x"), F.col("d").alias("da"))
     dy = deg.select(F.col("node").alias("y"), F.col("d").alias("db"))
     attached = edges.join(dx, "x").join(dy, "y")
-    ends = attached.select(
-        F.col("da").alias("a"), F.col("db").alias("b")
-    ).unionAll(attached.select(F.col("db").alias("a"), F.col("da").alias("b")))
-    s = ends.agg(
-        F.count("*").cast("long").alias("m"),
-        F.sum("a").cast("long").alias("sa"),
-        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
-        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+    # symmetrization folds algebraically into ONE pass over the edge
+    # list: each edge contributes both (da,db) and (db,da), so
+    # m = 2|E|, Σa = Σ(da+db), Σab = 2Σda·db, Σa² = Σ(da²+db²) — a
+    # UNION of the two orientations would execute the degree joins
+    # twice
+    da, db = F.col("da"), F.col("db")
+    s = attached.agg(
+        (2 * F.count("*")).cast("long").alias("m"),
+        F.sum(da + db).cast("long").alias("sa"),
+        (2 * F.sum(da * db)).cast("long").alias("sab"),
+        F.sum(da * da + db * db).cast("long").alias("saa"),
     )
     md = F.col("m").cast("double")
     num = md * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double")
