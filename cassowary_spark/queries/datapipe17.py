@@ -17,14 +17,17 @@ _LAGS = (1, 7, 30)
 
 
 def _sql_lag_terms(k: int) -> str:
+    # sums of squares/products stay HUGEINT (no BIGINT cast): at sf1
+    # daily revenue (~1e8 $) the 2.4k-day Σx² passes 2e19 and
+    # overflows int64 — caught by the r11 sf1 parity probe
     return f"""
         SELECT {k} AS lag_days,
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(rev) AS BIGINT) AS sx,
                CAST(sum(lag_{k}) AS BIGINT) AS sy,
-               CAST(sum(rev * lag_{k}) AS BIGINT) AS sxy,
-               CAST(sum(rev * rev) AS BIGINT) AS sxx,
-               CAST(sum(lag_{k} * lag_{k}) AS BIGINT) AS syy
+               sum(CAST(rev AS HUGEINT) * lag_{k}) AS sxy,
+               sum(CAST(rev AS HUGEINT) * rev) AS sxx,
+               sum(CAST(lag_{k} AS HUGEINT) * lag_{k}) AS syy
         FROM lagged WHERE lag_{k} IS NOT NULL
     """
 
@@ -51,13 +54,12 @@ def _sql_lag_terms(k: int) -> str:
     )
     SELECT lag_days, n_pairs,
            {sql_srnd(
-               "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
-               "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-               " / nullif(sqrt((CAST(n_pairs AS DOUBLE)"
-               "         * CAST(sxx AS DOUBLE)"
-               "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-               "      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
-               "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),"
+               "CAST(CAST(n_pairs AS HUGEINT) * sxy"
+               "     - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+               " / nullif(sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx"
+               "         - CAST(sx AS HUGEINT) * sx AS DOUBLE)"
+               "      * CAST(CAST(n_pairs AS HUGEINT) * syy"
+               "         - CAST(sy AS HUGEINT) * sy AS DOUBLE)),"
                " 0.0)",
                6)} AS acf_r
     FROM terms
@@ -72,13 +74,15 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-indexed lags over the observed day sequence (standard ACF on
     an evenly-sampled series; the daily grid is near-complete here).
 
-    Determinism: daily revenues are integer DOLLARS (not cents —
-    keeps Σx² within BIGINT at bench scale, documented headroom:
-    2.4k days × (1e8 $)² before overflow); all five sufficient
-    statistics (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums in any
-    order; the Pearson assembly is one fixed IEEE op sequence per
-    lag (multiplication of exact-int doubles + one sqrt — sqrt is
-    correctly rounded in both engines) and srnd-quantized.
+    Determinism: daily revenues are integer DOLLARS; the sums of
+    squares/products accumulate in WIDE exact integers —
+    DECIMAL(38,0) on Spark, HUGEINT on DuckDB (int64 sums overflowed
+    at sf1's ~1e8-$ days, caught by the r11 sf1 parity probe; 38
+    digits carry to ~1e15-$ days) — and the Pearson numerator/
+    denominator terms are assembled exactly in that width; the ONLY
+    float steps are the correctly-rounded exact-int→double
+    conversions of the three assembled terms plus one sqrt and one
+    division, identical in both engines, srnd-quantized.
 
     Scale shape: the raw scan collapses to a calendar-bounded daily
     agg; all three lag columns ride ONE ordered window pass (one
@@ -97,6 +101,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         *[F.lag("rev", k).over(w).alias(f"lag_{k}") for k in _LAGS],
     )
+    dec = "decimal(19,0)"
     parts = []
     for k in _LAGS:
         y = F.col(f"lag_{k}")
@@ -105,24 +110,27 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_pairs"),
             F.sum("rev").cast("long").alias("sx"),
             F.sum(y).cast("long").alias("sy"),
-            F.sum(F.col("rev") * y).cast("long").alias("sxy"),
-            F.sum(F.col("rev") * F.col("rev")).cast("long").alias("sxx"),
-            F.sum(y * y).cast("long").alias("syy"),
+            F.sum(F.col("rev").cast(dec) * y.cast(dec)).alias("sxy"),
+            F.sum(F.col("rev").cast(dec) * F.col("rev").cast(dec)).alias(
+                "sxx"
+            ),
+            F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
         )
         parts.append(t)
     terms = parts[0]
     for p in parts[1:]:
         terms = terms.unionByName(p)
-    num = (
-        F.col("n_pairs") * 1.0 * F.col("sxy")
-        - F.col("sx") * 1.0 * F.col("sy")
+    nd = F.col("n_pairs").cast(dec)
+    num = (nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)).cast(
+        "double"
     )
-    den = F.sqrt(
-        (F.col("n_pairs") * 1.0 * F.col("sxx")
-         - F.col("sx") * 1.0 * F.col("sx"))
-        * (F.col("n_pairs") * 1.0 * F.col("syy")
-           - F.col("sy") * 1.0 * F.col("sy"))
+    d1 = (nd * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)).cast(
+        "double"
     )
+    d2 = (nd * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)).cast(
+        "double"
+    )
+    den = F.sqrt(d1 * d2)
     return terms.select(
         "lag_days",
         "n_pairs",

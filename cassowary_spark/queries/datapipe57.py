@@ -32,20 +32,24 @@ _SQL_DAILY_DOLLARS = """
 
 
 def _sql_acf(k: int) -> str:
+    # wide-exact (HUGEINT) sufficient statistics, assembled exactly,
+    # ONE double conversion per term (the C122 r11 discipline —
+    # int64 Σx² overflows at sf1's ~1e8-$ days)
     return f"""
         SELECT {k} AS lag_days,
-               floor(((CAST(count(*) AS DOUBLE) * CAST(sum(rev * lag_{k})
+               floor((CAST(CAST(count(*) AS HUGEINT)
+                           * sum(CAST(rev AS HUGEINT) * lag_{k})
+                           - CAST(sum(rev) AS HUGEINT) * sum(lag_{k})
                            AS DOUBLE)
-                       - CAST(sum(rev) AS DOUBLE)
-                         * CAST(sum(lag_{k}) AS DOUBLE))
-                      / nullif(sqrt((CAST(count(*) AS DOUBLE)
-                                * CAST(sum(rev * rev) AS DOUBLE)
-                                - CAST(sum(rev) AS DOUBLE)
-                                  * CAST(sum(rev) AS DOUBLE))
-                               * (CAST(count(*) AS DOUBLE)
-                                  * CAST(sum(lag_{k} * lag_{k}) AS DOUBLE)
-                                  - CAST(sum(lag_{k}) AS DOUBLE)
-                                    * CAST(sum(lag_{k}) AS DOUBLE))),
+                      / nullif(sqrt(CAST(CAST(count(*) AS HUGEINT)
+                                * sum(CAST(rev AS HUGEINT) * rev)
+                                - CAST(sum(rev) AS HUGEINT) * sum(rev)
+                                AS DOUBLE)
+                               * CAST(CAST(count(*) AS HUGEINT)
+                                  * sum(CAST(lag_{k} AS HUGEINT)
+                                        * lag_{k})
+                                  - CAST(sum(lag_{k}) AS HUGEINT)
+                                    * sum(lag_{k}) AS DOUBLE)),
                                0.0)) * 100000000.0 + 0.5) / 100000000.0
                    AS r
         FROM lagged WHERE lag_{k} IS NOT NULL
@@ -104,12 +108,12 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries DIRECT signal, which decides between an AR(1) trailing
     baseline (C58) and a longer model.
 
-    Determinism: the lag correlations reuse C122's exact-BIGINT
-    sufficient statistics (integer dollars — documented overflow
-    headroom) and are srnd8-QUANTIZED before entering the
-    Durbin-Levinson chain, so every downstream φ is a fixed IEEE
-    expression over identical quantized inputs in both engines;
-    outputs srnd6, degenerate denominators NULL-guarded.
+    Determinism: the lag correlations reuse C122's wide-exact
+    sufficient statistics (DECIMAL(38,0) / HUGEINT — int64 Σx²
+    overflowed at sf1, the r11 probe) and are srnd8-QUANTIZED before
+    entering the Durbin-Levinson chain, so every downstream φ is a
+    fixed IEEE expression over identical quantized inputs in both
+    engines; outputs srnd6, degenerate denominators NULL-guarded.
 
     Scale shape: the corpus collapses to the calendar-bounded daily
     agg; all three lag columns ride ONE ordered window over that
@@ -130,20 +134,31 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def acf(k: int) -> DataFrame:
+        # wide-exact DECIMAL(38,0) sufficient statistics (the C122
+        # r11 discipline — int64 Σx² overflows at sf1 daily revenue)
+        dec = "decimal(19,0)"
         y = F.col(f"lag_{k}")
         t = lagged.filter(y.isNotNull()).agg(
             F.count("*").cast("long").alias("n"),
             F.sum("rev").cast("long").alias("sx"),
             F.sum(y).cast("long").alias("sy"),
-            F.sum(F.col("rev") * y).cast("long").alias("sxy"),
-            F.sum(F.col("rev") * F.col("rev")).cast("long").alias("sxx"),
-            F.sum(y * y).cast("long").alias("syy"),
+            F.sum(F.col("rev").cast(dec) * y.cast(dec)).alias("sxy"),
+            F.sum(F.col("rev").cast(dec) * F.col("rev").cast(dec)).alias(
+                "sxx"
+            ),
+            F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
         )
-        num = F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
-        den = F.sqrt(
-            (F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
-            * (F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
-        )
+        nd = F.col("n").cast(dec)
+        num = (
+            nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+        ).cast("double")
+        d1 = (
+            nd * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+        ).cast("double")
+        d2 = (
+            nd * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+        ).cast("double")
+        den = F.sqrt(d1 * d2)
         return t.select(
             srnd(num / F.nullif(den, F.lit(0.0)), 8).alias(f"r{k}")
         )

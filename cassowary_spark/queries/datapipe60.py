@@ -326,16 +326,18 @@ _HURST_SIZES = (7, 14, 28)
 def _sql_rs(size: int) -> str:
     """Per-block ln(R/S) terms for one block size, from the indexed
     daily frame: work in n·x units so cumulative deviations stay
-    exact BIGINTs (ncum_k = n·Σᵏx − k·S_blk)."""
+    exact integers (ncum_k = n·Σᵏx − k·S_blk; R·n = range(ncum),
+    (S_std·n)² = n·Σx² − S² — so R/S = range(ncum)/√(n·Σx² − S²)).
+    n·Σx² accumulates in HUGEINT (int64 overflowed at sf1, r11
+    probe)."""
     return f"""
         SELECT {size} AS size, blk,
                {sql_srnd(
                    "ln((CAST(max(ncum) AS DOUBLE)"
                    "     - CAST(min(ncum) AS DOUBLE))"
-                   f"    / nullif(sqrt(CAST({size} AS DOUBLE)"
-                   "        * CAST(max(nsxx) AS DOUBLE)"
-                   "        - CAST(max(sx) AS DOUBLE)"
-                   "          * CAST(max(sx) AS DOUBLE)), 0.0))", 8)}
+                   "    / nullif(sqrt(CAST(max(nsxx)"
+                   "        - CAST(max(sx) AS HUGEINT) * max(sx)"
+                   "        AS DOUBLE)), 0.0))", 8)}
                    AS lrs
         FROM (
             SELECT (idx - 1) // {size} AS blk,
@@ -345,9 +347,9 @@ def _sql_rs(size: int) -> str:
                                            // {size}) AS BIGINT) AS ncum,
                    CAST(sum(rev) OVER (PARTITION BY (idx - 1)
                                        // {size}) AS BIGINT) AS sx,
-                   CAST({size} * sum(rev * rev)
+                   {size} * sum(CAST(rev AS HUGEINT) * rev)
                         OVER (PARTITION BY (idx - 1) // {size})
-                        AS BIGINT) AS nsxx,
+                        AS nsxx,
                    CAST(count(*) OVER (PARTITION BY (idx - 1)
                                        // {size}) AS BIGINT) AS nb
             FROM indexed
@@ -357,7 +359,7 @@ def _sql_rs(size: int) -> str:
         )
         WHERE nb = {size}
         GROUP BY blk
-        HAVING max(nsxx) * {size} <> max(sx) * max(sx)
+        HAVING max(nsxx) <> CAST(max(sx) AS HUGEINT) * max(sx)
            AND max(ncum) <> min(ncum)
     """
 
@@ -394,11 +396,14 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote); emitting the three points keeps the fit visible.
 
     Determinism: within-block cumulative deviations are computed in
-    n·x units (ncum_k = n·Σᵏx − k·S_blk) so R·n and (S·n)² are exact
-    BIGINTs; each block's ln(R/S) is one fixed srnd8 expression;
-    per-size means fold block terms in FIXED block order (C69);
-    degenerate blocks (constant series) are excluded identically on
-    both engines. Incomplete trailing blocks are dropped.
+    n·x units (ncum_k = n·Σᵏx − k·S_blk), so R·n = range(ncum) is an
+    exact BIGINT and (S_std·n)² = n·Σx² − S² an exact wide integer
+    (DECIMAL(38,0) / HUGEINT — int64 overflowed at sf1, r11 probe);
+    each block's ln(R/S) = ln(range/√(n·Σx²−S²)) is one fixed srnd8
+    expression; per-size means fold block terms in FIXED block order
+    (C69); degenerate blocks (constant series) are excluded
+    identically on both engines. Incomplete trailing blocks are
+    dropped.
 
     Scale shape: calendar-bounded daily agg, one row_number window
     over it, per-size block windows over the SAME bounded frame
@@ -417,6 +422,7 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for size in _HURST_SIZES:
         blk = ((F.col("idx") - 1) - F.pmod(F.col("idx") - 1, F.lit(size))) / size
+        dec = "decimal(19,0)"
         base = indexed.select(
             "rev", "idx", blk.cast("long").alias("blk")
         )
@@ -438,11 +444,15 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ncum"),
             F.sum("rev").over(wblk).cast("long").alias("sx"),
-            (size * F.sum(F.col("rev") * F.col("rev")).over(wblk))
-            .cast("long")
-            .alias("nsxx"),
+            (
+                size
+                * F.sum(F.col("rev").cast(dec) * F.col("rev").cast(dec)).over(
+                    wblk
+                )
+            ).alias("nsxx"),
             F.count("*").over(wblk).cast("long").alias("nb"),
         ).filter(F.col("nb") == size)
+        sx2 = F.col("__sx").cast(dec) * F.col("__sx").cast(dec)
         per_blk = (
             rows.groupBy("blk")
             .agg(
@@ -452,7 +462,7 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("sx").alias("__sx"),
             )
             .filter(
-                (F.col("__nsxx") * size != F.col("__sx") * F.col("__sx"))
+                (F.col("__nsxx") != sx2)
                 & (F.col("__mx") != F.col("__mn"))
             )
             .select(
@@ -465,10 +475,7 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                         / F.nullif(
                             F.sqrt(
-                                F.lit(float(size))
-                                * F.col("__nsxx").cast("double")
-                                - F.col("__sx").cast("double")
-                                * F.col("__sx").cast("double")
+                                (F.col("__nsxx") - sx2).cast("double")
                             ),
                             F.lit(0.0),
                         )

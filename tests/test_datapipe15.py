@@ -54,8 +54,10 @@ def _ref_acf(revs: list[int], k: int) -> float:
     sxy = sum(x * y for x, y in zip(xs, ys))
     sxx = sum(x * x for x in xs)
     syy = sum(y * y for y in ys)
-    return (n * 1.0 * sxy - sx * 1.0 * sy) / math.sqrt(
-        (n * 1.0 * sxx - sx * 1.0 * sx) * (n * 1.0 * syy - sy * 1.0 * sy)
+    # exact-int assembly then ONE float conversion per term — the
+    # r11 engine semantics (DECIMAL/HUGEINT sufficient statistics)
+    return float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
     )
 
 

@@ -82,9 +82,11 @@ def _pearson_or_none(xs, ys):
     sxy = sum(a * b for a, b in zip(xs, ys))
     sxx = sum(a * a for a in xs)
     syy = sum(b * b for b in ys)
-    num = n * 1.0 * sxy - sx * 1.0 * sy
+    # exact-int assembly then ONE float conversion per term — the
+    # r11 engine semantics (DECIMAL/HUGEINT sufficient statistics)
+    num = float(n * sxy - sx * sy)
     den = math.sqrt(
-        (n * 1.0 * sxx - sx * 1.0 * sx) * (n * 1.0 * syy - sy * 1.0 * sy)
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
     )
     if den == 0.0:
         return None
