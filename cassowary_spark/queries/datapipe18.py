@@ -18,16 +18,18 @@ from cassowary_spark.tables import load_table
 
 _CCF_LAGS = (0, 1, 7)
 
-# Pearson r from the five exact-BIGINT sufficient statistics; every
-# operand is cast to DOUBLE explicitly — DuckDB types a bare `1.0` as
-# DECIMAL and overflows DECIMAL(38) on the cross-products.
+# Pearson r assembled EXACTLY in HUGEINT from the wide-exact
+# sufficient statistics, one correctly-rounded double conversion per
+# term (int64 Σy² overflowed at sf1 daily revenue — the r11 probe;
+# the former all-double assembly also differed from Spark in ulps
+# past 2^53).
 _SQL_PEARSON = (
-    "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
-    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / nullif(sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-    "      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
-    "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)"
+    "CAST(CAST(n_pairs AS HUGEINT) * sxy"
+    "     - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+    " / nullif(sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx"
+    "         - CAST(sx AS HUGEINT) * sx AS DOUBLE)"
+    "      * CAST(CAST(n_pairs AS HUGEINT) * syy"
+    "         - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0.0)"
 )
 
 
@@ -37,9 +39,9 @@ def _sql_ccf_terms(k: int) -> str:
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(a.cnt) AS BIGINT) AS sx,
                CAST(sum(b.rev) AS BIGINT) AS sy,
-               CAST(sum(a.cnt * b.rev) AS BIGINT) AS sxy,
-               CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx,
-               CAST(sum(b.rev * b.rev) AS BIGINT) AS syy
+               sum(CAST(a.cnt AS HUGEINT) * b.rev) AS sxy,
+               sum(CAST(a.cnt AS HUGEINT) * a.cnt) AS sxx,
+               sum(CAST(b.rev AS HUGEINT) * b.rev) AS syy
         FROM daily a JOIN daily b ON b.d = a.d + {k}
     """
 
@@ -74,11 +76,12 @@ def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shift.
 
     Determinism: x is the exact integer daily order count, y the
-    integer-DOLLAR daily revenue (C122's documented BIGINT headroom:
-    Σy² ≈ 2.1e17 at sf0.1 vs the 9.2e18 limit); the five sufficient
-    statistics are exact BIGINT sums in any order and the Pearson
-    assembly is one fixed IEEE sequence with explicit DOUBLE casts
-    (DuckDB types bare 1.0 as DECIMAL and overflows on sx*sy).
+    integer-DOLLAR daily revenue; the sums of squares/products
+    accumulate in WIDE exact integers (DECIMAL(38,0) on Spark,
+    HUGEINT on DuckDB — int64 Σy² overflowed at sf1's ~1e8-$ days,
+    the r11 probe) and the Pearson terms are assembled exactly in
+    that width, then converted to double once each (correctly
+    rounded identically in both engines).
 
     Scale shape: the raw scan collapses to ONE calendar-bounded daily
     agg (map-side combine); each lag is a self-join of that ~2.4k-row
@@ -95,6 +98,7 @@ def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cnt"),
         F.sum(dollars).alias("rev"),
     ).persist()  # ~2.4k calendar rows; 3 lag self-joins reuse one scan
+    dec = "decimal(19,0)"
     parts = []
     for k in _CCF_LAGS:
         a, b = daily.alias("a"), daily.alias("b")
@@ -106,24 +110,25 @@ def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("long").alias("n_pairs"),
                 F.sum(x).cast("long").alias("sx"),
                 F.sum(y).cast("long").alias("sy"),
-                F.sum(x * y).cast("long").alias("sxy"),
-                F.sum(x * x).cast("long").alias("sxx"),
-                F.sum(y * y).cast("long").alias("syy"),
+                F.sum(x.cast(dec) * y.cast(dec)).alias("sxy"),
+                F.sum(x.cast(dec) * x.cast(dec)).alias("sxx"),
+                F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
             )
         )
     terms = parts[0]
     for p in parts[1:]:
         terms = terms.unionByName(p)
+    nd = F.col("n_pairs").cast(dec)
     num = (
-        F.col("n_pairs").cast("double") * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    )
-    den = F.sqrt(
-        (F.col("n_pairs").cast("double") * F.col("sxx").cast("double")
-         - F.col("sx").cast("double") * F.col("sx").cast("double"))
-        * (F.col("n_pairs").cast("double") * F.col("syy").cast("double")
-           - F.col("sy").cast("double") * F.col("sy").cast("double"))
-    )
+        nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    ).cast("double")
+    d1 = (
+        nd * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    ).cast("double")
+    d2 = (
+        nd * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    ).cast("double")
+    den = F.sqrt(d1 * d2)
     return terms.select(
         "lag_days",
         "n_pairs",

@@ -213,7 +213,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name, p.p_brand,
            count(*)                                              AS n_items,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+           floor((sum(CAST(floor(l.l_extendedprice
+                                 * (1 - l.l_discount) * 10000.0 + 0.5)
+                           AS BIGINT)) / 10000.0) * 100.0 + 0.5)
+               / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -230,6 +233,14 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     region/nation are broadcast unconditionally (fixed cardinality at
     any SF); customer/part broadcast via AQE once filters reduce them.
     The only unavoidable big shuffle is lineitem⋈orders.
+
+    Revenue quantizes each row's discounted price to exact 1e-4-unit
+    BIGINTs BEFORE the sum (prices carry 2 decimals, discounts 2 —
+    the product is exact in 4), so the aggregate is order-independent
+    at any scale: the raw double sum drifted a cent between engines
+    at sf1 (caught by the r11 sf1 parity probe). Headroom ~9e9 rows
+    per group at 1e5-$ prices; beyond that the unit sum widens to
+    DECIMAL, the C122 discipline.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -246,7 +257,18 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            srnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            srnd(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000.0
+                        + 0.5
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue"),
         )
     )
 
