@@ -164,16 +164,16 @@ _EL_MIN_N = 50
         SELECT brand, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x6) AS BIGINT) AS sx,
                CAST(sum(y6) AS BIGINT) AS sy,
-               CAST(sum(x6 * y6) AS BIGINT) AS sxy,
-               CAST(sum(x6 * x6) AS BIGINT) AS sxx
+               sum(CAST(x6 AS HUGEINT) * y6) AS sxy,
+               sum(CAST(x6 AS HUGEINT) * x6) AS sxx
         FROM pts GROUP BY 1 HAVING count(*) >= {_EL_MIN_N}
     )
     SELECT brand, n,
            {sql_srnd(
-               "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-               "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-               " / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-               "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)",
+               "CAST(CAST(n AS HUGEINT) * sxy"
+               "     - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+               " / nullif(CAST(CAST(n AS HUGEINT) * sxx"
+               "  - CAST(sx AS HUGEINT) * sx AS DOUBLE), 0.0)",
                6)} AS elasticity
     FROM s
     """,
@@ -190,9 +190,11 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the unit price is one double division from the
     parquet values (identical both engines), both ln's are quantized
-    to exact 1e-6 BIGINTs before summation (the C128 discipline) so
-    all sufficient statistics are order-free integer sums; the slope
-    is one fixed IEEE assembly.
+    to exact 1e-6 BIGINTs before summation (the C128 discipline);
+    the cross-products accumulate in WIDE exact integers
+    (DECIMAL(38,0) / HUGEINT — int64 Σx² overflowed at sf1's 240k
+    rows per brand, the r11 probe) and the slope terms assemble
+    exactly in that width with one double conversion each.
 
     Scale shape: one broadcast dim join into a 25-key partial agg —
     the whole regression is map-side-combinable sufficient
@@ -217,29 +219,30 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y6"),
         )
     )
+    dec = "decimal(19,0)"
     s = (
         pts.groupBy("brand")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("x6").cast("long").alias("sx"),
             F.sum("y6").cast("long").alias("sy"),
-            F.sum(F.col("x6") * F.col("y6")).cast("long").alias("sxy"),
-            F.sum(F.col("x6") * F.col("x6")).cast("long").alias("sxx"),
+            F.sum(F.col("x6").cast(dec) * F.col("y6").cast(dec)).alias(
+                "sxy"
+            ),
+            F.sum(F.col("x6").cast(dec) * F.col("x6").cast(dec)).alias(
+                "sxx"
+            ),
         )
         .filter(F.col("n") >= _EL_MIN_N)
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    nd = F.col("n").cast(dec)
+    sxd, syd = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    den = (nd * F.col("sxx") - sxd * sxd).cast("double")
     return s.select(
         "brand",
         "n",
-        srnd(
-            (nd * F.col("sxy").cast("double") - sx * sy)
-            / F.nullif(
-                nd * F.col("sxx").cast("double") - sx * sx, F.lit(0.0)
-            ),
-            6,
-        ).alias("elasticity"),
+        srnd(num / F.nullif(den, F.lit(0.0)), 6).alias("elasticity"),
     )
 
 
