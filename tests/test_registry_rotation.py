@@ -35,17 +35,22 @@ def test_stale_keys_detects_changed_implementation():
 
 
 def test_window_leads_with_unadjudicated_keys():
-    """ordered() must front-load every un-adjudicated (never-settled
-    OR stale) key, in registration order, before any settled key —
-    that is the debt-paydown rotation plus the staleness requeue."""
+    """ordered() must lead with the DRIVER_PRIORITY lane (manual
+    re-confirmations — may themselves be settled), then every
+    un-adjudicated (never-settled OR stale) key in registration
+    order, then the settled remainder — the debt-paydown rotation
+    plus the staleness requeue."""
     w = list(registry.ordered(registry.QUERIES))
     assert sorted(w) == sorted(registry.QUERIES)  # permutation, no loss
+    prio = [k for k in registry.DRIVER_PRIORITY if k in registry.QUERIES]
+    assert w[: len(prio)] == prio
+    rest = [k for k in w[len(prio):]]
     seen = registry._adjudicated_keys()
-    n_unseen = sum(1 for k in registry.QUERIES if k not in seen)
-    assert all(k not in seen for k in w[:n_unseen])
-    assert all(k in seen for k in w[n_unseen:])
+    n_unseen = sum(1 for k in rest if k not in seen)
+    assert all(k not in seen for k in rest[:n_unseen])
+    assert all(k in seen for k in rest[n_unseen:])
     # registration order preserved within each segment
     reg_order = {k: i for i, k in enumerate(registry.QUERIES)}
-    head, tail = w[:n_unseen], w[n_unseen:]
+    head, tail = rest[:n_unseen], rest[n_unseen:]
     assert head == sorted(head, key=reg_order.__getitem__)
     assert tail == sorted(tail, key=reg_order.__getitem__)
