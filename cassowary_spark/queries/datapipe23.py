@@ -27,23 +27,21 @@ _WF_HOURS = 24
     ),
     users AS (SELECT DISTINCT user_id FROM ev),
     d1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'),
-    d2 AS (
-        SELECT DISTINCT s.user_id
+    scm AS (
+        SELECT s.user_id, s.t AS st, min(c.t) AS cmin
         FROM ev s JOIN ev c
           ON c.user_id = s.user_id AND c.event_type = 'click'
          AND c.t > s.t AND c.t <= s.t + INTERVAL {_WF_HOURS} HOUR
         WHERE s.event_type = 'signup'
+        GROUP BY s.user_id, s.t
     ),
+    d2 AS (SELECT DISTINCT user_id FROM scm),
     d3 AS (
-        SELECT DISTINCT s.user_id
-        FROM ev s
-        JOIN ev c
-          ON c.user_id = s.user_id AND c.event_type = 'click'
-         AND c.t > s.t AND c.t <= s.t + INTERVAL {_WF_HOURS} HOUR
-        JOIN ev p
-          ON p.user_id = s.user_id AND p.event_type = 'purchase'
-         AND p.t > c.t AND p.t <= s.t + INTERVAL {_WF_HOURS} HOUR
-        WHERE s.event_type = 'signup'
+        SELECT DISTINCT scm.user_id
+        FROM scm JOIN ev p
+          ON p.user_id = scm.user_id AND p.event_type = 'purchase'
+         AND p.t > scm.cmin
+         AND p.t <= scm.st + INTERVAL {_WF_HOURS} HOUR
     ),
     depth AS (
         SELECT u.user_id,
@@ -76,11 +74,15 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the stage chain is two user-keyed equi-joins with
     time-band predicates over PRE-FILTERED stage slices (each side
-    carries only its stage's rows, not the event log); the three
-    depth sets are semi-join-shaped and user-bounded; all joins and
-    the distincts share the user hash family. Per-user fanout is
-    bounded by stage counts inside one window — the C11 range-join
-    discipline; hot users → AQE/salting.
+    carries only its stage's rows, not the event log), with the
+    signup×click pairs collapsed to (signup, EARLIEST in-window
+    click) BEFORE the purchase join — an exact reduction (a
+    qualifying (c, p) exists iff one exists for the earliest c) that
+    keeps per-user fanout quadratic-in-stage-counts instead of
+    cubic (r11; the naive triple join exhausted the oracle at sf1).
+    The depth sets are semi-join-shaped and user-bounded; all joins
+    and distincts share the user hash family; hot users →
+    AQE/salting.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").alias("t")
@@ -99,22 +101,32 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = s.select(F.col("su").alias("user_id")).distinct().select(
         "user_id", F.lit(1).alias("f1")
     )
-    sc = s.join(
-        c,
-        (F.col("cu") == F.col("su"))
-        & (F.col("ct") > F.col("st"))
-        & (F.col("ct") <= F.col("st") + win),
+    # earliest-click reduction: a (click, purchase) pair inside the
+    # window exists iff a purchase follows the EARLIEST in-window
+    # click — collapsing signup×click pairs to (signup, min click)
+    # BEFORE the purchase join removes the cubic per-user fanout of
+    # the naive triple join (the former form exhausted DuckDB temp
+    # at sf1)
+    scm = (
+        s.join(
+            c,
+            (F.col("cu") == F.col("su"))
+            & (F.col("ct") > F.col("st"))
+            & (F.col("ct") <= F.col("st") + win),
+        )
+        .groupBy("su", "st")
+        .agg(F.min("ct").alias("cmin"))
     )
     d2 = (
-        sc.select(F.col("su").alias("user_id"))
+        scm.select(F.col("su").alias("user_id"))
         .distinct()
         .select("user_id", F.lit(1).alias("f2"))
     )
     d3 = (
-        sc.join(
+        scm.join(
             p,
             (F.col("pu") == F.col("su"))
-            & (F.col("pt") > F.col("ct"))
+            & (F.col("pt") > F.col("cmin"))
             & (F.col("pt") <= F.col("st") + win),
         )
         .select(F.col("su").alias("user_id"))
