@@ -82,6 +82,7 @@ _MODULES = (
     "datapipe58",
     "datapipe59",
     "datapipe60",
+    "datapipe61",
 )
 
 _loaded = False
