@@ -44,19 +44,10 @@ ORACLES: dict[str, str] = {}
 # when they must (re-)confirm ahead of the rotation — e.g. a query
 # whose semantics changed after its last green row. Keys listed here
 # jump the queue; leave empty otherwise.
-# r11: the four rows-only-by-contract keys last EXECUTED in the
-# r2/r4 windows (q_dedup_near/q_dedup_simhash via operators/dedup.py,
-# q_ann_lsh/q_ann_ivf via operators/similarity.py — both modules have
-# evolved since). Their correctness is carried by the planted
-# oracle-gated twins, but a fresh rows-only window execution against
-# CURRENT code is free re-validation — jump them ahead of the
-# already-adjudicated remainder for one round, then clear.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_ann_lsh",
-    "q_ann_ivf",
-)
+# r12: empty — the r11 lane (the four rows-only-by-contract keys)
+# achieved its re-execution in the r11 window and was cleared per the
+# r11 verdict; rotation is back on pure oldest-first.
+DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
 def source_hash(name: str) -> str:
