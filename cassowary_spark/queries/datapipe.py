@@ -492,14 +492,17 @@ def _z_interleave_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
                {_z_interleave_sql("doc_id", "n_chars")} AS zkey
         FROM documents
     ),
-    ranked AS (
-        SELECT doc_id, n_chars, zkey,
-               row_number() OVER (ORDER BY zkey, doc_id) AS rn
-        FROM z
+    cells AS (
+        SELECT zkey, CAST(count(*) AS BIGINT) AS cnt FROM z GROUP BY 1
+    ),
+    cum AS (
+        SELECT zkey, cnt,
+               CAST(sum(cnt) OVER (ORDER BY zkey) AS BIGINT) AS cum
+        FROM cells
     )
-    SELECT doc_id, n_chars, zkey,
-           CAST((rn - 1) // {_Z_FILE_ROWS} AS BIGINT) AS zfile
-    FROM ranked
+    SELECT z.doc_id, z.n_chars, z.zkey,
+           CAST((cum.cum - cum.cnt) // {_Z_FILE_ROWS} AS BIGINT) AS zfile
+    FROM z JOIN cum ON z.zkey = cum.zkey
     """,
 )
 def q_zorder_layout(
@@ -512,17 +515,32 @@ def q_zorder_layout(
     maintenance, expressed as a deterministic assignment query.
 
     The z-key is a pure integer bit-interleave (identical expression
-    text runs in both engines — no UDF, codegen-friendly). In
-    production the assignment is `repartitionByRange(zkey)` + write,
-    which samples ranges instead of global-sorting; the query
-    materializes the same file mapping with an explicit rank so the
-    oracle can check it row-for-row (50 rows/file is fixture-scaled).
-    ``approx=True`` SHIPS that production analogue (r10): file
-    boundaries from one approx-quantile sketch of zkey (the same
-    sampling role repartitionByRange's RangePartitioner plays),
-    bucketing row-local — no corpus sort or window; files are
-    near-equal-sized instead of exactly ``_Z_FILE_ROWS`` and tied
-    zkeys stay together (tests/test_ranks.py pins the agreement).
+    text runs in both engines — no UDF, codegen-friendly).
+
+    Semantics (r12 re-authoring, the q_equidepth_hist precedent): the
+    assignment is TIES-TOGETHER — every row sharing a zkey lands in
+    the file of the tie group's FIRST position, zfile =
+    (min_rank(zkey) − 1) div {_Z_FILE_ROWS} with min_rank = cum − cnt
+    + 1 from the zkey distinct-values counts frame. Tie-invariant: no
+    positional tiebreak column exists, so the mapping is a pure
+    function of the zkey multiset (a zkey never straddles two files —
+    exactly what file-level min/max pruning wants) and the oracle's
+    counts-CTE agrees bit-for-bit.
+
+    Scale shape: ONE map-side-combining groupBy collapses the corpus
+    to its zkey cells ({_Z_BITS}-bit-per-dim interleave bounds the
+    domain at 2^{{2·{_Z_BITS}}} — the same truncated-bit-budget
+    convention real lakehouse ZORDER keys use); the running-sum
+    window orders THAT frame only (sp_corpus_windows = 0; at extreme
+    cell cardinality the documented two-pass distributed prefix-sum
+    evolution in operators/ranks.py applies); rows pick up their file
+    by a zkey equi-join (AQE broadcasts the cells frame when small).
+    In production the write itself is `repartitionByRange(zkey)` —
+    ``approx=True`` SHIPS that analogue: file boundaries from one
+    approx-quantile sketch of zkey (the same sampling role
+    RangePartitioner plays), bucketing row-local — zero value-shuffle;
+    files are near-equal-sized instead of exactly ``{_Z_FILE_ROWS}``
+    rows (tests/test_ranks.py pins the agreement).
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     z = d.withColumn(
@@ -559,14 +577,28 @@ def q_zorder_layout(
             "zkey",
             F.floor(pos / _Z_FILE_ROWS).cast("long").alias("zfile"),
         )
-    return z.select(
+    cells = z.groupBy("zkey").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("zkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "zkey",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+    )
+    return z.join(cum, "zkey").select(
         "doc_id",
         "n_chars",
         "zkey",
-        F.expr(
-            f"(row_number() OVER (ORDER BY zkey, doc_id) - 1) div {_Z_FILE_ROWS}"
-        ).alias("zfile"),
+        ((F.col("cum") - F.col("cnt")) / _Z_FILE_ROWS)
+        .cast("long")
+        .alias("zfile"),
     )
+
+
+q_zorder_layout.__doc__ = q_zorder_layout.__doc__.format(
+    _Z_BITS=_Z_BITS, _Z_FILE_ROWS=_Z_FILE_ROWS
+)
 
 
 # ------------------------------------------------------- C34 PMI collocations

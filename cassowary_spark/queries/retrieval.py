@@ -182,10 +182,8 @@ _RRF_TOPK = 50
     ),
     ranked AS (
         SELECT doc_id,
-           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
-               AS r_len,
-           CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
-               AS r_tf
+           CAST(rank() OVER (ORDER BY n_chars DESC) AS BIGINT) AS r_len,
+           CAST(rank() OVER (ORDER BY tf DESC) AS BIGINT) AS r_tf
         FROM base
     ),
     fused AS (
@@ -199,34 +197,30 @@ _RRF_TOPK = 50
     ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
     """,
 )
-def q_rank_fusion(
-    spark: SparkSession, sf_dir: str, *, approx: bool = False
-) -> DataFrame:
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (C62): combine two independent rankings
     of the corpus — a length/quality ranking and a term-frequency
     ranking standing in for sparse-vs-dense retriever outputs — via
     RRF(d) = Σᵢ 1/(k + rankᵢ(d)), the standard hybrid-search merge
     (no score calibration needed, only ranks).
 
-    Determinism: both ranks are row_numbers over integer keys with a
-    doc_id tie-break, so they are engine-stable; the fused score is a
-    two-term sum evaluated in written order then srnd'd.
+    Semantics (r12 re-authoring, the q_equidepth_hist precedent):
+    ranks are MIN-ranks — every doc tied on a metric value shares the
+    tie group's first rank (SQL ``rank()``), the ties-together
+    convention the whole former positional-cut family now uses.
+    Tie-invariant: no positional tiebreak column exists, so both
+    ranks are pure functions of the value multisets and the oracle's
+    ``rank() OVER (ORDER BY … DESC)`` agrees bit-for-bit.
 
-    Scale shape: ranking is the one inherently global step (each
-    retriever's candidate list is already top-N sized in production —
-    RRF runs over shortlists, not corpora); here the two row_number
-    windows sort 500-row frames. The fuse join is doc-keyed and the
-    final cut is TakeOrdered. At 100 TB the inputs are per-query
-    shortlists of ≤1k rows each — driver-sized by construction.
-    ``approx=True`` additionally SHIPS the corpus-inputs form (r10):
-    both rankings become MIN-ranks from DESC running sums over the
+    Scale shape: both rankings are DESC running sums over the
     distinct-VALUE frames (doc lengths and term counts are
     domain-bounded — the operators/ranks counts discipline), carried
-    onto docs by two broadcast joins, with the cut still TakeOrdered.
-    No corpus sort or window; divergence from exact is tie handling
-    only (tied metric values share their block's first rank instead
-    of splitting by doc_id — same ties-together convention as
-    with_approx_ntiles). tests/test_ranks.py pins top-k agreement.
+    onto docs by two broadcast joins; the final cut is TakeOrdered
+    with a doc_id tiebreak. No corpus sort or corpus window anywhere
+    (sp_corpus_windows = 0) — this exact form IS the 100 TB form; in
+    production the inputs are per-query shortlists of ≤1k rows each
+    anyway, so RRF runs over frames that are driver-sized by
+    construction.
     """
     d = load_table(spark, sf_dir, "documents")
     tf = (
@@ -242,36 +236,24 @@ def q_rank_fusion(
             "doc_id", "n_chars", F.coalesce("tf", F.lit(0)).alias("tf")
         )
     )
-    if approx:
-        def min_ranks(val: str, out: str) -> DataFrame:
-            cnt = base.groupBy(val).agg(F.count("*").cast("long").alias("c"))
-            wd = Window.orderBy(F.desc(val)).rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-            return cnt.select(
-                val,
-                (F.coalesce(F.sum("c").over(wd), F.lit(0)) + 1)
-                .cast("long")
-                .alias(out),
-            )
 
-        ranked = base.join(
-            F.broadcast(min_ranks("n_chars", "r_len")), "n_chars"
-        ).join(F.broadcast(min_ranks("tf", "r_tf")), "tf").select(
-            "doc_id", "r_len", "r_tf"
+    def min_ranks(val: str, out: str) -> DataFrame:
+        cnt = base.groupBy(val).agg(F.count("*").cast("long").alias("c"))
+        wd = Window.orderBy(F.desc(val)).rowsBetween(
+            Window.unboundedPreceding, -1
         )
-    else:
-        ranked = base.select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        return cnt.select(
+            val,
+            (F.coalesce(F.sum("c").over(wd), F.lit(0)) + 1)
             .cast("long")
-            .alias("r_len"),
-            F.row_number()
-            .over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
-            .cast("long")
-            .alias("r_tf"),
+            .alias(out),
         )
+
+    ranked = base.join(
+        F.broadcast(min_ranks("n_chars", "r_len")), "n_chars"
+    ).join(F.broadcast(min_ranks("tf", "r_tf")), "tf").select(
+        "doc_id", "r_len", "r_tf"
+    )
     fused = ranked.select(
         "doc_id",
         "r_len",

@@ -60,3 +60,22 @@ def test_exchange_budget(name, spark, sf_dir):
         "orderBy+limit (TakeOrdered), or ship an approx production "
         "path before consciously regenerating the budget"
     )
+
+
+def test_sp_corpus_windows_ratchet_is_zero_everywhere():
+    """r12 ratchet: the LAST two exact-form positional-cut defaults
+    (q_rank_fusion, q_zorder_layout) were re-authored ties-together in
+    round 12, taking the repo-wide single-partition-corpus-window count
+    to ZERO. This pins the sum at 0 so no future budget regen can
+    quietly re-admit the scale-killer plan shape — a new entry >0 must
+    delete this test, i.e. be a conscious, reviewed decision."""
+    total = sum(
+        v.get("sp_corpus_windows", 0)
+        for v in BUDGETS.values()
+        if isinstance(v, dict)
+    )
+    assert total == 0, (
+        f"sp_corpus_windows budget sum is {total}, expected 0 — a "
+        "single-task corpus window was consciously(?) re-admitted; "
+        "use the counts/banding idiom (operators/ranks) instead"
+    )

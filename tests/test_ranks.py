@@ -257,24 +257,38 @@ class TestQueryAgreement:
                 assert n1 <= n2, (src, x1, n1, x2, n2)
 
 
-    def test_rank_fusion_approx_agrees(self, spark, sf_dir):
-        exact = QUERIES["q_rank_fusion"](spark, sf_dir).collect()
-        approx = QUERIES["q_rank_fusion"](
-            spark, sf_dir, approx=True
-        ).collect()
-        assert len(approx) == len(exact)
-        ex_ids = {r.doc_id for r in exact}
-        ap_ids = {r.doc_id for r in approx}
-        # only tie-boundary docs may differ between the positional and
-        # the min-rank (ties-together) cut
-        assert len(ex_ids & ap_ids) >= 0.9 * len(ex_ids)
-        ex_rrf = {r.doc_id: r.rrf for r in exact}
-        for r in approx:
-            if r.doc_id in ex_rrf:
-                # min-rank <= positional rank, so approx rrf >= exact
-                assert r.rrf >= ex_rrf[r.doc_id] - 1e-9, r.doc_id
-        # ranks are min-ranks of the same orderings: r_len/r_tf valid
-        for r in approx:
+    def test_rank_fusion_minranks_match_literal_rank(self, spark, sf_dir):
+        # r12 promotion: the counts-based min-rank plan IS the default.
+        # Pin its semantics bit-exactly against literal F.rank()
+        # windows (SQL rank() = min-rank, ties-together) on the same
+        # base frame — the identity the re-authored oracle relies on.
+        out = {r.doc_id: r for r in QUERIES["q_rank_fusion"](spark, sf_dir).collect()}
+        from cassowary_spark.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        tf = (
+            d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") == "vector")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("tf"))
+        )
+        base = (
+            d.select("doc_id", "n_chars")
+            .join(tf, "doc_id", "left")
+            .select("doc_id", "n_chars", F.coalesce("tf", F.lit(0)).alias("tf"))
+        )
+        ref = {
+            r.doc_id: r
+            for r in base.select(
+                "doc_id",
+                F.rank().over(Window.orderBy(F.desc("n_chars"))).alias("r_len"),
+                F.rank().over(Window.orderBy(F.desc("tf"))).alias("r_tf"),
+            ).collect()
+            if r.doc_id in out
+        }
+        assert set(ref) == set(out)
+        for doc_id, r in out.items():
+            assert (r.r_len, r.r_tf) == (ref[doc_id].r_len, ref[doc_id].r_tf)
             assert r.r_len >= 1 and r.r_tf >= 1
 
     def test_zorder_approx_agrees(self, spark, sf_dir):
@@ -364,7 +378,6 @@ class TestPlans:
             "q_abc_classification",
             "q_lift_deciles",
             "q_equidepth_hist",
-            "q_rank_fusion",
             "q_zorder_layout",
         ):
             n = single_partition_corpus_windows(
@@ -384,6 +397,8 @@ class TestPlans:
             "q_quantile_normalize",
             "q_equidepth_hist",
             "q_lift_deciles",
+            "q_rank_fusion",
+            "q_zorder_layout",
         ):
             df = QUERIES[key](spark, sf_dir)
             plan = formatted_plan(df)
