@@ -90,6 +90,11 @@ def bfs_distances(
             .select("node", F.lit(hop).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        # the probe runs over the checkpoint's cached blocks —
+        # milliseconds. (Folding it into the materialization via a
+        # LAZY checkpoint + count() was tried in r12 and is 2× SLOWER:
+        # the lazily-marked RDD recomputes the round's join for the
+        # count job before blocks land, so keep eager + cheap probe.)
         if nxt.limit(1).count() == 0:
             break
         # dist stays a UNION of the checkpointed round frontiers — a
