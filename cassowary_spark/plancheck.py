@@ -192,6 +192,97 @@ def _sp_corpus_windows_from_text(text: str) -> int:
     )
 
 
+def _sp_windows_total_from_text(text: str) -> int:
+    """Count EVERY Window node whose distribution is SinglePartition —
+    corpus-framed or not (the r11 verdict's "WindowExec warning
+    budget": each such node is exactly the plan shape for which
+    WindowExec logs "No Partition Defined for Window operation!", so
+    pinning this count per query makes the bench tail's warning volume
+    an asserted artifact instead of log noise).
+
+    Rule: walk the input chain below each Window through pass-through
+    nodes (sorts/projects/filters — and other Windows: stacked
+    unpartitioned windows share one exchange but each warns) until the
+    FIRST Exchange / ReusedExchange / scan; count the window when that
+    distribution-setting node is ``Exchange SinglePartition``. Unlike
+    ``_sp_corpus_windows_from_text`` the walk does NOT stop at
+    cardinality-bounding nodes — a window over an aggregated counts
+    frame is scale-FINE but still warns, and this counter exists to
+    explain warnings."""
+    import re
+
+    lines = text.splitlines()
+    try:
+        start = (
+            next(
+                i
+                for i, l in enumerate(lines)
+                if l.startswith("== Physical Plan ==")
+            )
+            + 1
+        )
+    except StopIteration:
+        return 0
+    head = re.compile(r"^([ :+\-*]*)([A-Za-z][A-Za-z]*)[^(]*\((\d+)\)\s*$")
+    names: dict[int, str] = {}
+    children: dict[int, list[int]] = {}
+    by_depth: dict[int, int] = {}
+    for l in lines[start:]:
+        if not l.strip():
+            break
+        m = head.match(l)
+        if not m:
+            continue
+        prefix, name, nid = m.group(1), m.group(2), int(m.group(3))
+        depth = len(prefix) // 3
+        names[nid] = name
+        children.setdefault(nid, [])
+        if depth > 0 and (depth - 1) in by_depth:
+            children[by_depth[depth - 1]].append(nid)
+        by_depth[depth] = nid
+    args: dict[int, str] = {}
+    reuse: dict[int, int] = {}
+    cur = None
+    detail = re.compile(r"^\((\d+)\) ")
+    reuse_re = re.compile(
+        r"^\((\d+)\) ReusedExchange \[Reuses operator id: (\d+)\]"
+    )
+    for l in lines:
+        m = detail.match(l)
+        if m:
+            cur = int(m.group(1))
+            r = reuse_re.match(l)
+            if r:
+                reuse[cur] = int(r.group(2))
+        elif cur is not None and l.startswith("Arguments:"):
+            args[cur] = l
+
+    def dist_is_single(nid: int) -> bool:
+        for c in children.get(nid, []):
+            name = names.get(c, "")
+            if name == "Exchange":
+                return "SinglePartition" in args.get(c, "")
+            if name == "ReusedExchange":
+                ref = reuse.get(c)
+                # unresolvable reference: conservatively single
+                return (
+                    True
+                    if ref is None
+                    else "SinglePartition" in args.get(ref, "")
+                )
+            if name.startswith("Scan") or name.startswith("BatchScan"):
+                return False  # source scans are multi-partition
+            if dist_is_single(c):
+                return True
+        return False
+
+    return sum(
+        1
+        for nid, name in names.items()
+        if name in ("Window", "WindowInPandas") and dist_is_single(nid)
+    )
+
+
 def node_counts(df: DataFrame) -> dict[str, int]:
     """Shuffle-relevant node counts for budget checks.
 
@@ -210,4 +301,5 @@ def node_counts(df: DataFrame) -> dict[str, int]:
         "scans": p.count(") Scan ") + p.count(") BatchScan"),
         "cartesian": p.count(") CartesianProduct"),
         "sp_corpus_windows": _sp_corpus_windows_from_text(p),
+        "sp_windows_total": _sp_windows_total_from_text(p),
     }

@@ -60,6 +60,21 @@ def test_exchange_budget(name, spark, sf_dir):
         "orderBy+limit (TakeOrdered), or ship an approx production "
         "path before consciously regenerating the budget"
     )
+    # the r11 verdict's WindowExec "warning budget": every
+    # SinglePartition-distributed Window — corpus-framed OR
+    # domain-bounded — is exactly one "No Partition Defined for
+    # Window" log line at runtime; pin the per-query count so an
+    # unbudgeted single-task window (even a scale-fine one over a
+    # counts frame) is a red test, not bench-tail log noise
+    assert got["sp_windows_total"] <= BUDGETS[name].get(
+        "sp_windows_total", 0
+    ), (
+        f"{name}: plan has {got['sp_windows_total']} "
+        "SinglePartition Windows, budget is "
+        f"{BUDGETS[name].get('sp_windows_total', 0)} — each one is a "
+        "WindowExec warning; partition it, collapse to counts, or "
+        "consciously regen the budget"
+    )
 
 
 def test_sp_corpus_windows_ratchet_is_zero_everywhere():
