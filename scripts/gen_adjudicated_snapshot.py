@@ -160,6 +160,40 @@ def main() -> None:
         json.dump({**out, "__meta__": meta}, f, indent=0, sort_keys=True)
         f.write("\n")
     stale = sorted(k for k, h in out.items() if registry.source_hash(k) != h)
+    # FRESHNESS.json — the r11 verdict's per-key adjudication-freshness
+    # map as a COMMITTED artifact: last green round, defining module,
+    # and whether the key's current source still matches the hash its
+    # green row vouched for. registry.ordered() consumes the same
+    # staleness signal (via _stale_keys) to auto-feed changed keys to
+    # the front of the next driver window; this file makes that state
+    # reviewable in the diff instead of implicit in two json files.
+    fresh_path = os.path.join(root, "FRESHNESS.json")
+    freshness = {
+        k: {
+            "last_green_round": rnd,
+            "module": _key_file(root, k),
+            "stale": registry.source_hash(k) != out[k],
+        }
+        for k, rnd in sorted(rounds.items())
+        if k in registry.QUERIES
+    }
+    never = sorted(set(registry.QUERIES) - set(rounds))
+    with open(fresh_path, "w") as f:
+        json.dump(
+            {
+                "__meta__": {
+                    "latest_round": latest,
+                    "never_adjudicated": never,
+                },
+                **freshness,
+            },
+            f,
+            indent=0,
+            sort_keys=True,
+        )
+        f.write("\n")
+    print(f"freshness: {len(freshness)} keys, {len(never)}"
+          f" never-adjudicated -> {fresh_path}")
     print(f"snapshot: {len(out)} settled keys (latest round r{latest},"
           f" ship commit {ship or 'unknown'}) -> {path}")
     if suspect:
