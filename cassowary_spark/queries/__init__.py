@@ -83,6 +83,7 @@ _MODULES = (
     "datapipe59",
     "datapipe60",
     "datapipe61",
+    "datapipe62",
 )
 
 _loaded = False
