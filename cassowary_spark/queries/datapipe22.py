@@ -26,15 +26,22 @@ from cassowary_spark.tables import load_table
                text || ' qq17 zz93 vv41' AS text
         FROM documents
     ),
-    sh AS (
+    sh0 AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - 2, 1)
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1)
                          + 1),
                    i -> array_to_string(
-                       list_slice(string_split(text, ' '), i, i + 2),
+                       list_slice(string_split(text, ' '), i, i + 4),
                        ' ')))) AS shingle
         FROM docs
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0
+        ) WHERE df <= 1000
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -63,7 +70,7 @@ from cassowary_spark.tables import load_table
 )
 def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (C135): pairs where the smaller
-    document's 3-shingle set is ≥90% contained in the larger's —
+    document's 5-shingle set is ≥90% contained in the larger's —
     the doc-inside-doc case (full quotation, boilerplate wrapping,
     article + appended footer) that symmetric Jaccard (C2/C68)
     structurally misses: a short doc quoted inside a long one has
@@ -79,10 +86,16 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline); the contained/container orientation is (size, id)-
     tiebroken.
 
-    Scale shape: identical to C68's shingle equi-join — disjoint
-    docs never meet; the operator exposes the same stop-shingle df
-    cap for fanout bounding at 100 TB (un-capped here: the fixture
-    vocabulary is tiny and exactness is the point).
+    Scale shape (r12 re-authoring): identical to C68's shingle
+    equi-join — disjoint docs never meet — and now carries the SAME
+    production posture as q_dedup_ngram on BOTH engine and oracle:
+    selective 5-gram shingles plus the df ≤ 1000 stop-shingle cap
+    (containment is computed over the RETAINED shingle space; the
+    planted twins stay at exactly 1.0 because a twin retains every
+    shingle its original retains). The former exact-uncapped 3-gram
+    form made the oracle's pair join explode super-linearly in corpus
+    size (>240 s in DuckDB at sf1 — the last sf1-parity skip); the
+    capped form sweeps green at every fixture scale.
     """
     from cassowary_spark.operators.dedup import containment_pairs
 
@@ -93,7 +106,8 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(twin)
     pairs = containment_pairs(
-        corpus, "doc_id", "text", shingle_k=3, threshold=0.9
+        corpus, "doc_id", "text", shingle_k=5, threshold=0.9,
+        max_shingle_df=1000,
     )
     return pairs.select(
         "contained_id",

@@ -186,7 +186,9 @@ def test_containment_matches_python_pairs(spark, tmp_path_factory, docs):
     corpus.update(
         {i + 1000001: t + " qq17 zz93 vv41" for i, t in enumerate(docs)}
     )
-    sets = {i: _shingle_set(t) for i, t in corpus.items()}
+    # k=5 matches the query's r12 re-authoring (selective 5-grams +
+    # df<=1000 cap — the cap never binds at <=8 docs)
+    sets = {i: _shingle_set(t, k=5) for i, t in corpus.items()}
     exp = {}
     ids = sorted(sets)
     for i in range(len(ids)):
