@@ -22,8 +22,14 @@ Usage:
     python scripts/gen_sf1_fixtures.py        # once
     python scripts/scale_rehearsal.py [N]     # default 20
 
-Prints a markdown table ready for BASELINE.md and writes
-SCALE_REHEARSAL.json.
+Second decade (r11 verdict #4): pass --from/--to to rehearse any
+fixture pair, e.g. sf1 -> sf10 after gen_sf10_fixtures.py:
+
+    python scripts/scale_rehearsal.py --keys k1,k2 \
+        --from .scratch/sf1 --to .scratch/sf10 --out SCALE_SF10.json
+
+Prints a markdown table ready for BASELINE.md and writes the JSON
+(default SCALE_REHEARSAL.json).
 """
 
 from __future__ import annotations
@@ -62,10 +68,28 @@ def bench(sf_dir: str, keys: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
-    if len(sys.argv) > 2 and sys.argv[1] == "--keys":
-        keys = sys.argv[2].split(",")
+    argv = sys.argv[1:]
+
+    def opt(name: str, default: str | None) -> str | None:
+        if name in argv:
+            i = argv.index(name)
+            v = argv[i + 1]
+            del argv[i : i + 2]
+            return v
+        return default
+
+    lo_dir = opt("--from", "/root/testdata/sf0.1")
+    hi_dir = opt("--to", SF1)
+    out_path = opt("--out", "SCALE_REHEARSAL.json")
+    keys_arg = opt("--keys", None)
+    if not os.path.isabs(lo_dir):
+        lo_dir = os.path.join(ROOT, lo_dir)
+    if not os.path.isabs(hi_dir):
+        hi_dir = os.path.join(ROOT, hi_dir)
+    if keys_arg:
+        keys = keys_arg.split(",")
     else:
-        n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+        n = int(argv[0]) if argv else 20
         with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
             full = json.load(f)
         if len(full["queries"]) < 100:
@@ -75,13 +99,16 @@ def main() -> None:
             )
         ranked = sorted(full["queries"].items(), key=lambda kv: -kv[1])
         keys = [k for k, _ in ranked[:n]]
-    if not os.path.isdir(SF1):
-        sys.exit("sf1 fixtures missing — run scripts/gen_sf1_fixtures.py")
-    print(f"rehearsing {len(keys)} keys at sf0.1 then sf1 ...", flush=True)
-    t01 = bench("/root/testdata/sf0.1", keys)
-    print("sf0.1 pass done", flush=True)
-    t1 = bench(SF1, keys)
-    print("sf1 pass done", flush=True)
+    if not os.path.isdir(hi_dir):
+        sys.exit(f"{hi_dir} missing — run the matching gen_*_fixtures.py")
+    print(
+        f"rehearsing {len(keys)} keys at {lo_dir} then {hi_dir} ...",
+        flush=True,
+    )
+    t01 = bench(lo_dir, keys)
+    print("low-scale pass done", flush=True)
+    t1 = bench(hi_dir, keys)
+    print("high-scale pass done", flush=True)
     rows = []
     for k in keys:
         a, b = t01.get(k), t1.get(k)
@@ -98,19 +125,26 @@ def main() -> None:
         f"\nTOTAL sf0.1 {tot01:.2f} s -> sf1 {tot1:.2f} s "
         f"(alpha {math.log10(tot1 / tot01):+.2f})"
     )
-    with open(os.path.join(ROOT, "SCALE_REHEARSAL.json"), "w") as f:
-        json.dump(
-            {
-                "keys": {
-                    k: {"sf01": a, "sf1": b, "alpha": round(al, 3)}
-                    for k, a, b, al in rows
-                },
-                "total_sf01": round(tot01, 3),
-                "total_sf1": round(tot1, 3),
-            },
-            f,
-            indent=1,
-        )
+    mode = "r+" if os.path.exists(os.path.join(ROOT, out_path)) else None
+    payload = {
+        "keys": {
+            k: {"lo": a, "hi": b, "alpha": round(al, 3)}
+            for k, a, b, al in rows
+        },
+        "lo_dir": lo_dir,
+        "hi_dir": hi_dir,
+        "total_lo": round(tot01, 3),
+        "total_hi": round(tot1, 3),
+    }
+    dest = os.path.join(ROOT, out_path)
+    if mode and out_path == "SCALE_REHEARSAL.json":
+        # preserve prior named sections (r11_new_operators etc.)
+        with open(dest) as f:
+            prior = json.load(f)
+        prior.update(payload)
+        payload = prior
+    with open(dest, "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
