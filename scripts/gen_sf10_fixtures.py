@@ -57,6 +57,25 @@ def _replicate(name: str, tbl: pa.Table) -> pa.Table:
             ).set_column(
                 rep.column_names.index("n_chars"), "n_chars", n_chars
             )
+        if name == "embeddings" and i > 0:
+            # second-decade twin of gen_sf1_fixtures' perturbation
+            # (distinct dimension block so sf10 replicas of sf1
+            # replicas stay non-identical): no perfect-cosine copies
+            # of the ANN query vector beyond the planted ones
+            import numpy as np
+
+            emb = rep["embedding"].combine_chunks()
+            vals = np.array(emb.values, dtype=np.float32)
+            dim = len(vals) // len(rep)
+            mat = vals.reshape(len(rep), dim)
+            mat[:, (i - 1 + dim // 2) % dim] += 0.07
+            rep = rep.set_column(
+                rep.column_names.index("embedding"),
+                "embedding",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float32()), dim
+                ).cast(tbl.schema.field("embedding").type),
+            )
         rep = rep.select(tbl.column_names).cast(tbl.schema)
         parts.append(rep)
     return pa.concat_tables(parts)

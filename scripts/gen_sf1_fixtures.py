@@ -89,6 +89,26 @@ def _replicate(name: str, tbl: pa.Table) -> pa.Table:
             ).set_column(
                 rep.column_names.index("n_chars"), "n_chars", n_chars
             )
+        if name == "embeddings" and i > 0:
+            # perturb one dimension per replica: byte-identical copies
+            # of vec 0 would otherwise be EXTRA perfect matches
+            # (cos = 1.0) that break the planted-ANN instance
+            # assumption ("only the planted scaled copies tie at the
+            # top") — caught by the r12 sf1 parity sweep
+            import numpy as np
+
+            emb = rep["embedding"].combine_chunks()
+            vals = np.array(emb.values, dtype=np.float32)
+            dim = len(vals) // len(rep)
+            mat = vals.reshape(len(rep), dim)
+            mat[:, (i - 1) % dim] += 0.05
+            rep = rep.set_column(
+                rep.column_names.index("embedding"),
+                "embedding",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float32()), dim
+                ).cast(tbl.schema.field("embedding").type),
+            )
         # keep the exact source schema (field types/order)
         rep = rep.select(tbl.column_names).cast(tbl.schema)
         parts.append(rep)
