@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16
 
+# Production stop-shingle document-frequency cap, shared by every
+# shingle-pair operator AND its oracle SQL (the two engines must
+# filter the identical shingle space or the Jaccard/containment
+# quotients diverge). Total pair work through the shingle equi-join
+# is sum over retained shingles of df²/2, so the cap is the operator
+# family's scale knob: the r12 sf1→sf10 rehearsal measured the old
+# cap of 1000 super-linear (α up to +2.15, 64 GiB heap) because the
+# fixture's dense vocabulary pushes a growing shingle mass through
+# the df∈[100,1000] band across that decade. 128 bounds per-shingle
+# fanout at ~8.2k pairs (61× less than 1000²/2) while staying far
+# above any real near-dup cluster width; at sf0.01 (the driver's
+# correctness gate) the fixture's max 5-gram df is 15, so the cap
+# never binds there and adjudicated results are cap-invariant.
+SHINGLE_DF_CAP = 128
+
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per distinct content hash (C1).
@@ -417,7 +432,7 @@ def lsh_verified_pairs(
     bands: int = 32,
     shingle_k: int = 5,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = SHINGLE_DF_CAP,
     bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Two-stage production near-dup: LSH candidates → exact Jaccard
@@ -536,9 +551,17 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    # localCheckpoint, NOT persist: the edge list is consumed every
+    # round, and a persist would re-spell the full upstream pair-gen
+    # plan (for LSH inputs, a 64-min-agg + banded-join tree) inside
+    # EVERY round's query plan — at sf10 the repeated explain/UI
+    # plan-string rendering of that tree OOMed an 8g driver before
+    # any round ran (r13 finding). Checkpointing truncates lineage to
+    # a leaf, so each round's plan is a few nodes regardless of how
+    # the edges were produced.
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     all_vertices = vertices.select(F.col(id_col).alias("__v"))
     edge_vertices = sym.select(F.col("src").alias("__v")).distinct().persist()
     labels = edge_vertices.select("__v", F.col("__v").alias("__label"))
@@ -581,7 +604,10 @@ def connected_components(
             labels = labels.localCheckpoint(eager=True)
             prev_cached.unpersist()
             prev_cached = None
-    sym.unpersist()
+    # no sym.unpersist(): a locally-checkpointed frame's blocks ARE
+    # its data (lineage is gone — unpersisting would make it
+    # unrecomputable); the ContextCleaner frees them when the RDD is
+    # garbage-collected after return
     if not converged:
         import warnings
 

@@ -218,25 +218,37 @@ def _profile_oracle() -> str:
 
 
 @query("q_profile_stats", oracle=_profile_oracle())
-def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_profile_stats(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Column profiling battery (C54): per-column row/non-null/distinct
     counts and min/max/mean — the ANALYZE TABLE statistics pass that
     feeds a cost-based optimizer and every data-quality dashboard.
 
     Scale shape: ONE scan computes every column's plain aggregates
     map-side; the exact distinct counts Catalyst expand-rewrites into
-    a single shuffle keyed by (column-id, value) — at 100 TB swap
-    exact n_distinct for approx_count_distinct (HLL, fully map-side
-    combinable) and the whole profile is one pass, zero wide shuffles.
-    The per-column rows unpivot from the 1-row aggregate, not from a
+    a single shuffle keyed by (column-id, value) — the honest linear
+    floor the sf10 rehearsal measured at α=+1.05. ``approx=True``
+    SHIPS the documented 100 TB evolution (r13): n_distinct via
+    approx_count_distinct (HLL, rsd 2% — fully map-side combinable),
+    making the whole profile one pass with zero wide shuffles; the
+    agreement gate (tests/test_analytics.py) pins the sketch within
+    its rsd of the exact counts on the fixtures. The exact form stays
+    the default because the oracle must be bit-checkable. The
+    per-column rows unpivot from the 1-row aggregate, not from a
     per-column re-scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.02))
+        if approx
+        else F.countDistinct
+    )
     aggs = [F.count("*").alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
+            nd(c).alias(f"nd_{c}"),
             srnd(F.min(c), 4).alias(f"mn_{c}"),
             srnd(F.max(c), 4).alias(f"mx_{c}"),
             srnd(F.avg(c), 4).alias(f"av_{c}"),

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.dedup import SHINGLE_DF_CAP
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -18,7 +19,7 @@ from cassowary_spark.tables import load_table
 
 @query(
     "q_shingle_containment",
-    oracle="""
+    oracle=f"""
     WITH docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -41,7 +42,7 @@ from cassowary_spark.tables import load_table
             SELECT doc_id, shingle,
                    count(*) OVER (PARTITION BY shingle) AS df
             FROM sh0
-        ) WHERE df <= 1000
+        ) WHERE df <= {SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -86,16 +87,20 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline); the contained/container orientation is (size, id)-
     tiebroken.
 
-    Scale shape (r12 re-authoring): identical to C68's shingle
-    equi-join — disjoint docs never meet — and now carries the SAME
-    production posture as q_dedup_ngram on BOTH engine and oracle:
-    selective 5-gram shingles plus the df ≤ 1000 stop-shingle cap
-    (containment is computed over the RETAINED shingle space; the
-    planted twins stay at exactly 1.0 because a twin retains every
-    shingle its original retains). The former exact-uncapped 3-gram
+    Scale shape (r12 re-authoring, r13 cap value): identical to C68's
+    shingle equi-join — disjoint docs never meet — and carries the
+    SAME production posture as q_dedup_ngram on BOTH engine and
+    oracle: selective 5-gram shingles plus the SHINGLE_DF_CAP
+    stop-shingle cap (containment is computed over the RETAINED
+    shingle space; the planted twins stay at exactly 1.0 because a
+    twin retains every shingle its original retains — the df cap
+    drops a shingle from BOTH or NEITHER member of a twin pair, as
+    twin shingles are supersets). The former exact-uncapped 3-gram
     form made the oracle's pair join explode super-linearly in corpus
     size (>240 s in DuckDB at sf1 — the last sf1-parity skip); the
-    capped form sweeps green at every fixture scale.
+    r12 cap of 1000 still measured α=+1.85 across sf1→sf10 (df-cap
+    transition regime, BASELINE.md), so r13 lowered the shared knob
+    to SHINGLE_DF_CAP=128 (operators/dedup.py).
     """
     from cassowary_spark.operators.dedup import containment_pairs
 
@@ -107,7 +112,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.unionByName(twin)
     pairs = containment_pairs(
         corpus, "doc_id", "text", shingle_k=5, threshold=0.9,
-        max_shingle_df=1000,
+        max_shingle_df=SHINGLE_DF_CAP,
     )
     return pairs.select(
         "contained_id",

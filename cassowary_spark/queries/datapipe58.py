@@ -76,22 +76,36 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σa² = Σb², so the Pearson formula collapses to one expression);
     a single srnd6 division, NULL on degree-regular graphs.
 
-    Scale shape: C127's edge discipline — per-order pair fanout
-    bounded by basket size, support filter sparsifies BEFORE the
-    degree joins; degrees attach via two node-keyed equi-joins
-    (degree frame is node-sized, co-partitioned); the reduce is one
-    row. No windows, no sort. Degree headroom: d ≤ node count,
-    Σa·b ≤ m·d² — BIGINT-safe past 10⁶-degree hubs on 10⁹ edges.
+    Scale shape: edge-gen is the bounded-basket pair expansion
+    q_shortest_path ships (r12 pattern) — collect each order's
+    ≤7-part basket sorted, emit its C(k,2) ordered pairs row-locally,
+    so the basket shuffles ONCE (groupBy o) instead of twice (both
+    sides of the former self-join); the support filter sparsifies
+    BEFORE the degree joins; degrees attach via two node-keyed
+    equi-joins (degree frame is node-sized, co-partitioned); the
+    reduce is one row. No windows, no sort. Degree headroom: d ≤
+    node count, Σa·b ≤ m·d² — BIGINT-safe past 10⁶-degree hubs on
+    10⁹ edges.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
+    baskets = li.groupBy("o").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) -> "
+                "transform(slice(ps, i+2, size(ps)-i-1), "
+                "b -> struct(a as x, b as y))))"
+            )
+        ).alias("pr")
+    )
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        pairs.groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.count("*").alias("mcnt"))
         .filter(F.col("mcnt") >= _ASSORT_SUPPORT)
         .select("x", "y")

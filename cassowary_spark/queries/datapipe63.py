@@ -648,20 +648,20 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
                             OR (a.x > b.x AND a.y > b.y)
                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
-                 AS HUGEINT) / 2 AS conc,
+                 AS HUGEINT) // 2 AS conc,
             CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
                             OR (a.x > b.x AND a.y < b.y)
                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
-                 AS HUGEINT) / 2 AS disc
+                 AS HUGEINT) // 2 AS disc
         FROM cells a JOIN cells b
           ON NOT (a.x = b.x AND a.y = b.y)
     ),
     ties AS (
         SELECT
           (SELECT CAST(sum(n) AS HUGEINT) FROM cells) AS nn,
-          (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) / 2
+          (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) // 2
            FROM (SELECT sum(n) AS t FROM cells GROUP BY x)) AS tx,
-          (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) / 2
+          (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) // 2
            FROM (SELECT sum(n) AS t FROM cells GROUP BY y)) AS ty
     )
     SELECT CAST(nn AS BIGINT) AS n,

@@ -70,9 +70,11 @@ _LLR_TOPK = 50
                 "+ CASE WHEN c - k11 > 0 THEN CAST(c - k11 AS DOUBLE)"
                 "    * ln(CAST(c - k11 AS DOUBLE) * n"
                 "         / (CAST(n - r AS DOUBLE) * c)) ELSE 0.0 END"
-                "+ CAST(n - r - c + k11 AS DOUBLE)"
+                "+ CASE WHEN n - r - c + k11 > 0"
+                "    THEN CAST(n - r - c + k11 AS DOUBLE)"
                 "    * ln(CAST(n - r - c + k11 AS DOUBLE) * n"
-                "         / (CAST(n - r AS DOUBLE) * (n - c))))", 4
+                "         / (CAST(n - r AS DOUBLE) * (n - c)))"
+                "    ELSE 0.0 END)", 4
             )} AS llr
         FROM marg WHERE k11 >= {_LLR_MIN_COUNT}
     )
@@ -141,8 +143,15 @@ def q_colloc_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
             k21 > 0,
             k21.cast("double") * F.log(k21.cast("double") * n / ((n - r) * c)),
         ).otherwise(F.lit(0.0))
-        + (n - r - c + k11)
-        * F.log((n - r - c + k11) * n / ((n - r) * (n - c)))
+        # k22 guarded like k12/k21: a degenerate corpus where one
+        # token heads or tails every bigram makes k22 = 0 and an
+        # unguarded 0·ln(0) yields NaN llr on both engines (r12
+        # ADVICE) — zero cells contribute zero, the Dunning convention
+        + F.when(
+            F.col("n") - F.col("r") - F.col("c") + F.col("k11") > 0,
+            (n - r - c + k11)
+            * F.log((n - r - c + k11) * n / ((n - r) * (n - c))),
+        ).otherwise(F.lit(0.0))
     )
     scored = marg.filter(F.col("k11") >= _LLR_MIN_COUNT).select(
         "w1", "w2", "k11", srnd(llr, 4).alias("llr")

@@ -219,8 +219,7 @@ _SEL_COLS = ("source", "lang")
     WITH {", ".join(
         f'''c_{c} AS (
             SELECT '{c}' AS col,
-                   CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
-                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS ndv,
                    CAST(max(cnt) AS BIGINT) AS top1,
                    CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS s2
             FROM (SELECT {c}, count(*) AS cnt
@@ -256,7 +255,11 @@ def q_selectivity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: value counts exact; Σc² in HUGEINT/DECIMAL(38,0);
     per-column fixed srnd6 ratios. Note ndv here is EXACT (the
     statistic being audited) — the approx path at 100 TB is B16's
-    HLL, whose error this exact profile calibrates.
+    HLL, whose error this exact profile calibrates. ndv counts the
+    GROUP domain — a NULL value is one group on BOTH engines (oracle
+    counts grouped rows, not count(DISTINCT col), which would skip
+    the NULL group and skew ndv/uniform_selectivity by one against
+    the Spark count on a dirty ingest — r12 ADVICE).
 
     Scale shape: one map-side-combining groupBy per column over the
     value domain (categorical — bounded), unioned; nothing after the
@@ -313,7 +316,7 @@ def q_selectivity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_rows, ndv,
            CAST(actual AS BIGINT) AS actual_selfjoin,
-           CAST(CAST(n AS HUGEINT) * n / ndv AS BIGINT) AS indep_est,
+           CAST(CAST(n AS HUGEINT) * n // ndv AS BIGINT) AS indep_est,
            {sql_srnd(
                "CAST(actual AS DOUBLE)"
                " / (CAST(n AS DOUBLE) * n / ndv)", 6
@@ -331,8 +334,10 @@ def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind B13b's skew-join salting and AQE's runtime re-plan).
 
     Determinism: pure integer counting (Σc² and N²/ndv in
-    HUGEINT/DECIMAL(38,0) — both cross int64 by sf10), integer
-    division for the estimate, one srnd6 ratio.
+    HUGEINT/DECIMAL(38,0) — both cross int64 by sf10), explicit
+    FLOOR division for the estimate on both engines (DuckDB `//`,
+    Spark F.floor of the decimal quotient — scale-independent
+    exact), one srnd6 ratio.
 
     Scale shape: ONE map-side-combining groupBy(key) then a 1-row
     reduce — the audit costs one pass over the fact table where the
@@ -355,7 +360,11 @@ def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         "ndv",
         F.col("actual").cast("long").alias("actual_selfjoin"),
-        (n * F.col("n") / F.col("ndv")).cast("long").alias("indep_est"),
+        # explicit floor on both engines: DuckDB uses HUGEINT floor
+        # division (//); a bare decimal-quotient cast would truncate
+        # while a float-division cast rounds half-up — off by one
+        # whenever frac(n²/ndv) ≥ 0.5 (r12 ADVICE)
+        F.floor(n * F.col("n") / F.col("ndv")).cast("long").alias("indep_est"),
         srnd(
             F.col("actual").cast("double")
             / (

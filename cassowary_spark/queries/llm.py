@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from cassowary_spark.multimodal.decode import attach_binary, image_meta
 from cassowary_spark.operators.dedup import (
+    SHINGLE_DF_CAP,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -156,9 +157,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", srnd("est_jaccard", 4).alias("est_jaccard"))
 
 
-# Exact 5-gram Jaccard pair set over the df<=1000-filtered shingle
-# space — the brute-force ground truth BOTH q_dedup_ngram and the
-# LSH-verified q_dedup_near_verified must reproduce exactly.
+# Exact 5-gram Jaccard pair set over the SHINGLE_DF_CAP-filtered
+# shingle space — the brute-force ground truth BOTH q_dedup_ngram and
+# the LSH-verified q_dedup_near_verified must reproduce exactly. The
+# cap value lives in operators/dedup.py (one knob, both engines).
 _NGRAM_PAIRS_SQL = f"""
     WITH docs AS ({_DOCS_TWINS_SQL}),
     sh0 AS (
@@ -168,7 +170,7 @@ _NGRAM_PAIRS_SQL = f"""
         SELECT doc_id, shingle FROM (
             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
             FROM sh0
-        ) WHERE df <= 1000
+        ) WHERE df <= {SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -191,12 +193,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k=5: the fixture vocabulary is tiny, so 3-gram shingles recur in
     thousands of docs and the shingle join explodes 18M-wide (measured);
-    5-grams are selective (max freq 15, ~320k pairs) — the same knob a
-    real corpus dedup turns.
+    5-grams are selective (max freq 15 at sf0.01, ~320k pairs) — the
+    same knob a real corpus dedup turns. The stop-shingle cap is
+    SHINGLE_DF_CAP on both engines (r13 re-linearization: the old 1000
+    measured super-linear across sf1→sf10, see operators/dedup.py).
     """
     corpus = _docs_with_twins(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle_k=5, threshold=0.5, max_shingle_df=1000
+        corpus, "doc_id", "text", shingle_k=5, threshold=0.5,
+        max_shingle_df=SHINGLE_DF_CAP,
     )
     return pairs.select("id_a", "id_b", srnd("jaccard", 4).alias("jaccard"))
 
@@ -216,7 +221,7 @@ def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = lsh_verified_pairs(
         corpus, "doc_id", "text", num_hashes=64, bands=32,
-        shingle_k=5, threshold=0.5, max_shingle_df=1000,
+        shingle_k=5, threshold=0.5, max_shingle_df=SHINGLE_DF_CAP,
     )
     return pairs.select("id_a", "id_b", srnd("jaccard", 4).alias("jaccard"))
 
@@ -754,8 +759,14 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     docs AS ({_DOCS_TWINS_SQL}),
-    sh AS (
+    sh0 AS (
         SELECT doc_id, unnest({_duck_shingles(5)}) AS shingle FROM docs
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0
+        ) WHERE df <= {SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -792,13 +803,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``connected_components``), all joins/groupBys, converging in
     diameter rounds. Oracle: DuckDB recursive CTE computing the
     transitive closure over the same deterministic edge set and
-    taking min reachable id — engine-independent because the 5-gram
-    Jaccard pairs (not MinHash) define the graph.
+    taking min reachable id — engine-independent because the exact
+    5-gram Jaccard pairs over the SHINGLE_DF_CAP-filtered shingle
+    space define the graph (LSH only finds them; the verify stage is
+    exact, so 100% candidate recall makes the two graphs identical
+    and any missed pair fails the value hash).
+
+    r13 re-linearization: the pair stage is the production
+    bucket-capped LSH + exact-verify path (lsh_verified_pairs) —
+    never the full shingle self-join this key ran through r12, whose
+    uncapped shingle space measured α=+2.15 across sf1→sf10 with a
+    64 GiB heap cliff. Candidate work is bounded per band bucket
+    (bucket_cap²) and per shingle (SHINGLE_DF_CAP²), both linear in
+    corpus size at fixed caps.
     """
-    from cassowary_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+    from cassowary_spark.operators.dedup import connected_components, lsh_verified_pairs
 
     corpus = _docs_with_twins(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=5, threshold=0.5)
+    pairs = lsh_verified_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=32,
+        shingle_k=5, threshold=0.5, max_shingle_df=SHINGLE_DF_CAP,
+        bucket_cap=1000,
+    )
     return connected_components(
         corpus.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
     )

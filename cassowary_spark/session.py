@@ -40,6 +40,13 @@ def get_spark(app_name: str = "cassowary_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Cap plan-string rendering (SQL-listener events re-render the
+        # physical plan per execution): an iterative job whose rounds
+        # each embed a wide upstream tree can otherwise OOM the driver
+        # INSIDE explainString — observed at sf10 before the CC
+        # edge-frame checkpoint landed. 8 MB keeps explain() useful
+        # while bounding the allocation.
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

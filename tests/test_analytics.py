@@ -165,3 +165,33 @@ class TestTrailingRate:
             for r in QUERIES["q_trailing_rate"](spark, d).collect()
         }
         assert got == {1: 1, 2: 2, 3: 2}
+
+
+class TestProfileStatsApprox:
+    def test_hll_twin_agrees_and_drops_the_expand(self, spark, sf_dir):
+        """approx=True (C54 production path): n_distinct within the
+        HLL rsd=2% envelope of exact (generous 3x slack for small
+        fixtures), every other column bit-identical, and the plan
+        loses the countDistinct Expand rewrite (the wide shuffle the
+        twin exists to remove)."""
+        from cassowary_spark.plancheck import formatted_plan
+
+        exact = {
+            r.col_name: r
+            for r in QUERIES["q_profile_stats"](spark, sf_dir).collect()
+        }
+        approx_df = QUERIES["q_profile_stats"](spark, sf_dir, approx=True)
+        assert "Expand" not in formatted_plan(approx_df)
+        approx = {r.col_name: r for r in approx_df.collect()}
+        assert set(approx) == set(exact)
+        for c, r in approx.items():
+            e = exact[c]
+            assert abs(r.n_distinct - e.n_distinct) <= max(
+                2, 0.06 * e.n_distinct
+            ), (c, r.n_distinct, e.n_distinct)
+            assert (r.n_rows, r.n_nonnull) == (e.n_rows, e.n_nonnull)
+            assert (r.min_val, r.max_val, r.mean_val) == (
+                e.min_val,
+                e.max_val,
+                e.mean_val,
+            )
