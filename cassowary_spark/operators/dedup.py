@@ -434,9 +434,19 @@ def lsh_verified_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = SHINGLE_DF_CAP,
     bucket_cap: int | None = 1000,
+    owned_caches: list | None = None,
 ) -> DataFrame:
     """Two-stage production near-dup: LSH candidates → exact Jaccard
     verification, computed ONLY for candidate pairs.
+
+    ``owned_caches``: pass a list to receive the frames this function
+    persists (the hashed-shingle table). The returned DataFrame is
+    lazy, so the function cannot know when its caches die; a caller
+    that MATERIALIZES the pairs (checkpoint before an iterative
+    consumer like connected components) should unpersist everything
+    in the list right after — at sf100 the shingle cache alone is
+    tens of GB of disk-backed blocks that would otherwise live until
+    session clearCache (the r13 q_dedup_clusters disk finding).
 
     This is the shape that survives 100 TB — the full shingle
     self-join of ``ngram_jaccard_pairs`` never runs; exact Jaccard is
@@ -456,6 +466,8 @@ def lsh_verified_pairs(
     df cap exists for. The shingle explode+hash runs once, persisted.
     """
     sh = hashed_shingles(df, id_col, text_col, shingle_k, max_shingle_df).persist()
+    if owned_caches is not None:
+        owned_caches.append(sh)
     sigs = signatures_from_hashes(sh, id_col, num_hashes)
     cand = band_candidates(sigs, id_col, num_hashes, bands, bucket_cap)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))

@@ -209,3 +209,29 @@ def tie_correction(
     return counts.agg(
         F.coalesce(F.sum(term), F.lit(0)).cast("long").alias(out_col)
     )
+
+
+def catalog_positions(
+    frame: DataFrame,
+    order_cols: Sequence,
+    out_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Attach ``out_col`` = 1-based position under a STRICT total
+    order — ``row_number()`` over a frame the caller guarantees is
+    catalog/domain-bounded (a per-key aggregate, never raw corpus
+    rows; the plan-budget ratchet's sp_corpus_windows=0 enforces the
+    contract repo-wide).
+
+    This is the leaderboard complement of ``doubled_midranks``:
+    midranks serve rank-SUM statistics (ties pool), positions serve
+    rank-DIFF views (movers, top-k cuts) where ``order_cols`` must
+    already break every tie (e.g. (metric DESC, key ASC)) so the
+    position is engine-deterministic. Centralizing it here keeps the
+    bounded-window discipline in one reviewed place instead of ad-hoc
+    Window definitions per query; at true unbounded domains the same
+    two-pass range-partitioned evolution as the module docstring
+    applies.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return frame.withColumn(out_col, F.row_number().over(w).cast("long"))

@@ -141,9 +141,11 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partkey conditional-sum partial agg (year
     predicate pushed to the scan), then two global ranked windows
-    over the catalog-sized frame — same single-sort caveat and
-    evolution as C111 (catalog ≪ facts; range-partitioned sort) —
-    then a TakeOrdered(10), never a full result sort.
+    over the catalog-sized frame via operators/ranks
+    ``catalog_positions`` (r13: the centralized bounded-window form;
+    same single-sort caveat and evolution as C111 — catalog ≪ facts;
+    range-partitioned sort) — then a TakeOrdered(10), never a full
+    result sort.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.year("l_shipdate").isin(1996, 1997)
@@ -161,16 +163,14 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("rev_a_cents") > 0) & (F.col("rev_b_cents") > 0))
     )
-    ranked = per.withColumn(
-        "rank_a",
-        F.row_number()
-        .over(Window.orderBy(F.desc("rev_a_cents"), F.asc("l_partkey")))
-        .cast("long"),
-    ).withColumn(
+    from cassowary_spark.operators.ranks import catalog_positions
+
+    ranked = catalog_positions(
+        catalog_positions(
+            per, [F.desc("rev_a_cents"), F.asc("l_partkey")], "rank_a"
+        ),
+        [F.desc("rev_b_cents"), F.asc("l_partkey")],
         "rank_b",
-        F.row_number()
-        .over(Window.orderBy(F.desc("rev_b_cents"), F.asc("l_partkey")))
-        .cast("long"),
     )
     return (
         ranked.select(
@@ -234,9 +234,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: duplicate prices pre-collapse in a (flag, price)
     partial agg BEFORE the window, so the per-flag ordered pass runs
-    over distinct prices only; both windows (cumulative + total)
-    share one flag-partitioned sort. Price-quantized buckets would
-    bound the pass further at 100 TB, exactly like C106's bands.
+    over distinct prices only; the cumulative weight comes from
+    operators/ranks ``doubled_midranks``' shared window (its cum_col
+    output — r13: the centralized counts-frame discipline) and the
+    per-flag total window shares the same flag-partitioned sort.
+    Price-quantized buckets would bound the pass further at 100 TB,
+    exactly like C106's bands.
     """
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
@@ -249,12 +252,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     byp = v.groupBy("flag", "price_c").agg(
         F.sum("w").cast("long").alias("w")
     )
-    wc = Window.partitionBy("flag").orderBy("price_c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    from cassowary_spark.operators.ranks import doubled_midranks
+
     wt = Window.partitionBy("flag")
-    c = byp.withColumn(
-        "cum_w", F.sum("w").over(wc).cast("long")
+    c = doubled_midranks(
+        byp, "price_c", "w", group_cols=["flag"], cum_col="cum_w"
     ).withColumn("tot_w", F.sum("w").over(wt).cast("long"))
     return c.groupBy("flag").agg(
         F.max("tot_w").cast("long").alias("total_weight"),

@@ -820,14 +820,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassowary_spark.operators.dedup import connected_components, lsh_verified_pairs
 
     corpus = _docs_with_twins(spark, sf_dir)
+    owned: list = []
     pairs = lsh_verified_pairs(
         corpus, "doc_id", "text", num_hashes=64, bands=32,
         shingle_k=5, threshold=0.5, max_shingle_df=SHINGLE_DF_CAP,
-        bucket_cap=1000,
+        bucket_cap=1000, owned_caches=owned,
     )
-    return connected_components(
-        corpus.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
-    )
+    # Materialize the pair list ONCE, then release the pair
+    # pipeline's caches BEFORE the CC loop: the loop is
+    # frontier-bounded, but holding the shingle cache (disk-backed
+    # blocks, tens of GB at sf100) plus the pipeline's live shuffle
+    # files through its rounds is what exhausted local disk in the
+    # r13 third-decade probe. After this checkpoint the edge list is
+    # a leaf; nothing upstream is ever re-read.
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    for f in owned:
+        f.unpersist()
+    return connected_components(corpus.select("doc_id"), edges, "doc_id")
 
 
 @query(
