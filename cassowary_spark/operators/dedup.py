@@ -127,14 +127,16 @@ def hashed_shingles(
     measures would silently destroy candidate recall on hot-shingle
     corpora.
     """
-    # Repartition by id BEFORE the explode: parquet often lands a
-    # corpus in few large files, which would pin the expensive
-    # shingle+hash map stage to those few tasks. Hashing on the id
-    # also lets downstream per-id groupBys reuse the partitioning (the
-    # wide exploded data never reshuffles).
+    # No repartition before the explode (r14): the old repartition(id)
+    # exchanged the FULL TEXT column — the heaviest bytes in the frame
+    # — to buy downstream per-id partitioning, but the per-id groupBys
+    # it fed (signatures, sizes) aggregate map-side and shuffle narrow
+    # (id, hash) state, so the text exchange cost more than it saved
+    # (measured 0.87 s → 0.44 s per pass at sf0.1, and at corpus scale
+    # "never shuffle the payload" is the §8 rule). Scan parallelism
+    # comes from parquet splits (maxPartitionBytes), not a repartition.
     sh = (
-        df.repartition(F.col(id_col))
-        .withColumn("__toks", F.split(F.col(text_col), " "))
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
         .select(
             F.col(id_col),
             F.explode(shingles_of_tokens("__toks", shingle_k)).alias("__shingle"),
@@ -468,7 +470,15 @@ def lsh_verified_pairs(
     sh = hashed_shingles(df, id_col, text_col, shingle_k, max_shingle_df).persist()
     if owned_caches is not None:
         owned_caches.append(sh)
-    sigs = signatures_from_hashes(sh, id_col, num_hashes)
+    # Persist the signatures too: band_candidates consumes them TWICE
+    # (the hot-bucket pass and the bucket self-join probe have
+    # different plans, so exchange reuse cannot unify them) — without
+    # the cache each pass re-runs the 64-min aggregation over the
+    # shingle table. K×num_hashes longs per doc: corpus-row-bounded,
+    # tiny next to the shingle cache it derives from.
+    sigs = signatures_from_hashes(sh, id_col, num_hashes).persist()
+    if owned_caches is not None:
+        owned_caches.append(sigs)
     cand = band_candidates(sigs, id_col, num_hashes, bands, bucket_cap)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
@@ -504,7 +514,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     each bit-sum becomes the fingerprint bit. One explode + groupBy
     (64 map-side-combinable sums), then bit packing — all JVM exprs.
     """
-    toks = df.repartition(F.col(id_col)).select(
+    # No repartition(id) before the explode (r14, same reasoning as
+    # hashed_shingles): it exchanged the full text column to buy a
+    # per-id partitioning the vote groupBy doesn't need — the 64 sums
+    # partially aggregate map-side, so the groupBy shuffles narrow
+    # per-partition vote state, not token rows (0.37 s faster at
+    # sf0.1, and no corpus-payload shuffle at scale).
+    toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))

@@ -20,6 +20,7 @@ def bfs_distances(
     dst_col: str = "y",
     source: int | None = None,
     max_hops: int = 20,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Single-source hop distances over an undirected edge list →
     ``(node, dist)`` for every node within ``max_hops`` of the source
@@ -43,17 +44,28 @@ def bfs_distances(
     graph with diameter beyond ~20 wants large-star/small-star CC or
     a landmark index, not more BFS rounds).
     """
-    sym = edges.select(
-        F.col(src_col).cast("long").alias("s"),
-        F.col(dst_col).cast("long").alias("t"),
-    )
-    sym = sym.union(
-        sym.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).persist()
+    if symmetric:
+        # caller hands an ALREADY-SYMMETRIZED, already-persisted edge
+        # frame (e.g. it computed degrees/hub from the same frame —
+        # one materialization instead of two); this function takes
+        # ownership and unpersists it when the loop is done.
+        sym = edges.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("t"),
+        )
+    else:
+        sym = edges.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("t"),
+        )
+        sym = sym.union(
+            sym.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        ).persist()
+    owned = edges if symmetric else sym
     if source is None:
         source = sym.agg(F.min("s")).collect()[0][0]
         if source is None:
-            sym.unpersist()
+            owned.unpersist()
             raise ValueError(
                 "bfs_distances: edge set is empty — no default source "
                 "to pick (pass an explicit `source` for a known node)"
@@ -104,5 +116,5 @@ def bfs_distances(
         # per-round work proportional to the frontier.
         dist = dist.unionByName(nxt)
         prev, frontier = frontier, nxt
-    sym.unpersist()
+    owned.unpersist()
     return dist

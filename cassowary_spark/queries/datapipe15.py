@@ -374,13 +374,16 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    edges = (
+    # r14: countDistinct folds the former standalone distinct() into
+    # the degree agg — Spark plans it as a map-side partial distinct
+    # on (partkey, custkey) feeding ONE partkey-keyed exchange, where
+    # distinct-then-count paid two exchanges. Identical degrees.
+    deg = (
         li.select("l_partkey", "l_orderkey")
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select("l_partkey", "o_custkey")
-        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("o_custkey").alias("degree"))
     )
-    deg = edges.groupBy("l_partkey").agg(F.count("*").alias("degree"))
     per = deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count("*").cast("long").alias("n_parts")
     )

@@ -529,16 +529,29 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle join all reuse one materialization instead of
     recomputing the pair-gen shuffle three times.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a, b = li.alias("a"), li.alias("b")
+    # r14: basket-collect pair-gen (the r12 q_shortest_path pattern)
+    # replaces distinct() + o-keyed self-join: collect_set dedups
+    # inside the basket agg and the C(k,2) ordered pairs are emitted
+    # row-locally over the ≤7-part sorted basket — one exchange where
+    # the former shape paid three (distinct + both join sides),
+    # identical edge multiset.
+    baskets = li.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps")
+    )
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o"))
-               & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) -> "
+                    "transform(slice(ps, i+2, size(ps)-i-1), "
+                    "b -> struct(a as x, b as y))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.count("*").alias("m"))
         .filter(F.col("m") >= _TRI_SUPPORT)
         .select("x", "y")

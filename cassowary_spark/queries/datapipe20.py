@@ -94,18 +94,19 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cassowary_spark.operators.graph import bfs_distances
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     # r12: basket-collect pair-gen replaces the self-join — baskets
     # are order-bounded (TPC-H ≤7 lineitems), so per-row pair
     # expansion is O(basket²) row-local work and each basket shuffles
     # ONCE (groupBy o) instead of twice (both join sides); same edge
     # set, one fewer exchange, ~15% faster end-to-end at sf0.1.
+    # r14: collect_set dedups inside the same agg — the former
+    # standalone distinct() paid one more full (o, p)-keyed exchange
+    # for duplicates the set-agg removes for free.
     baskets = li.groupBy("o").agg(
-        F.sort_array(F.collect_list("p")).alias("ps")
+        F.sort_array(F.collect_set("p")).alias("ps")
     )
     pairs = baskets.select(
         F.explode(
@@ -121,28 +122,33 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("m"))
         .filter(F.col("m") >= _SP_SUPPORT)
         .select("x", "y")
-        .persist()  # reused: node set, source reduce, and every round
     )
-    sym = edges.select(F.col("x").alias("node")).unionAll(
-        edges.select(F.col("y").alias("node"))
+    # r14: symmetrize ONCE and persist only the symmetric frame — the
+    # degree/hub reduce and every BFS round consume the same
+    # materialization (formerly edges AND its re-symmetrized copy were
+    # each persisted+materialized). The union is row-local, so this
+    # drops one cache and one materialization job, not just bytes.
+    sym = (
+        edges.unionAll(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .persist()
     )
     # ONE job yields both the hub (max degree, min-id tiebreak: min
     # over struct(-d, node)) and the node count — replacing the old
     # TakeOrdered hub job plus a later nodes-distinct anti-join.
     deg_row = (
-        sym.groupBy("node")
+        sym.groupBy("x")
         .agg(F.count("*").alias("d"))
         .agg(
             F.count("*").alias("n_nodes"),
             F.min(
-                F.struct((-F.col("d")).alias("nd"), F.col("node").alias("v"))
+                F.struct((-F.col("d")).alias("nd"), F.col("x").alias("v"))
             ).alias("h"),
         )
         .collect()[0]
     )
     hub, n_nodes = deg_row["h"]["v"], deg_row["n_nodes"]
     dist = bfs_distances(
-        edges, "x", "y", source=hub, max_hops=_SP_MAX_HOPS
+        sym, "x", "y", source=hub, max_hops=_SP_MAX_HOPS, symmetric=True
     )
     # rollup = per-distance counts + a grand-total row (dist NULL) in
     # one shuffle; the NULL row becomes the unreachable bucket. BFS

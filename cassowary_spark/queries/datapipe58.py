@@ -87,13 +87,15 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     node count, Σa·b ≤ m·d² — BIGINT-safe past 10⁶-degree hubs on
     10⁹ edges.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
+    # collect_set dedups inside the basket agg itself: the former
+    # distinct() + collect_list paid a full extra (o, p)-keyed
+    # exchange removing duplicates the set-agg removes for free —
+    # one shuffle instead of two, same sorted basket.
     baskets = li.groupBy("o").agg(
-        F.sort_array(F.collect_list("p")).alias("ps")
+        F.sort_array(F.collect_set("p")).alias("ps")
     )
     pairs = baskets.select(
         F.explode(
