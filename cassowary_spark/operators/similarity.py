@@ -204,16 +204,45 @@ def ivf_assign(
     ).withColumn("_vn", l2_norm(F.col("_vd")))
 
     def assign(cents: DataFrame) -> DataFrame:
-        cents_n = cents.withColumn("_cn", l2_norm(F.col("cvec")))
-        scored = prepped.crossJoin(F.broadcast(cents_n)).select(
-            F.col(id_col), F.col(vec_col), F.col("cid"),
-            (dot(F.col("_vd"), F.col("cvec")) / (F.col("_vn") * F.col("_cn"))).alias("sim"),
+        # r14: row-local argmax over a 1-row nested centroid array —
+        # the old K-way crossJoin + row_number window hash-shuffled
+        # the WHOLE corpus (vectors included) just to pick each row's
+        # best of K centroids. Collapsing the K×dim centroid table to
+        # one array row (sorted by cid) and folding over it keeps the
+        # assignment inside the scan stage: zero exchanges of corpus
+        # bytes. Arithmetic is the same dot/l2_norm expressions, the
+        # fold visits cids ascending with a strict ">", so ties keep
+        # the lowest cid — exactly the old (sim DESC, cid ASC) pick.
+        cents1 = (
+            cents.withColumn("_cn", l2_norm(F.col("cvec")))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cid", "cvec", "_cn"))
+                ).alias("__cents")
+            )
         )
-        best = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid"))
-        return (
-            scored.withColumn("rn", F.row_number().over(best))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "sim")
+
+        def step(acc, c):
+            sim = dot(F.col("_vd"), c["cvec"]) / (F.col("_vn") * c["_cn"])
+            return F.when(
+                sim > acc["sim"],
+                F.struct(sim.alias("sim"), c["cid"].alias("cid")),
+            ).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("__cents"),
+            F.struct(
+                F.lit(float("-inf")).alias("sim"),
+                F.lit(-1).alias("cid"),
+            ),
+            step,
+        )
+        return prepped.crossJoin(F.broadcast(cents1)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            # all-NaN similarities (zero-norm row) fall through the
+            # strict ">" — pin them to cid 0, the old window's pick
+            F.when(best["cid"] < 0, F.lit(0)).otherwise(best["cid"]).alias("cid"),
         )
 
     assigned = assign(centroids)

@@ -549,10 +549,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0)
+    # r14: grams shuffle/join as xxhash64 longs, not 8-gram strings —
+    # the corpus-side DISTINCT and the seen-join carry 8 bytes per
+    # gram instead of ~50 (guide §2.3; dedup-family ~1e-12 collision
+    # tolerance, a collision can only mark one gram seen).
     bg = batch.select(
-        "doc_id", F.explode(shingles("text", _NOV_K)).alias("g")
+        "doc_id", F.explode(shingles("text", _NOV_K)).alias("g0")
+    ).select("doc_id", F.xxhash64("g0").alias("g"))
+    cg = (
+        corpus.select(F.explode(shingles("text", _NOV_K)).alias("g0"))
+        .select(F.xxhash64("g0").alias("g"))
+        .distinct()
     )
-    cg = corpus.select(F.explode(shingles("text", _NOV_K)).alias("g")).distinct()
     seen = cg.withColumn("__seen", F.lit(1))
     j = bg.join(seen, "g", "left")
     return j.groupBy("doc_id").agg(

@@ -214,19 +214,31 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the hot-set job and the main pass both consume the
     # shingle explode — without the persist it would run twice (the
     # dedup family's hashed_shingles does the same)
-    sh0 = tagged.select(
-        "doc_id",
-        "lang",
-        "split",
-        F.explode(shingles("text", 5)).alias("shingle"),
-    ).persist()
-    sh = drop_hot_keys(sh0, "shingle", 1000, broadcast_hot=True)
+    # r14: shingles shuffle as 64-bit xxhash64 keys, not strings — the
+    # hot-set groupBy, the train-side DISTINCT and the semi join all
+    # key on 8-byte longs instead of ~30-byte 5-gram strings (guide
+    # §2.3 "shuffle keys, not payloads"; the dedup family's documented
+    # ~1e-12 collision tolerance applies — a collision can only mark
+    # one extra doc leaked).
+    sh0 = (
+        tagged.select(
+            "doc_id",
+            "lang",
+            "split",
+            F.explode(shingles("text", 5)).alias("shingle"),
+        )
+        .select(
+            "doc_id", "lang", "split", F.xxhash64("shingle").alias("sh_h")
+        )
+        .persist()
+    )
+    sh = drop_hot_keys(sh0, "sh_h", 1000, broadcast_hot=True)
     train_sh = (
-        sh.filter(F.col("split") == "train").select("shingle").distinct()
+        sh.filter(F.col("split") == "train").select("sh_h").distinct()
     )
     leaked = (
         sh.filter(F.col("split") == "test")
-        .join(train_sh, "shingle", "left_semi")
+        .join(train_sh, "sh_h", "left_semi")
         .select("doc_id", "lang")
         .distinct()
     )

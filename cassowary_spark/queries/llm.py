@@ -402,17 +402,21 @@ def _ann_planted_corpus(spark: SparkSession, sf_dir: str):
     planted — the deterministic recall fixture behind the *_planted
     ANN keys (see _ANN_PLANTED_SQL)."""
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.filter(F.col("vec_id") != 0).select(
+    base = e.filter(F.col("vec_id") != 0).select(
         "vec_id", as_double("embedding").alias("v")
     )
     v0 = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("v"))
-    for i, s in enumerate(_PLANT_SCALES):
-        corpus = corpus.unionByName(
-            v0.select(
-                F.lit(PLANT_OFFSET + i + 1).cast("long").alias("vec_id"),
-                F.expr(f"transform(v, x -> x * {s}D)").alias("v"),
-            )
-        )
+    # r14: ONE exploded branch instead of ten unioned single-row
+    # selects — the old shape re-scanned the embeddings parquet once
+    # per plant (11 scan branches in every consumer's plan). The scale
+    # literals are the same decimal strings, parsed to identical
+    # doubles, so the planted vectors are bit-identical.
+    scales = F.array(*[F.expr(f"CAST({s} AS DOUBLE)") for s in _PLANT_SCALES])
+    planted = v0.select("v", F.posexplode(scales).alias("i", "s")).select(
+        (F.lit(PLANT_OFFSET + 1) + F.col("i")).cast("long").alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.col("s")).alias("v"),
+    )
+    corpus = base.unionByName(planted)
     qdf = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     return corpus, qdf
 

@@ -297,14 +297,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _docs_with_twins(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
+    # r14: n-grams meet as xxhash64 longs, not strings — the broadcast
+    # build side shrinks ~6× and the probe compares 8-byte keys; the
+    # per-doc countDistinct over hashed grams equals the string count
+    # modulo the dedup family's documented ~1e-12 collision odds.
     corpus_ng = corpus.select(
         F.col("doc_id").alias("cid"),
-        F.explode(shingles_of_tokens("split(text, ' ')", _NGRAM_K)).alias("ng"),
-    )
+        F.explode(shingles_of_tokens("split(text, ' ')", _NGRAM_K)).alias("ng0"),
+    ).select("cid", F.xxhash64("ng0").alias("ng"))
     bench_ng = docs.filter(F.col("doc_id") % 13 == 0).select(
         F.col("doc_id").alias("bid"),
-        F.explode(shingles_of_tokens("split(text, ' ')", _NGRAM_K)).alias("ng"),
-    )
+        F.explode(shingles_of_tokens("split(text, ' ')", _NGRAM_K)).alias("ng0"),
+    ).select("bid", F.xxhash64("ng0").alias("ng"))
     return (
         corpus_ng.join(F.broadcast(bench_ng), "ng")
         .filter(F.col("cid") != F.col("bid"))
