@@ -102,24 +102,45 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lag("rev", k).over(w).alias(f"lag_{k}") for k in _LAGS],
     )
     dec = "decimal(19,0)"
-    parts = []
+    # r14: ONE conditional aggregate computes every lag's sufficient
+    # statistics (sum over rows where lag_k exists == the old
+    # filter+agg branch), then a row-local unpivot — the old per-lag
+    # union of 1-row aggregates re-ran the orders scan + daily agg +
+    # window sort once PER LAG (3 full passes; guide §1.3 plan-branch
+    # dedup). Identical exact-integer sums, identical assembly.
+    aggs = []
     for k in _LAGS:
         y = F.col(f"lag_{k}")
-        t = lagged.filter(y.isNotNull()).agg(
-            F.lit(k).cast("int").alias("lag_days"),
-            F.count("*").cast("long").alias("n_pairs"),
-            F.sum("rev").cast("long").alias("sx"),
-            F.sum(y).cast("long").alias("sy"),
-            F.sum(F.col("rev").cast(dec) * y.cast(dec)).alias("sxy"),
-            F.sum(F.col("rev").cast(dec) * F.col("rev").cast(dec)).alias(
-                "sxx"
+        on = lambda e, y=y: F.when(y.isNotNull(), e)  # noqa: E731
+        aggs += [
+            F.count(y).cast("long").alias(f"np_{k}"),
+            F.sum(on(F.col("rev"))).cast("long").alias(f"sx_{k}"),
+            F.sum(y).cast("long").alias(f"sy_{k}"),
+            F.sum(F.col("rev").cast(dec) * y.cast(dec)).alias(f"sxy_{k}"),
+            F.sum(on(F.col("rev").cast(dec) * F.col("rev").cast(dec))).alias(
+                f"sxx_{k}"
             ),
-            F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
+            F.sum(y.cast(dec) * y.cast(dec)).alias(f"syy_{k}"),
+        ]
+    one = lagged.agg(*aggs)
+    terms = one.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag_days"),
+                        F.col(f"np_{k}").alias("n_pairs"),
+                        F.col(f"sx_{k}").alias("sx"),
+                        F.col(f"sy_{k}").alias("sy"),
+                        F.col(f"sxy_{k}").alias("sxy"),
+                        F.col(f"sxx_{k}").alias("sxx"),
+                        F.col(f"syy_{k}").alias("syy"),
+                    )
+                    for k in _LAGS
+                ]
+            )
         )
-        parts.append(t)
-    terms = parts[0]
-    for p in parts[1:]:
-        terms = terms.unionByName(p)
+    )
     nd = F.col("n_pairs").cast(dec)
     num = (nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)).cast(
         "double"

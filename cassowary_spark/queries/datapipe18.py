@@ -97,27 +97,34 @@ def q_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("cnt"),
         F.sum(dollars).alias("rev"),
-    ).persist()  # ~2.4k calendar rows; 3 lag self-joins reuse one scan
+    ).persist()  # ~2.4k calendar rows; both join sides reuse one scan
     dec = "decimal(19,0)"
-    parts = []
-    for k in _CCF_LAGS:
-        a, b = daily.alias("a"), daily.alias("b")
-        j = a.join(b, F.col("b.d") == F.col("a.d") + k)
-        x, y = F.col("a.cnt"), F.col("b.rev")
-        parts.append(
-            j.agg(
-                F.lit(k).cast("int").alias("lag_days"),
-                F.count("*").cast("long").alias("n_pairs"),
-                F.sum(x).cast("long").alias("sx"),
-                F.sum(y).cast("long").alias("sy"),
-                F.sum(x.cast(dec) * y.cast(dec)).alias("sxy"),
-                F.sum(x.cast(dec) * x.cast(dec)).alias("sxx"),
-                F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
-            )
-        )
-    terms = parts[0]
-    for p in parts[1:]:
-        terms = terms.unionByName(p)
+    # r14: ONE lag-exploded self-join + grouped conditional aggregate
+    # — the old per-lag union of (join + 1-row agg) branches re-ran
+    # the whole join ladder once PER LAG (guide §1.3 plan-branch
+    # dedup). The a-side carries each row once per lag; the LEFT join
+    # keeps pair-less lags alive so every k still emits its row (with
+    # n_pairs=0 and NULL sums, exactly the old empty-join aggregate);
+    # all sums condition on the match so the per-k statistics are the
+    # old inner-join sums bit-for-bit.
+    a = daily.select(
+        "d",
+        "cnt",
+        F.explode(F.array(*[F.lit(k) for k in _CCF_LAGS])).alias("k"),
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("rev"))
+    j = a.join(b, F.col("bd") == F.col("d") + F.col("k"), "left")
+    x, y = F.col("cnt"), F.col("rev")
+    on = lambda e: F.when(F.col("bd").isNotNull(), e)  # noqa: E731
+    terms = j.groupBy("k").agg(
+        F.count("bd").cast("long").alias("n_pairs"),
+        F.sum(on(x)).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x.cast(dec) * y.cast(dec)).alias("sxy"),
+        F.sum(on(x.cast(dec) * x.cast(dec))).alias("sxx"),
+        F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
+    ).select(F.col("k").cast("int").alias("lag_days"), "n_pairs",
+             "sx", "sy", "sxy", "sxx", "syy")
     nd = F.col("n_pairs").cast(dec)
     num = (
         nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)

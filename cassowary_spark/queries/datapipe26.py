@@ -276,7 +276,9 @@ def q_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r4",
         F.row_number().over(wr).alias("rk"),
         F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ).persist()  # r14: qs AND cov consume this — without the persist
+    # the calendar×4 lag theta-join + ranking window ran twice
+    # (calendar-bounded rows, so the cache is ~2.4k rows)
     qs = resid.agg(
         F.max("n").cast("long").alias("n_evals"),
         F.max(

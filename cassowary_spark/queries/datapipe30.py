@@ -231,45 +231,62 @@ def q_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = pair.select(
         "doc_id", "side", F.split("text", " ").alias("tk")
     )
-    outs = {}
-    for n in (1, 2):
-        g = (
-            toks.select(
-                "doc_id",
-                "side",
-                F.explode(_grams_expr("tk", n)).alias("gram"),
-            )
-            .groupBy("doc_id", "side", "gram")
-            .agg(F.count("*").alias("c"))
+    # r14: ONE documents pass — both gram sizes ride a single tagged
+    # explode into one (doc, side, n, gram) count (guide §1.3; the
+    # old per-n loop plus the separate length aggregate re-scanned
+    # the corpus five times: 2 sides × 2 n's + lens). The persisted
+    # frame is the same per-doc gram vocabulary the old per-n aggs
+    # built. Corpus lengths come FREE from the n=1 slice: split()
+    # never yields an empty array, so Σ 1-gram counts per side
+    # == Σ size(tk) — the old lens sums exactly.
+    def _tag(n: int):
+        # closure factory, NOT a default-arg lambda: transform() feeds
+        # a 2-arity lambda (element, index) — a `lambda x, n=n` would
+        # silently receive the array INDEX as n
+        return lambda x: F.struct(F.lit(n).alias("n"), x.alias("gram"))
+
+    tagged = F.concat(
+        *[F.transform(_grams_expr("tk", n), _tag(n)) for n in (1, 2)]
+    )
+    g = (
+        toks.select("doc_id", "side", F.explode(tagged).alias("s"))
+        .groupBy(
+            "doc_id", "side", F.col("s.n").alias("n"),
+            F.col("s.gram").alias("gram"),
         )
-        ca = g.filter(F.col("side") == "cand").select(
-            "doc_id", "gram", F.col("c").alias("cc")
-        )
-        rf = g.filter(F.col("side") == "ref").select(
-            "doc_id", "gram", F.col("c").alias("rc")
-        )
-        m = ca.join(rf, ["doc_id", "gram"], "left").agg(
-            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    ca = g.filter(F.col("side") == "cand").select(
+        "n", "doc_id", "gram", F.col("c").alias("cc")
+    )
+    rf = g.filter(F.col("side") == "ref").select(
+        "n", "doc_id", "gram", F.col("c").alias("rc")
+    )
+    m = ca.join(rf, ["n", "doc_id", "gram"], "left").groupBy("n").agg(
+        F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+        .cast("long")
+        .alias("clipped"),
+        F.sum("cc").cast("long").alias("total"),
+    )
+    stats = m.agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col(c)))
             .cast("long")
-            .alias("clipped"),
-            F.sum("cc").cast("long").alias("total"),
-        )
-        outs[n] = m.select(
-            F.col("clipped").alias(f"c{n}"), F.col("total").alias(f"t{n}")
-        )
-    lens = toks.agg(
-        F.sum(F.when(F.col("side") == "cand", F.size("tk")))
+            .alias(f"{c[0]}{n}")
+            for n in (1, 2)
+            for c in ("clipped", "total")
+        ]
+    )
+    lens = g.filter(F.col("n") == 1).agg(
+        F.sum(F.when(F.col("side") == "cand", F.col("c")))
         .cast("long")
         .alias("cand_len"),
-        F.sum(F.when(F.col("side") == "ref", F.size("tk")))
+        F.sum(F.when(F.col("side") == "ref", F.col("c")))
         .cast("long")
         .alias("ref_len"),
     )
-    joined = (
-        outs[1]
-        .crossJoin(F.broadcast(outs[2]))
-        .crossJoin(F.broadcast(lens))
-    )
+    joined = stats.crossJoin(F.broadcast(lens))
     bp = F.when(
         F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)
     ).otherwise(

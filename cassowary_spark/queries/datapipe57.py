@@ -133,41 +133,47 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lag("rev", k).over(w).alias(f"lag_{k}") for k in (1, 2, 3)],
     )
 
-    def acf(k: int) -> DataFrame:
-        # wide-exact DECIMAL(38,0) sufficient statistics (the C122
-        # r11 discipline — int64 Σx² overflows at sf1 daily revenue)
-        dec = "decimal(19,0)"
+    # r14: ONE conditional aggregate computes all three lags'
+    # wide-exact sufficient statistics (the C122 r11 discipline —
+    # int64 Σx² overflows at sf1 daily revenue); the old per-lag
+    # filter+agg branches re-ran the orders scan + daily agg + window
+    # sort once PER LAG and met again through two crossJoins (guide
+    # §1.3 plan-branch dedup). Identical exact sums, identical
+    # assembly, srnd8 at the same point.
+    dec = "decimal(19,0)"
+    aggs = []
+    for k in (1, 2, 3):
         y = F.col(f"lag_{k}")
-        t = lagged.filter(y.isNotNull()).agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("rev").cast("long").alias("sx"),
-            F.sum(y).cast("long").alias("sy"),
-            F.sum(F.col("rev").cast(dec) * y.cast(dec)).alias("sxy"),
-            F.sum(F.col("rev").cast(dec) * F.col("rev").cast(dec)).alias(
-                "sxx"
+        on = lambda e, y=y: F.when(y.isNotNull(), e)  # noqa: E731
+        aggs += [
+            F.count(y).cast("long").alias(f"n_{k}"),
+            F.sum(on(F.col("rev"))).cast("long").alias(f"sx_{k}"),
+            F.sum(y).cast("long").alias(f"sy_{k}"),
+            F.sum(F.col("rev").cast(dec) * y.cast(dec)).alias(f"sxy_{k}"),
+            F.sum(on(F.col("rev").cast(dec) * F.col("rev").cast(dec))).alias(
+                f"sxx_{k}"
             ),
-            F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
-        )
-        nd = F.col("n").cast(dec)
+            F.sum(y.cast(dec) * y.cast(dec)).alias(f"syy_{k}"),
+        ]
+
+    def r_expr(k: int):
+        nd = F.col(f"n_{k}").cast(dec)
         num = (
-            nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+            nd * F.col(f"sxy_{k}")
+            - F.col(f"sx_{k}").cast(dec) * F.col(f"sy_{k}").cast(dec)
         ).cast("double")
         d1 = (
-            nd * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+            nd * F.col(f"sxx_{k}")
+            - F.col(f"sx_{k}").cast(dec) * F.col(f"sx_{k}").cast(dec)
         ).cast("double")
         d2 = (
-            nd * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+            nd * F.col(f"syy_{k}")
+            - F.col(f"sy_{k}").cast(dec) * F.col(f"sy_{k}").cast(dec)
         ).cast("double")
         den = F.sqrt(d1 * d2)
-        return t.select(
-            srnd(num / F.nullif(den, F.lit(0.0)), 8).alias(f"r{k}")
-        )
+        return srnd(num / F.nullif(den, F.lit(0.0)), 8).alias(f"r{k}")
 
-    rr = (
-        acf(1)
-        .crossJoin(F.broadcast(acf(2)))
-        .crossJoin(F.broadcast(acf(3)))
-    )
+    rr = lagged.agg(*aggs).select(r_expr(1), r_expr(2), r_expr(3))
     r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
     p2 = (r2 - r1 * r1) / F.nullif(1.0 - r1 * r1, F.lit(0.0))
     phi = rr.select(

@@ -324,29 +324,53 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(
         F.sum(F.floor(F.col("o_totalprice") + 0.5).cast("long")).alias("rev")
-    ).persist()
+    )
     w = Window.orderBy("day")
     lagged = daily.select(
         "rev",
         *[F.lag("rev", k).over(w).alias(f"lag_{k}") for k in _LB_LAGS],
     )
-    parts = []
+    # r14: ONE conditional aggregate computes every lag's sufficient
+    # statistics plus n_days (count of daily rows rides the same
+    # pass), then a row-local unpivot — the old per-lag union of
+    # 1-row aggregates re-ran orders scan + daily agg + window sort
+    # once PER LAG (7 full passes; guide §1.3), and daily needed a
+    # persist + a separate count job. Identical exact sums, fold
+    # unchanged.
+    aggs = [F.count("*").cast("long").alias("n_days")]
     for k in _LB_LAGS:
         y = F.col(f"lag_{k}")
-        parts.append(
-            lagged.filter(y.isNotNull()).agg(
-                F.lit(k).cast("int").alias("lag_k"),
-                F.count("*").cast("long").alias("np"),
-                F.sum(F.col("rev").cast(dec)).alias("sx"),
-                F.sum(y.cast(dec)).alias("sy"),
-                F.sum(F.col("rev").cast(dec) * F.col("rev")).alias("sxx"),
-                F.sum(y.cast(dec) * y).alias("syy"),
-                F.sum(F.col("rev").cast(dec) * y).alias("sxy"),
+        on = lambda e, y=y: F.when(y.isNotNull(), e)  # noqa: E731
+        aggs += [
+            F.count(y).cast("long").alias(f"np_{k}"),
+            F.sum(on(F.col("rev").cast(dec))).alias(f"sx_{k}"),
+            F.sum(y.cast(dec)).alias(f"sy_{k}"),
+            F.sum(on(F.col("rev").cast(dec) * F.col("rev"))).alias(
+                f"sxx_{k}"
+            ),
+            F.sum(y.cast(dec) * y).alias(f"syy_{k}"),
+            F.sum(F.col("rev").cast(dec) * y).alias(f"sxy_{k}"),
+        ]
+    one = lagged.agg(*aggs)
+    terms = one.select(
+        F.col("n_days"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag_k"),
+                        F.col(f"np_{k}").alias("np"),
+                        F.col(f"sx_{k}").alias("sx"),
+                        F.col(f"sy_{k}").alias("sy"),
+                        F.col(f"sxx_{k}").alias("sxx"),
+                        F.col(f"syy_{k}").alias("syy"),
+                        F.col(f"sxy_{k}").alias("sxy"),
+                    )
+                    for k in _LB_LAGS
+                ]
             )
-        )
-    terms = parts[0]
-    for p in parts[1:]:
-        terms = terms.unionByName(p)
+        ),
+    )
     npd = F.col("np").cast(dec)
     r = srnd(
         (npd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
@@ -363,15 +387,13 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    rs = terms.select("lag_k", r.alias("r"))
-    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    rs = terms.select("lag_k", F.col("n_days").alias("n"), r.alias("r"))
     fold = F.expr(
         "aggregate(array_sort(collect_list(struct(lag_k, t))),"
         " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
     )
     agg = (
-        rs.crossJoin(F.broadcast(nn))
-        .select(
+        rs.select(
             "lag_k",
             "n",
             (
