@@ -201,7 +201,11 @@ def ivf_assign(
     # dot product per centroid, not a full cosine (norms recomputed K×).
     prepped = corpus.select(
         F.col(id_col), F.col(vec_col), as_double(vec_col).alias("_vd")
-    ).withColumn("_vn", l2_norm(F.col("_vd")))
+    ).withColumn("_vn", l2_norm(F.col("_vd"))).persist()
+    # r14: persisted — the lineage is NARROW (no exchange for AQE to
+    # reuse), so each of the 1 + lloyd_iters assignment passes plus
+    # the Lloyd centroid update otherwise re-scans the corpus and
+    # re-normalizes every vector from scratch
 
     def assign(cents: DataFrame) -> DataFrame:
         # r14: row-local argmax over a 1-row nested centroid array —

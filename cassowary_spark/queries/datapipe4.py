@@ -700,7 +700,10 @@ def q_embed_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("nrm"),
-    )
+    ).persist()  # r14: three scalars per vector; the median aggregate
+    # AND the flag filter both consume it — unpersisted each re-ran
+    # the 3-branch union + per-vector norm fold (narrow lineage,
+    # nothing for AQE exchange reuse)
     med = n.agg(srnd(F.expr("percentile(nrm, 0.5)"), 6).alias("m"))
     return (
         n.crossJoin(F.broadcast(med))

@@ -706,7 +706,12 @@ def q_dirichlet_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-sized shuffle is the matched (doc, term) tf agg.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).persist()  # r14: two longs per doc; the collection total AND the
+    # final length-penalty join both consume it — unpersisted each
+    # re-split the full corpus text (narrow lineage, nothing for AQE
+    # exchange reuse to dedup)
     stats = dl.agg(F.sum("dl").cast("long").alias("coll"))
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")

@@ -919,7 +919,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hashes, never of text — then a keyed min dedups the batch.
     """
     corpus = _docs_with_twins(spark, sf_dir)
-    hashed = corpus.select("doc_id", F.md5("text").alias("content_hash"))
+    hashed = corpus.select(
+        "doc_id", F.md5("text").alias("content_hash")
+    ).persist()  # r14: 40 B/doc; old + new branches both consume it —
+    # unpersisted each re-ran the twin union + full-corpus md5
+    # (narrow lineage, no exchange for AQE reuse)
     old = hashed.filter(F.col("doc_id") % 4 != 0).select("content_hash")
     new = hashed.filter(F.col("doc_id") % 4 == 0)
     unseen = new.join(old, "content_hash", "left_anti")
