@@ -341,16 +341,26 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary slice becomes a metadata-sized read.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    seg = li.groupBy("l_returnflag").agg(
+    # ONE corpus pass (r14): collapse to the distinct (flag, suppkey)
+    # pair frame first — HLL registers are duplicate-insensitive, so a
+    # sketch built over distinct pairs is bit-identical to one built
+    # over raw rows, seg_distinct is the per-flag pair count, and the
+    # global exact distinct is a second tiny agg over the SAME frame.
+    # The old shape scanned lineitem twice (each with an Expand-based
+    # countDistinct rewrite doubling the aggregated rows).
+    # no persist: pairs is exchange-rooted, so AQE ReusedExchange
+    # dedups the two consumers at runtime without a cache.
+    pairs = li.groupBy("l_returnflag", "l_suppkey").agg(F.lit(1))
+    seg = pairs.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_suppkey").alias("sketch"),
-        F.countDistinct("l_suppkey").alias("seg_distinct"),
+        F.count("*").alias("seg_distinct"),
     )
     rolled = seg.agg(
         F.count("*").cast("long").alias("n_segments"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est"),
         F.sum("seg_distinct").cast("long").alias("naive_sum"),
     )
-    exact = li.agg(
+    exact = pairs.agg(
         F.countDistinct("l_suppkey").cast("long").alias("exact_distinct")
     )
     return rolled.crossJoin(F.broadcast(exact)).select(

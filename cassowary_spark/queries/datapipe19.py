@@ -438,13 +438,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_b = F.col("swx").cast("double") / F.col("sw").cast("double")
     m0 = F.col("scents").cast("double") / F.col("n").cast("double")
     wk = Window.orderBy(mean_b, F.col("b"))
+    # carry scents/n through the rollup instead of re-scanning orders
+    # for a second base aggregate (was a third full scan in the plan)
     devs = means.crossJoin(F.broadcast(base)).select(
         F.floor((mean_b - m0) / 100.0 * 1e4 + 0.5)
         .cast("long")
         .alias("dev4"),
         F.row_number().over(wk).alias("rk"),
+        "scents",
+        "n",
     )
     ds = devs.agg(
+        F.max("scents").cast("long").alias("scents"),
+        F.max("n").cast("long").alias("n"),
         F.count("*").cast("long").alias("nb"),
         F.sum("dev4").cast("long").alias("sd1"),
         F.sum(F.col("dev4") * F.col("dev4")).cast("long").alias("sd2"),
@@ -458,7 +464,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_est = (
         F.col("scents").cast("double") / F.col("n").cast("double") / 100.0
     )
-    return ds.crossJoin(F.broadcast(base)).select(
+    return ds.select(
         "n",
         F.col("nb").alias("n_replicas"),
         srnd(mean_est, 6).alias("mean_est"),
