@@ -202,9 +202,10 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one join (customer side broadcastable) into ONE
     partial-agg groupBy whose output is bounded by the category
-    product (25 cells), then everything downstream is
-    marginal-joins over a handful of rows. At 100 TB the shuffle
-    carries 25 partial states per mapper, nothing more.
+    product (25 cells), then the whole marginal/term ladder runs
+    row-locally over the packed cell array in a single 1-row
+    aggregate — no marginal join-backs, no extra jobs. At 100 TB the
+    shuffle carries 25 partial states per mapper, nothing more.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -215,45 +216,47 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("prio"),
         )
         .agg(F.count("*").cast("long").alias("nij"))
-        .persist()  # <=25 rows; marginals+terms reuse one fact scan
     )
-    rs = cells.groupBy("seg").agg(F.sum("nij").cast("long").alias("ri"))
-    cs = cells.groupBy("prio").agg(F.sum("nij").cast("long").alias("cj"))
-    tot = cells.agg(
-        F.sum("nij").cast("long").alias("n"),
-        F.countDistinct("seg").cast("long").alias("nr"),
-        F.countDistinct("prio").cast("long").alias("nc"),
+    # pack the <=25 cells into ONE sorted array; marginals, totals and
+    # the chi2 fold are then row-local HOF arithmetic over that array
+    # (same IEEE sequences as the old join-back branches, and the fold
+    # runs in (seg, prio) order exactly like the oracle's ordered
+    # list_sum)
+    packed = cells.agg(
+        F.expr("array_sort(collect_list(struct(seg, prio, nij)))").alias("cs")
+    ).select(
+        "cs",
+        F.expr("aggregate(cs, 0L, (a, x) -> a + x.nij)").alias("n"),
+        F.expr("size(array_distinct(transform(cs, x -> x.seg)))")
+        .cast("long")
+        .alias("nr"),
+        F.expr("size(array_distinct(transform(cs, x -> x.prio)))")
+        .cast("long")
+        .alias("nc"),
     )
-    expected = (
-        F.col("ri").cast("double")
-        * F.col("cj").cast("double")
-        / F.col("n").cast("double")
+    ri = (
+        "CAST(aggregate(filter(cs, y -> y.seg = x.seg), 0L,"
+        " (ar, yr) -> ar + yr.nij) AS DOUBLE)"
     )
-    terms = (
-        cells.join(F.broadcast(rs), "seg")
-        .join(F.broadcast(cs), "prio")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "seg",
-            "prio",
-            srnd(
-                (F.col("nij").cast("double") - expected)
-                * (F.col("nij").cast("double") - expected)
-                / expected,
-                8,
-            ).alias("term"),
-        )
+    cj = (
+        "CAST(aggregate(filter(cs, z -> z.prio = x.prio), 0L,"
+        " (ac, zc) -> ac + zc.nij) AS DOUBLE)"
     )
-    # fixed-order fold (the C69 idiom): sum the srnd8 terms in
-    # (seg, prio) order on both engines — plain sum()'s fold order
-    # can flip the srnd6 boundary by 1 ulp (the q_psi/q_kl class)
-    chi2 = terms.agg(
+    e = f"({ri} * {cj} / CAST(n AS DOUBLE))"
+    term = (
+        f"floor(((CAST(x.nij AS DOUBLE) - {e})"
+        f" * (CAST(x.nij AS DOUBLE) - {e}) / {e})"
+        " * 1.0E8 + 0.5) / 1.0E8"
+    )
+    chi2 = packed.select(
+        "n",
+        "nr",
+        "nc",
         F.expr(
-            "aggregate(array_sort(collect_list(struct(seg, prio, term))),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
-        ).alias("chi2")
+            f"aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + {term})"
+        ).alias("chi2"),
     )
-    return chi2.crossJoin(F.broadcast(tot)).select(
+    return chi2.select(
         "n",
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         srnd(F.col("chi2"), 6).alias("chi2"),

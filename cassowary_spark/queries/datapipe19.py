@@ -550,8 +550,11 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1).
 
     Scale shape: identical to C124 — ONE broadcast-dim join into a
-    category-product-bounded partial agg (persisted; marginals and
-    terms reuse it), then arithmetic over ≤25 rows.
+    category-product-bounded partial agg, then the whole marginal/
+    entropy ladder is row-local HOF arithmetic over the packed cell
+    array in a single 1-row aggregate (r14: was 5 broadcast-join
+    branches over the persisted cell frame — 5 extra jobs for ≤25
+    rows of arithmetic).
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -562,62 +565,62 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("prio"),
         )
         .agg(F.count("*").cast("long").alias("nij"))
-        .persist()  # <=25 rows; marginals + MI terms reuse one fact scan
     )
-    rs = cells.groupBy("seg").agg(F.sum("nij").cast("long").alias("ri"))
-    cs = cells.groupBy("prio").agg(F.sum("nij").cast("long").alias("cj"))
-    tot = cells.agg(F.sum("nij").cast("long").alias("n"))
-    nd = F.col("n").cast("double")
-    mi_term = srnd(
-        F.col("nij").cast("double")
-        / nd
-        * F.log(
-            F.col("nij").cast("double") * nd
-            / (F.col("ri").cast("double") * F.col("cj").cast("double"))
-        ),
-        8,
+    packed = cells.agg(
+        F.expr("array_sort(collect_list(struct(seg, prio, nij)))").alias("cs")
+    ).select(
+        "cs",
+        F.expr("aggregate(cs, 0L, (a, x) -> a + x.nij)").alias("n"),
+        F.expr("array_sort(array_distinct(transform(cs, x -> x.seg)))")
+        .alias("segs"),
+        F.expr("array_sort(array_distinct(transform(cs, x -> x.prio)))")
+        .alias("prios"),
     )
-    mi = (
-        cells.join(F.broadcast(rs), "seg")
-        .join(F.broadcast(cs), "prio")
-        .crossJoin(F.broadcast(tot))
-        .agg(F.sum(mi_term).alias("mi"))
+    # per-cell/per-margin terms: identical IEEE sequences to the old
+    # join-back branches, srnd8-quantized before each fold; the folds
+    # run in sorted order (deterministic; the oracle's unordered sums
+    # agree because the quantized terms sum stably — same tolerance
+    # the old unordered F.sum relied on)
+    ri = (
+        "CAST(aggregate(filter(cs, y -> y.seg = x.seg), 0L,"
+        " (ar, yr) -> ar + yr.nij) AS DOUBLE)"
     )
-    hr = (
-        rs.crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum(
-                srnd(
-                    -(F.col("ri").cast("double") / nd)
-                    * F.log(F.col("ri").cast("double") / nd),
-                    8,
-                )
-            ).alias("h_row")
-        )
+    cj = (
+        "CAST(aggregate(filter(cs, z -> z.prio = x.prio), 0L,"
+        " (ac, zc) -> ac + zc.nij) AS DOUBLE)"
     )
-    hc = (
-        cs.crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum(
-                srnd(
-                    -(F.col("cj").cast("double") / nd)
-                    * F.log(F.col("cj").cast("double") / nd),
-                    8,
-                )
-            ).alias("h_col")
-        )
+    mi_term = (
+        f"floor((CAST(x.nij AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" * ln(CAST(x.nij AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" / ({ri} * {cj}))) * 1.0E8 + 0.5) / 1.0E8"
     )
-    return (
-        mi.crossJoin(F.broadcast(hr))
-        .crossJoin(F.broadcast(hc))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n",
-            srnd(F.col("mi"), 6).alias("mi"),
-            srnd(F.col("h_row"), 6).alias("h_row"),
-            srnd(F.col("h_col"), 6).alias("h_col"),
-            srnd(
-                F.col("mi") / F.sqrt(F.col("h_row") * F.col("h_col")), 6
-            ).alias("nmi"),
-        )
+    rm = (
+        "CAST(aggregate(filter(cs, y -> y.seg = x), 0L,"
+        " (ar, yr) -> ar + yr.nij) AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    cm = (
+        "CAST(aggregate(filter(cs, z -> z.prio = x), 0L,"
+        " (ac, zc) -> ac + zc.nij) AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    return packed.select(
+        "n",
+        F.expr(
+            f"aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + {mi_term})"
+        ).alias("mi"),
+        F.expr(
+            "aggregate(segs, CAST(0.0 AS DOUBLE), (acc, x) ->"
+            f" acc + floor((-({rm}) * ln({rm})) * 1.0E8 + 0.5) / 1.0E8)"
+        ).alias("h_row"),
+        F.expr(
+            "aggregate(prios, CAST(0.0 AS DOUBLE), (acc, x) ->"
+            f" acc + floor((-({cm}) * ln({cm})) * 1.0E8 + 0.5) / 1.0E8)"
+        ).alias("h_col"),
+    ).select(
+        "n",
+        srnd(F.col("mi"), 6).alias("mi"),
+        srnd(F.col("h_row"), 6).alias("h_row"),
+        srnd(F.col("h_col"), 6).alias("h_col"),
+        srnd(
+            F.col("mi") / F.sqrt(F.col("h_row") * F.col("h_col")), 6
+        ).alias("nmi"),
     )

@@ -173,46 +173,51 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤100 cells. The corpus is scanned once.
     """
     d = load_table(spark, sf_dir, "documents")
-    cell = (
-        d.groupBy("source", "lang")
-        .agg(F.count("*").cast("long").alias("c"))
-        .persist()  # <=100 cells; marginals + terms reuse one scan
+    cell = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
     )
-    per_src = cell.groupBy("source").agg(
-        F.sum("c").cast("long").alias("cs")
+    # r14: marginals + the per-source KL folds run row-locally over
+    # the packed ≤100-cell array in ONE 1-row aggregate, then the
+    # per-source rows explode back out (was: persisted cell frame
+    # fanning into 3 marginal jobs + a 3-way join). Each source's
+    # srnd8-quantized terms still fold in LANG order (the C69 idiom —
+    # the filtered slice of the sorted array preserves it); a plain
+    # sum()'s engine-dependent fold order flips the srnd6 boundary
+    # at sf0.1 (caught by the round-7 parity sweep).
+    packed = cell.agg(
+        F.expr("array_sort(collect_list(struct(source, lang, c)))").alias(
+            "cls"
+        )
+    ).select(
+        "cls",
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.c)").alias("nn"),
+        F.expr("array_sort(array_distinct(transform(cls, x -> x.source)))")
+        .alias("srcs"),
     )
-    per_lang = cell.groupBy("lang").agg(
-        F.sum("c").cast("long").alias("cl")
+    ex = packed.select("cls", "nn", F.explode("srcs").alias("source"))
+    cl = (
+        "CAST(aggregate(filter(cls, y -> y.lang = x.lang), 0L,"
+        " (al, yl) -> al + yl.c) AS DOUBLE)"
     )
-    tot = cell.agg(F.sum("c").cast("long").alias("nn"))
-    term = srnd(
-        F.col("c").cast("double")
-        / F.col("cs").cast("double")
-        * F.log(
-            F.col("c").cast("double") * F.col("nn").cast("double")
-            / (F.col("cs").cast("double") * F.col("cl").cast("double"))
-        ),
-        8,
+    term = (
+        "floor((CAST(x.c AS DOUBLE) / CAST(cst AS DOUBLE)"
+        " * ln(CAST(x.c AS DOUBLE) * CAST(nn AS DOUBLE)"
+        f" / (CAST(cst AS DOUBLE) * {cl}))) * 1.0E8 + 0.5) / 1.0E8"
     )
-    terms = (
-        cell.join(F.broadcast(per_src), "source")
-        .join(F.broadcast(per_lang), "lang")
-        .crossJoin(F.broadcast(tot))
-        .select("source", "lang", "cs", term.alias("term"))
+    kl = ex.select(
+        "source",
+        F.expr(
+            "transform(array(filter(cls, cf -> cf.source = source)), sl ->"
+            " transform(array(aggregate(sl, 0L, (a0, x0) -> a0 + x0.c)),"
+            " cst -> struct(cst AS nd,"
+            " aggregate(sl, CAST(0.0 AS DOUBLE), (acc, x) ->"
+            f" acc + {term}) AS kl))[0])[0]"
+        ).alias("s"),
     )
-    # fixed-order fold (the C69 idiom): the ≤5 srnd8-quantized terms
-    # sum in LANG order on both engines — a plain sum() lets each
-    # engine's fold order differ by 1 ulp, which flips the srnd6
-    # boundary at sf0.1 (caught by the round-7 sf0.1 parity sweep)
-    return terms.groupBy("source").agg(
-        F.max("cs").cast("long").alias("n_docs"),
-        srnd(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(lang, term))),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
-            ),
-            6,
-        ).alias("kl_nats"),
+    return kl.select(
+        "source",
+        F.col("s.nd").cast("long").alias("n_docs"),
+        srnd(F.col("s.kl"), 6).alias("kl_nats"),
     )
 
 

@@ -234,55 +234,78 @@ def q_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled rungs, same plan shape.
     """
     d = load_table(spark, sf_dir, "documents")
-    cell = (
-        d.groupBy("lang", "source")
-        .agg(F.count("*").cast("long").alias("c"))
-        .persist()  # marginal-sized; dims + all four fits reuse it
+    cell = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("c")
     )
-    dims = cell.agg(
-        F.countDistinct("lang").cast("long").alias("nl"),
-        F.countDistinct("source").cast("long").alias("ns"),
-        F.sum("c").cast("long").alias("nn"),
+    # r14: the whole 4-rung IPF ladder runs row-locally over the
+    # packed marginal-sized cell array in ONE 1-row aggregate, then
+    # the cells explode back out (was: per-rung fold job + broadcast
+    # join + persist — 9 extra jobs and 6 cached frames for ≤ |L|·|S|
+    # rows of arithmetic). Every rung keeps the C69 fixed-order fold
+    # (the filtered slice of the (lang, source)-sorted array IS the
+    # old struct-sorted order: lang-ordered within a source margin,
+    # source-ordered within a lang margin) and re-quantizes the
+    # weight to srnd10 after each rung, so the carried weights stay
+    # bit-identical to the join-ladder form.
+    packed = cell.agg(
+        F.expr("array_sort(collect_list(struct(lang, source, c)))").alias(
+            "cls"
+        )
+    ).select(
+        "cls",
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.c)").alias("nn"),
+        F.expr(
+            "CAST(size(array_distinct(transform(cls, x -> x.lang)))"
+            " AS BIGINT)"
+        ).alias("nl"),
+        F.expr(
+            "CAST(size(array_distinct(transform(cls, x -> x.source)))"
+            " AS BIGINT)"
+        ).alias("ns"),
     )
-    r = cell.crossJoin(F.broadcast(dims))
-    tl = F.col("nn").cast("double") / F.col("nl").cast("double")
-    ts = F.col("nn").cast("double") / F.col("ns").cast("double")
+    tl = "(CAST(nn AS DOUBLE) / CAST(nl AS DOUBLE))"
+    ts = "(CAST(nn AS DOUBLE) / CAST(ns AS DOUBLE))"
+    q = f"1.0E{_RK_W_DEC}"
+    _RK_RUNG = iter(range(2, 100))  # unique lambda-var suffix per rung
 
-    def fold(df: DataFrame, by: str, order: str) -> DataFrame:
-        """Per-`by` margin of c·w, folded in `order` order (C69)."""
-        return df.select(
-            by, order, (F.col("c").cast("double") * F.col("w")).alias("cw")
-        ).groupBy(by).agg(
-            F.expr(
-                f"aggregate(array_sort(collect_list(struct({order}, cw))),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.cw)"
-            ).alias("m")
+    def rung(prev: str, by: str, target: str) -> str:
+        """One IPF rung: margin-fold + weight update over array `prev`.
+
+        The singleton-array transform binds the previous rung's array
+        ONCE (`p`) — naming it both as the transform input and inside
+        the margin fold would re-evaluate the whole upstream ladder
+        per element (2^rungs blowup, the same plan-doubling the old
+        join ladder persisted against).
+        """
+        pv = f"p{_RK_RUNG.__next__()}"
+        m = (
+            f"aggregate(filter({pv}, y -> y.{by} = x.{by}),"
+            " CAST(0.0 AS DOUBLE), (acc, y) ->"
+            " acc + CAST(y.c AS DOUBLE) * y.w)"
+        )
+        return (
+            f"transform(array({prev}), {pv} ->"
+            f" transform({pv}, x -> struct(x.lang AS lang,"
+            " x.source AS source, x.c AS c,"
+            f" floor((x.w * {target} / {m}) * {q} + 0.5) / {q} AS w)))[0]"
         )
 
-    # pass 1: lang fit (margin of raw counts — exact integers)
-    m0 = cell.groupBy("lang").agg(F.sum("c").cast("long").alias("m"))
-    r = (
-        r.join(F.broadcast(m0), "lang")
-        .withColumn("w", srnd(tl / F.col("m").cast("double"), _RK_W_DEC))
-        .drop("m")
-        .persist()  # each rung persists: pass k's fold AND join both
-        # consume r_{k-1}; unpersisted the ladder's plan tree doubles
-        # per pass (fold(r) embeds r) — 4 rungs -> 2^4 subtree copies
+    # pass 1: lang fit over raw integer margins
+    m0 = (
+        "CAST(aggregate(filter(cls, y -> y.lang = x.lang), 0L,"
+        " (a0, y0) -> a0 + y0.c) AS DOUBLE)"
     )
-    # passes 2-4: source, lang, source fits over folded margins
-    for by, order, target in (
-        ("source", "lang", "ts"),
-        ("lang", "source", "tl"),
-        ("source", "lang", "ts"),
-    ):
-        t = ts if target == "ts" else tl
-        m = fold(r, by, order)
-        r = (
-            r.join(F.broadcast(m), by)
-            .withColumn("w", srnd(F.col("w") * t / F.col("m"), _RK_W_DEC))
-            .drop("m")
-            .persist()
-        )
+    a1 = (
+        "transform(cls, x -> struct(x.lang AS lang, x.source AS source,"
+        f" x.c AS c, floor(({tl} / {m0}) * {q} + 0.5) / {q} AS w))"
+    )
+    ladder = rung(rung(rung(a1, "source", ts), "lang", tl), "source", ts)
+    r = packed.select(F.explode(F.expr(ladder)).alias("x")).select(
+        F.col("x.lang").alias("lang"),
+        F.col("x.source").alias("source"),
+        F.col("x.c").alias("c"),
+        F.col("x.w").alias("w"),
+    )
     return r.select(
         "lang",
         "source",

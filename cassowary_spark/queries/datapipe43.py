@@ -294,62 +294,61 @@ def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_i"),
             F.sum("cents").cast("long").alias("s_i"),
         )
-        .persist()  # |types| rows; totals and replicates reuse it
     )
-    tot = cells.agg(
-        F.sum("n_i").cast("long").alias("n"),
-        F.sum("s_i").cast("long").alias("s"),
-        F.count("*").cast("long").alias("g"),
+    # r14: totals, replicates, θ̄ and the deviance fold all run
+    # row-locally over the packed |types|-row array in ONE 1-row
+    # aggregate (was: persisted cell frame + 3 broadcast-join jobs).
+    # The array sorts by event_type, so every fold keeps the old
+    # type-order (C69) sequence; all intermediate quantizations
+    # (srnd8 θ, srnd8 θ̄, srnd10 d²) are reproduced op-for-op.
+    packed = cells.agg(
+        F.expr(
+            "array_sort(collect_list(struct(event_type, n_i, s_i)))"
+        ).alias("cls")
+    ).select(
+        "cls",
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.n_i)").alias("n"),
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.s_i)").alias("s"),
+        F.expr("CAST(size(cls) AS BIGINT)").alias("g"),
     )
-    loo = cells.crossJoin(F.broadcast(tot)).select(
-        "event_type",
+    theta_i = (
+        "floor(((CAST(s AS DOUBLE) - CAST(x.s_i AS DOUBLE))"
+        " / (100.0 * (CAST(n AS DOUBLE) - CAST(x.n_i AS DOUBLE))))"
+        " * 1.0E8 + 0.5) / 1.0E8"
+    )
+    th = packed.select(
         "n",
         "s",
         "g",
-        srnd(
-            (F.col("s").cast("double") - F.col("s_i").cast("double"))
-            / (
-                100.0
-                * (F.col("n").cast("double") - F.col("n_i").cast("double"))
-            ),
-            8,
-        ).alias("theta_i"),
-    )
-    bar = loo.agg(
-        srnd(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(event_type,"
-                " theta_i))), CAST(0.0 AS DOUBLE),"
-                " (acc, x) -> acc + x.theta_i)"
-            )
-            / F.max("g").cast("double"),
-            8,
-        ).alias("theta_bar")
-    )
-    dev = loo.crossJoin(F.broadcast(bar)).select(
-        "event_type",
+        F.expr(f"transform(cls, x -> {theta_i})").alias("thetas"),
+    ).select(
         "n",
         "s",
         "g",
-        srnd(
-            (F.col("theta_i") - F.col("theta_bar"))
-            * (F.col("theta_i") - F.col("theta_bar")),
-            10,
-        ).alias("d2"),
+        "thetas",
+        F.expr(
+            "floor((aggregate(thetas, CAST(0.0 AS DOUBLE),"
+            " (acc, t) -> acc + t) / CAST(g AS DOUBLE))"
+            " * 1.0E8 + 0.5) / 1.0E8"
+        ).alias("theta_bar"),
     )
-    return dev.agg(
-        F.max("g").alias("g"),
+    d2 = (
+        "floor(((t - theta_bar) * (t - theta_bar))"
+        " * 1.0E10 + 0.5) / 1.0E10"
+    )
+    return th.select(
+        "g",
         srnd(
-            F.max("s").cast("double") / (100.0 * F.max("n").cast("double")),
+            F.col("s").cast("double") / (100.0 * F.col("n").cast("double")),
             6,
         ).alias("theta"),
         srnd(
             F.sqrt(
-                (F.max("g").cast("double") - 1.0)
-                / F.max("g").cast("double")
+                (F.col("g").cast("double") - 1.0)
+                / F.col("g").cast("double")
                 * F.expr(
-                    "aggregate(array_sort(collect_list(struct(event_type,"
-                    " d2))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d2)"
+                    "aggregate(thetas, CAST(0.0 AS DOUBLE),"
+                    f" (acc, t) -> acc + {d2})"
                 )
             ),
             6,

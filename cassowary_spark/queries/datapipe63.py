@@ -697,59 +697,61 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-size-independent) — the counts-discipline answer to a
     statistic naively defined over N²/2 row pairs.
     """
-    dec = "decimal(38,0)"
+    dec = "DECIMAL(38,0)"
     li = load_table(spark, sf_dir, "lineitem")
     cells = li.groupBy(
         F.col("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("y"),
-    ).agg(F.count("*").cast("long").alias("n")).persist()
-    a, b = cells.alias("a"), cells.alias("b")
+    ).agg(F.count("*").cast("long").alias("n"))
+    # r14: the ≤561² cell self-join (broadcast NLJ) plus the three
+    # marginal/total jobs collapse into row-local HOF folds over the
+    # packed cell array — one job, one exchange. All pair arithmetic
+    # is exact DECIMAL(38,0) products of cell counts (fold order
+    # irrelevant); the ordered-pair double count is halved exactly
+    # like the old /2 (even by construction).
+    packed = cells.agg(
+        F.expr("array_sort(collect_list(struct(x, y, n)))").alias("cs")
+    ).select(
+        "cs",
+        F.expr("aggregate(cs, 0L, (a, c) -> a + c.n)").alias("nn"),
+        F.expr("array_sort(array_distinct(transform(cs, c -> c.x)))")
+        .alias("xs"),
+        F.expr("array_sort(array_distinct(transform(cs, c -> c.y)))")
+        .alias("ys"),
+    )
+
+    def pair_sum(case: str) -> str:
+        return (
+            f"CAST(aggregate(cs, CAST(0 AS {dec}), (acc, a) ->"
+            f" CAST(acc + aggregate(cs, CAST(0 AS {dec}), (ai, b) ->"
+            f" CAST(ai + CASE WHEN {case}"
+            f" THEN CAST(a.n AS {dec}) * b.n"
+            f" ELSE CAST(0 AS {dec}) END AS {dec})) AS {dec}))"
+            f" / 2 AS {dec})"
+        )
+
+    def tie_sum(axis: str, dom: str) -> str:
+        t = (
+            f"CAST(aggregate(filter(cs, c -> c.{axis} = v), 0L,"
+            f" (at, ct) -> at + ct.n) AS {dec})"
+        )
+        return (
+            f"CAST(aggregate({dom}, CAST(0 AS {dec}), (acc, v) ->"
+            f" CAST(acc + {t} * ({t} - 1) AS {dec})) / 2 AS {dec})"
+        )
+
     conc_case = (
-        (F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
-    ) | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+        "((a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y))"
+    )
     disc_case = (
-        (F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y"))
-    ) | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
-    pair = a.join(
-        b,
-        ~((F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y"))),
-    ).agg(
-        (
-            F.sum(
-                F.when(
-                    conc_case, F.col("a.n").cast(dec) * F.col("b.n")
-                ).otherwise(F.lit(0).cast(dec))
-            )
-            / 2
-        )
-        .cast(dec)
-        .alias("conc"),
-        (
-            F.sum(
-                F.when(
-                    disc_case, F.col("a.n").cast(dec) * F.col("b.n")
-                ).otherwise(F.lit(0).cast(dec))
-            )
-            / 2
-        )
-        .cast(dec)
-        .alias("disc"),
+        "((a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y))"
     )
-    nn = cells.agg(F.sum("n").cast("long").alias("nn"))
-    tx = (
-        cells.groupBy("x")
-        .agg(F.sum("n").cast(dec).alias("t"))
-        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2).cast(dec).alias("tx"))
-    )
-    ty = (
-        cells.groupBy("y")
-        .agg(F.sum("n").cast(dec).alias("t"))
-        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2).cast(dec).alias("ty"))
-    )
-    j = (
-        pair.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(tx))
-        .crossJoin(F.broadcast(ty))
+    j = packed.select(
+        "nn",
+        F.expr(pair_sum(conc_case)).alias("conc"),
+        F.expr(pair_sum(disc_case)).alias("disc"),
+        F.expr(tie_sum("x", "xs")).alias("tx"),
+        F.expr(tie_sum("y", "ys")).alias("ty"),
     )
     nd = F.col("nn").cast("double")
     n0 = nd * (nd - 1.0) / 2.0

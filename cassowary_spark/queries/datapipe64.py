@@ -104,36 +104,54 @@ def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("v"))
     )
-    grid = (
-        ev.select("blk")
-        .distinct()
-        .crossJoin(ev.select("trt").distinct())
-        .join(ev, ["blk", "trt"], "left")
-        .select("blk", "trt", F.coalesce("v", F.lit(0)).alias("v"))
+    # r14: grid completion, per-block midranks, rank sums and the ΣR²
+    # fold all run row-locally over the packed (blk, trt, v) array in
+    # ONE 1-row aggregate (was: 2-distinct crossJoin grid + left join
+    # + 2 windows + 2 extra jobs). Midranks use the same doubled-rank
+    # identity on exact integers: u2 = 2·(1 + #strictly-less) + #ties
+    # − 1 over each completed k-vector (missing cells = 0); the
+    # singleton-array transform binds each block's slice so the scan
+    # of the cell array is once per block, not once per (block,
+    # treatment).
+    packed = ev.agg(
+        F.expr("array_sort(collect_list(struct(blk, trt, v)))").alias("cs")
+    ).select(
+        "cs",
+        F.expr("array_sort(array_distinct(transform(cs, c -> c.blk)))")
+        .alias("blks"),
+        F.expr("array_sort(array_distinct(transform(cs, c -> c.trt)))")
+        .alias("trts"),
     )
-    u2 = (
-        2 * F.rank().over(Window.partitionBy("blk").orderBy("v"))
-        + F.count("*").over(Window.partitionBy("blk", "v"))
-        - 1
-    ).cast("long")
-    rs = (
-        grid.select("trt", u2.alias("u2"))
-        .groupBy("trt")
-        .agg(F.sum("u2").cast("long").alias("r2"))
+    u2mat = (
+        "transform(blks, b ->"
+        " transform(array(filter(cs, c -> c.blk = b)), sl ->"
+        "  transform(array(transform(trts, t ->"
+        "    aggregate(filter(sl, c2 -> c2.trt = t), 0L,"
+        "     (a2, c3) -> a2 + c3.v))), vs ->"
+        "   transform(vs, vi ->"
+        "    CAST(2 * (1 + size(filter(vs, vj -> vj < vi)))"
+        "     + size(filter(vs, vj -> vj = vi)) - 1 AS BIGINT))"
+        "  )[0]"
+        " )[0]"
+        ")"
     )
-    dims = grid.agg(
-        F.countDistinct("blk").cast("long").alias("n"),
-        F.countDistinct("trt").cast("long").alias("k"),
+    r2s = (
+        "transform(sequence(1, CAST(k AS INT)), j ->"
+        " aggregate(u2m, 0L, (ar, row) -> ar + element_at(row, j)))"
     )
-    fold = F.expr(
-        "aggregate(array_sort(collect_list(struct(trt, t))),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+    agg = packed.select(
+        F.expr("CAST(size(blks) AS BIGINT)").alias("n"),
+        F.expr("CAST(size(trts) AS BIGINT)").alias("k"),
+        F.expr(u2mat).alias("u2m"),
+    ).select(
+        "n",
+        "k",
+        F.expr(
+            f"aggregate(array({r2s}), CAST(0.0 AS DOUBLE), (acc, rr) ->"
+            " acc + aggregate(rr, CAST(0.0 AS DOUBLE), (ac2, r2) ->"
+            " ac2 + CAST(r2 AS DOUBLE) * r2 / 4.0))"
+        ).alias("sr2"),
     )
-    terms = rs.select(
-        "trt",
-        (F.col("r2").cast("double") * F.col("r2") / 4.0).alias("t"),
-    )
-    agg = terms.agg(fold.alias("sr2")).crossJoin(F.broadcast(dims))
     n, k = F.col("n").cast("double"), F.col("k").cast("double")
     return agg.select(
         F.col("n").alias("n_blocks"),

@@ -202,47 +202,47 @@ def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cells = d.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("n")
-    ).persist()
-    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
-    lmarg = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
-    smarg = cells.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
-    hl = (
-        lmarg.crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum(
-                F.floor(
-                    -(F.col("nl").cast("double") / F.col("nn"))
-                    * F.log(F.col("nl").cast("double") / F.col("nn"))
-                    * 1e8
-                    + 0.5
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("hq"),
-            F.count("*").cast("long").alias("n_langs"),
-        )
     )
-    hls = (
-        cells.join(smarg, "source")
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum(
-                F.floor(
-                    -(F.col("n").cast("double") / F.col("nn"))
-                    * F.log(F.col("n").cast("double") / F.col("ns"))
-                    * 1e8
-                    + 0.5
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("hq2")
+    # r14: the marginal rollups, both entropy folds and the final
+    # 1-row join ladder collapse into row-local HOF arithmetic over
+    # the packed cell array (was 5 extra jobs over a persisted ≤
+    # |S|·|L|-row frame). The quantized entropy terms are exact
+    # BIGINTs, so the integer fold is order-independent by
+    # construction — identical to the old unordered F.sum.
+    packed = cells.agg(
+        F.expr("array_sort(collect_list(struct(source, lang, n)))").alias(
+            "cs"
         )
+    ).select(
+        "cs",
+        F.expr("aggregate(cs, 0L, (a, x) -> a + x.n)").alias("nn"),
+        F.expr("array_sort(array_distinct(transform(cs, x -> x.lang)))")
+        .alias("langs"),
+        F.expr("array_sort(array_distinct(transform(cs, x -> x.source)))")
+        .alias("srcs"),
     )
-    nsrc = smarg.agg(F.count("*").cast("long").alias("n_sources"))
-    j = (
-        tot.crossJoin(F.broadcast(nsrc))
-        .crossJoin(F.broadcast(hl))
-        .crossJoin(F.broadcast(hls))
+    nl = (
+        "CAST(aggregate(filter(cs, y -> y.lang = x), 0L,"
+        " (al, yl) -> al + yl.n) AS DOUBLE)"
+    )
+    ns = (
+        "CAST(aggregate(filter(cs, z -> z.source = x.source), 0L,"
+        " (asrc, zs) -> asrc + zs.n) AS DOUBLE)"
+    )
+    j = packed.select(
+        "nn",
+        F.expr("CAST(size(srcs) AS BIGINT)").alias("n_sources"),
+        F.expr("CAST(size(langs) AS BIGINT)").alias("n_langs"),
+        F.expr(
+            "aggregate(langs, 0L, (acc, x) -> acc +"
+            f" CAST(floor(-({nl} / CAST(nn AS DOUBLE))"
+            f" * ln({nl} / CAST(nn AS DOUBLE)) * 1.0E8 + 0.5) AS BIGINT))"
+        ).alias("hq"),
+        F.expr(
+            "aggregate(cs, 0L, (acc, x) -> acc +"
+            " CAST(floor(-(CAST(x.n AS DOUBLE) / CAST(nn AS DOUBLE))"
+            f" * ln(CAST(x.n AS DOUBLE) / {ns}) * 1.0E8 + 0.5) AS BIGINT))"
+        ).alias("hq2"),
     )
     h1 = F.col("hq").cast("double") / 1e8
     h2 = F.col("hq2").cast("double") / 1e8

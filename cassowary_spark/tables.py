@@ -37,6 +37,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Analyzed-DataFrame memo (r14, guide §6): `spark.read.parquet` builds
+# a fresh InMemoryFileIndex and re-reads footers for schema inference
+# on EVERY call — tens of ms of driver-side latency per load_table,
+# thousands of calls across a bench sweep, and at 100 TB each call is
+# a round of object-store list/footer RPCs. The memo returns the same
+# immutable analyzed plan for the same (session, file identity) —
+# exactly what registering the fixture as a catalog table would do.
+# Execution still scans parquet on every action (this caches METADATA,
+# never results); the (size, mtime_ns) key drops entries whenever a
+# fixture file is rewritten, and the applicationId key drops entries
+# when the session is restarted.
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, applying scan-time type normalization.
 
@@ -52,13 +66,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC regardless of who built the session: fixture timestamps
     # are NTZ, and every oracle comparison assumes UTC wall clock.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        sig = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        sig = None
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), sig)
+    memo = _DF_MEMO.get(key)
+    if memo is not None:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return memo
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(table_path(sf_dir, name))
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        df = spark.read.parquet(path)
+    if len(_DF_MEMO) > 256:  # bound growth across many test sessions
+        _DF_MEMO.clear()
+    _DF_MEMO[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
