@@ -102,6 +102,17 @@ def main() -> None:
     #     queries evict each other's codegen between passes — which
     #     inflated every sub-second query ~1.2-1.9x vs the warm-plan
     #     BASELINE rows without any operator regressing.
+    # Host-contention marker (r14): record 1-min loadavg at sweep
+    # start AND end so round-over-round driver comparisons can be
+    # deflated for ambient load — the r13 judging spent an hour
+    # disambiguating a contended-host 1.38x from a real regression.
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    load_start = _load1()
     passes = max(1, int(os.environ.get("BENCH_PASSES", os.environ.get("BENCH_RUNS", "2"))))
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     timings: dict[str, float] = {n: float("inf") for n in names}
@@ -137,6 +148,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "runs_per_query": runs,
+        "load1_start": load_start,
+        "load1_end": _load1(),
     }
     # The driver records only a bounded tail of stdout (~2 KB): a
     # 299-query per-query map is ~10 KB, so printing it whole truncates

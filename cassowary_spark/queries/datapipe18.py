@@ -438,36 +438,48 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.sum(1 - bad).cast("long").alias("goods"),
         F.sum(bad).cast("long").alias("bads"),
-    ).persist()  # 5 priorities; totals + IV reuse one fact scan
-    tot = per.agg(
-        F.sum("goods").cast("long").alias("gg"),
-        F.sum("bads").cast("long").alias("bb"),
     )
-    gd = F.col("goods").cast("double") + 0.5
-    bd = F.col("bads").cast("double") + 0.5
-    ggd, bbd = F.col("gg").cast("double"), F.col("bb").cast("double")
-    woe = F.log((gd * bbd) / (bd * ggd))
-    w = per.crossJoin(F.broadcast(tot)).select(
-        "prio",
-        "goods",
-        "bads",
-        srnd(woe, 6).alias("woe"),
-        srnd((gd / ggd - bd / bbd) * woe, 8).alias("iv_term"),
+    # r14: totals, per-prio WoE/IV terms and the IV fold run
+    # row-locally over the packed 5-row array in ONE 1-row aggregate,
+    # then the rows explode back (was: persisted frame + totals
+    # broadcast + fold job + final crossJoin). The srnd8 IV terms
+    # still fold in prio order (the q_psi/q_kl/q_chi_square 1-ulp
+    # boundary class).
+    gd = "(CAST(x.goods AS DOUBLE) + 0.5)"
+    bd = "(CAST(x.bads AS DOUBLE) + 0.5)"
+    woe = f"ln(({gd} * CAST(bb AS DOUBLE)) / ({bd} * CAST(gg AS DOUBLE)))"
+    iv_t = (
+        f"floor((({gd} / CAST(gg AS DOUBLE)"
+        f" - {bd} / CAST(bb AS DOUBLE)) * {woe}) * 1.0E8 + 0.5) / 1.0E8"
     )
-    # fixed-order fold: sum the srnd8 IV terms in prio order on both
-    # engines (the q_psi/q_kl/q_chi_square 1-ulp boundary class)
-    iv = w.agg(
+    packed = per.agg(
+        F.expr("array_sort(collect_list(struct(prio, goods, bads)))").alias(
+            "cls"
+        )
+    ).select(
+        "cls",
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.goods)").alias("gg"),
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.bads)").alias("bb"),
+    ).select(
         F.expr(
-            "aggregate(array_sort(collect_list(struct(prio, iv_term))),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.iv_term)"
-        ).alias("iv_sum")
+            "transform(cls, x -> struct(x.prio AS prio,"
+            " x.goods AS goods, x.bads AS bads,"
+            f" floor({woe} * 1.0E6 + 0.5) / 1.0E6 AS woe,"
+            f" {iv_t} AS iv_term))"
+        ).alias("terms"),
+    ).select(
+        "terms",
+        F.expr(
+            "aggregate(terms, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x.iv_term)"
+        ).alias("iv_sum"),
     )
-    return w.crossJoin(F.broadcast(iv)).select(
-        "prio",
-        "goods",
-        "bads",
-        "woe",
-        "iv_term",
+    return packed.select(F.explode("terms").alias("x"), "iv_sum").select(
+        F.col("x.prio").alias("prio"),
+        F.col("x.goods").alias("goods"),
+        F.col("x.bads").alias("bads"),
+        F.col("x.woe").alias("woe"),
+        F.col("x.iv_term").alias("iv_term"),
         srnd(F.col("iv_sum"), 6).alias("iv_total"),
     )
 

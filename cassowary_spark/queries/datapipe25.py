@@ -94,45 +94,49 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cb"),
         )
-        .persist()  # <=10 rows; totals + terms reuse one fact scan
     )
-    tot = binned.agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
+    # r14: totals, the srnd8 per-bin terms and the PSI fold all run
+    # row-locally over the packed ≤10-bin array in ONE 1-row
+    # aggregate, then the per-bin rows explode back (was: persisted
+    # bin frame + totals broadcast + fold job + final crossJoin).
+    # The fold keeps BIN order (the C69 idiom — sorted array): a
+    # plain sum()'s engine-dependent fold order can differ by 1 ulp
+    # and flip the srnd6 boundary (hypothesis found the q_psi case;
+    # the sf0.1 sweep found the q_kl_divergence one).
+    h = f"{_PSI_BINS / 2.0!r}"
+    term = (
+        "floor((((CAST(x.ca AS DOUBLE) + 0.5)"
+        f" / (CAST(na AS DOUBLE) + {h})"
+        " - (CAST(x.cb AS DOUBLE) + 0.5)"
+        f" / (CAST(nb AS DOUBLE) + {h}))"
+        " * ln(((CAST(x.ca AS DOUBLE) + 0.5)"
+        f" * (CAST(nb AS DOUBLE) + {h}))"
+        " / ((CAST(x.cb AS DOUBLE) + 0.5)"
+        f" * (CAST(na AS DOUBLE) + {h}))))"
+        " * 1.0E8 + 0.5) / 1.0E8"
     )
-    pa_ = (F.col("ca").cast("double") + 0.5) / (
-        F.col("na").cast("double") + _PSI_BINS / 2.0
-    )
-    pb_ = (F.col("cb").cast("double") + 0.5) / (
-        F.col("nb").cast("double") + _PSI_BINS / 2.0
-    )
-    term = srnd(
-        (pa_ - pb_)
-        * F.log(
-            ((F.col("ca").cast("double") + 0.5)
-             * (F.col("nb").cast("double") + _PSI_BINS / 2.0))
-            / ((F.col("cb").cast("double") + 0.5)
-               * (F.col("na").cast("double") + _PSI_BINS / 2.0))
-        ),
-        8,
-    )
-    terms = binned.crossJoin(F.broadcast(tot)).select(
-        "bin", "ca", "cb", term.alias("term")
-    )
-    # fixed-order fold (the C69 idiom): the srnd8-quantized terms sum
-    # in BIN order on both engines — a plain sum()'s fold order can
-    # differ by 1 ulp and flip the srnd6 boundary (hypothesis found
-    # the q_psi case; the sf0.1 sweep found the q_kl_divergence one)
-    total = terms.agg(
+    packed = binned.agg(
+        F.expr("array_sort(collect_list(struct(bin, ca, cb)))").alias("cls")
+    ).select(
+        "cls",
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.ca)").alias("na"),
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.cb)").alias("nb"),
+    ).select(
         F.expr(
-            "aggregate(array_sort(collect_list(struct(bin, term))),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
-        ).alias("t")
+            "transform(cls, x -> struct(x.bin AS bin, x.ca AS ca,"
+            f" x.cb AS cb, {term} AS term))"
+        ).alias("terms"),
+    ).select(
+        "terms",
+        F.expr(
+            "aggregate(terms, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x.term)"
+        ).alias("t"),
     )
-    return terms.crossJoin(F.broadcast(total)).select(
-        "bin",
-        "ca",
-        "cb",
-        "term",
+    return packed.select(F.explode("terms").alias("x"), "t").select(
+        F.col("x.bin").alias("bin"),
+        F.col("x.ca").alias("ca"),
+        F.col("x.cb").alias("cb"),
+        F.col("x.term").alias("term"),
         srnd(F.col("t"), 6).alias("psi_total"),
     )

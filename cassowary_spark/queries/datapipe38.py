@@ -214,51 +214,63 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast frames.
     """
     d = load_table(spark, sf_dir, "documents")
-    cell = (
-        d.groupBy("source", "lang")
-        .agg(F.count("*").cast("long").alias("c"))
-        .persist()  # <=100 cells; both marginals reuse one scan
+    cell = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
     )
-    per_src = cell.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
-    per_lang = cell.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
-    tot = cell.agg(F.sum("c").cast("long").alias("nn"))
-    grid = (
-        per_src.crossJoin(F.broadcast(per_lang))
-        .join(F.broadcast(cell), ["source", "lang"], "left")
-        .select(
-            "source",
-            "lang",
-            "cs",
-            "cl",
-            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+    # r14: marginals, the full source×lang term grid (absent cells
+    # c = 0 — iterating the complete sorted LANGS array per source
+    # materializes the same grid both engines see) and the per-source
+    # JSD folds run row-locally over the packed ≤100-cell array in
+    # ONE 1-row aggregate, then the per-source rows explode back
+    # (was: persisted cell frame + 3 marginal jobs + grid join).
+    # Each source's srnd8 terms still fold in LANG order (C69 — the
+    # sorted langs array IS the old struct-sort order).
+    packed = cell.agg(
+        F.expr("array_sort(collect_list(struct(source, lang, c)))").alias(
+            "cls"
         )
+    ).select(
+        "cls",
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.c)").alias("nn"),
+        F.expr("array_sort(array_distinct(transform(cls, x -> x.source)))")
+        .alias("srcs"),
+        F.expr("array_sort(array_distinct(transform(cls, x -> x.lang)))")
+        .alias("langs"),
     )
-    p = F.col("c").cast("double") / F.col("cs").cast("double")
-    q = F.col("cl").cast("double") / F.col("nn").cast("double")
-    m = 0.5 * (p + q)
-    term = srnd(
-        0.5
-        * (
-            F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
-            + q * F.log(q / m)
-        ),
-        8,
+    ex = packed.select(
+        "cls", "nn", "langs", F.explode("srcs").alias("source")
     )
-    terms = grid.crossJoin(F.broadcast(tot)).select(
-        "source", "lang", "cs", term.alias("term")
+    c_ = (
+        "CAST(aggregate(filter(sl, y -> y.lang = l), 0L,"
+        " (ac, yc) -> ac + yc.c) AS BIGINT)"
     )
-    # C69 fixed-order fold: the srnd8-quantized terms sum in lang
-    # order on both engines (plain sum() risks a 1-ulp fold flip at
-    # an srnd6 boundary — the q_kl_divergence lesson)
-    return terms.groupBy("source").agg(
-        F.max("cs").cast("long").alias("n_docs"),
-        srnd(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(lang, term))),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
-            ),
-            6,
-        ).alias("js_nats"),
+    cl_ = (
+        "CAST(aggregate(filter(cls, z -> z.lang = l), 0L,"
+        " (al, zl) -> al + zl.c) AS DOUBLE)"
+    )
+    p = "(CAST(c0 AS DOUBLE) / CAST(cst AS DOUBLE))"
+    q = f"({cl_} / CAST(nn AS DOUBLE))"
+    m = f"(0.5 * ({p} + {q}))"
+    term = (
+        "floor((0.5 * (CASE WHEN c0 > 0"
+        f" THEN {p} * ln({p} / {m}) ELSE CAST(0.0 AS DOUBLE) END"
+        f" + {q} * ln({q} / {m}))) * 1.0E8 + 0.5) / 1.0E8"
+    )
+    js = ex.select(
+        "source",
+        F.expr(
+            "transform(array(filter(cls, cf -> cf.source = source)), sl ->"
+            " transform(array(aggregate(sl, 0L, (a0, x0) -> a0 + x0.c)),"
+            " cst -> struct(cst AS nd,"
+            " aggregate(langs, CAST(0.0 AS DOUBLE), (acc, l) ->"
+            f" acc + aggregate(array({c_}), CAST(0.0 AS DOUBLE),"
+            f" (a9, c0) -> a9 + {term})) AS js))[0])[0]"
+        ).alias("s"),
+    )
+    return js.select(
+        "source",
+        F.col("s.nd").cast("long").alias("n_docs"),
+        srnd(F.col("s.js"), 6).alias("js_nats"),
     )
 
 
@@ -411,27 +423,39 @@ def q_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value"
     )
+    # r14: the action frame packs into ONE sorted array (its position
+    # IS the old row_number idx, its size the old k — both windows
+    # and the persist go away); the policy match evaluates against
+    # the broadcast 1-row array, and the whole per-action tail
+    # (left-join coalesce + term fold + totals) runs row-locally
+    # over the two tiny arrays. The srnd8 terms still fold in action
+    # order (C69 — the sorted array order).
     acts = (
         ev.groupBy("event_type")
         .agg(F.count("*").cast("long").alias("c"))
-        .select(
-            "event_type",
-            "c",
-            F.row_number()
-            .over(Window.orderBy("event_type"))
-            .cast("long")
-            .alias("idx"),
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(event_type, c)))"
+            ).alias("acts")
         )
-        .withColumn("k", F.count("*").over(Window.partitionBy()).cast("long"))
-        .persist()  # |actions| rows; broadcast to the scan + reused below
+        .select(
+            "acts",
+            F.expr("CAST(size(acts) AS BIGINT)").alias("k"),
+            F.expr("aggregate(acts, 0L, (a, x) -> a + x.c)").alias("nn"),
+        )
     )
-    tot = acts.agg(F.sum("c").cast("long").alias("nn"))
     u32 = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     matched = (
-        ev.join(F.broadcast(acts), "event_type")
-        .filter(1 + (u32 % F.col("k")) == F.col("idx"))
+        ev.crossJoin(F.broadcast(acts))
+        .withColumn("u32", u32)
+        .filter(
+            F.col("event_type")
+            == F.expr(
+                "element_at(acts, CAST(1 + pmod(u32, k) AS INT)).event_type"
+            )
+        )
         .groupBy("event_type")
         .agg(
             F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
@@ -440,34 +464,38 @@ def q_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_match"),
         )
     )
-    per = (
-        acts.join(F.broadcast(matched), "event_type", "left")
+    term = (
+        "floor((CAST(sc AS DOUBLE) / (100.0 * CAST(x.c AS DOUBLE)))"
+        " * 1.0E8 + 0.5) / 1.0E8"
+    )
+    sc = (
+        "aggregate(filter(ms, y -> y.event_type = x.event_type), 0L,"
+        " (am, ym) -> am + ym.s_cents)"
+    )
+    folded = (
+        matched.agg(
+            F.expr(
+                "array_sort(collect_list(struct(event_type, s_cents,"
+                " n_match)))"
+            ).alias("ms")
+        )
+        .crossJoin(F.broadcast(acts))
         .select(
-            "event_type",
-            "c",
-            F.coalesce(F.col("s_cents"), F.lit(0)).cast("long").alias("s_cents"),
-            F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
+            F.col("nn").alias("n_events"),
+            F.expr("aggregate(ms, 0L, (a, x) -> a + x.n_match)").alias(
+                "n_matched"
+            ),
+            srnd(
+                F.expr(
+                    "aggregate(acts, CAST(0.0 AS DOUBLE), (acc, x) ->"
+                    f" acc + aggregate(array({sc}), CAST(0.0 AS DOUBLE),"
+                    f" (a9, sc) -> a9 + {term}))"
+                ),
+                6,
+            ).alias("ips_value"),
         )
     )
-    term = srnd(
-        F.col("s_cents").cast("double") / (100.0 * F.col("c").cast("double")),
-        8,
-    )
-    folded = per.select(
-        "event_type", "n_match", term.alias("term")
-    ).agg(
-        F.sum("n_match").cast("long").alias("n_matched"),
-        srnd(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(event_type, term))),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
-            ),
-            6,
-        ).alias("ips_value"),
-    )
-    return folded.crossJoin(F.broadcast(tot)).select(
-        F.col("nn").alias("n_events"), "n_matched", "ips_value"
-    )
+    return folded
 
 
 # ------------------------------- C172 per-source exact-dup rate audit

@@ -372,26 +372,33 @@ def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("zu").cast(dec)).alias("s"),
         F.sum((F.col("zu").cast(dec) * F.col("zu"))).alias("q"),
-    ).persist()
-    tot = cells.agg(
-        F.sum("n").cast("long").alias("nn"),
-        F.sum("s").alias("ss"),
-        F.sum("q").alias("qq"),
-        F.count("*").cast("long").alias("g"),
     )
-    fold = F.expr(
-        "aggregate(array_sort(collect_list(struct(grp, t))),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+    # r14: totals + the s²/n fold run row-locally over the packed
+    # |groups|-row array in ONE 1-row aggregate (was: persisted cell
+    # frame + total broadcast + separate fold job). The fold keeps
+    # the C69 group order (sorted array); integer/decimal totals are
+    # order-free.
+    agg = cells.agg(
+        F.expr("array_sort(collect_list(struct(grp, n, s, q)))").alias(
+            "cls"
+        )
+    ).select(
+        F.expr("aggregate(cls, 0L, (a, x) -> a + x.n)").alias("nn"),
+        F.expr(
+            "aggregate(cls, CAST(0 AS DECIMAL(38,0)), (a, x) ->"
+            " CAST(a + x.s AS DECIMAL(38,0)))"
+        ).alias("ss"),
+        F.expr(
+            "aggregate(cls, CAST(0 AS DECIMAL(38,0)), (a, x) ->"
+            " CAST(a + x.q AS DECIMAL(38,0)))"
+        ).alias("qq"),
+        F.expr("CAST(size(cls) AS BIGINT)").alias("g"),
+        F.expr(
+            "aggregate(cls, CAST(0.0 AS DOUBLE), (acc, x) ->"
+            " acc + CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)"
+            " / CAST(x.n AS DOUBLE))"
+        ).alias("s2n"),
     )
-    terms = cells.select(
-        "grp",
-        (
-            F.col("s").cast("double")
-            * F.col("s").cast("double")
-            / F.col("n").cast("double")
-        ).alias("t"),
-    )
-    agg = terms.agg(fold.alias("s2n")).crossJoin(F.broadcast(tot))
     g = F.col("g").cast("double")
     nn = F.col("nn").cast("double")
     msb = (
