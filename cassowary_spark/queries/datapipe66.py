@@ -360,11 +360,19 @@ def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         "ndv",
         F.col("actual").cast("long").alias("actual_selfjoin"),
-        # explicit floor on both engines: DuckDB uses HUGEINT floor
-        # division (//); a bare decimal-quotient cast would truncate
-        # while a float-division cast rounds half-up — off by one
-        # whenever frac(n²/ndv) ≥ 0.5 (r12 ADVICE)
-        F.floor(n * F.col("n") / F.col("ndv")).cast("long").alias("indep_est"),
+        # exact integer floor-division on both engines (r13 ADVICE):
+        # DuckDB uses HUGEINT `//`; Spark's decimal division rounds
+        # HALF_UP to the adjusted scale BEFORE a floor could apply, so
+        # floor(n²/ndv) over the decimal quotient is off by one
+        # whenever frac(n²/ndv) lands within 5e-7 of 1 (reachable at
+        # ndv ≳ 1e6, i.e. sf10+). The subtract-remainder identity
+        # (n² − n² mod ndv)/ndv divides exactly — the quotient is
+        # integral, so decimal rounding is a no-op at ANY scale (the
+        # counts_bands idiom).
+        ((n * F.col("n") - F.pmod(n * F.col("n"), F.col("ndv")))
+         / F.col("ndv"))
+        .cast("long")
+        .alias("indep_est"),
         srnd(
             F.col("actual").cast("double")
             / (
