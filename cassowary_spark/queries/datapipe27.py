@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.survival import reorder_durations
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -86,33 +87,13 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     final exp runs on an explicitly quantized input (the C70
     pow-quantization precedent).
 
-    Scale shape: two custkey partial aggs (first/second order) and a
-    1-row censor reduce; everything after operates on PER-DURATION
-    aggregates — the curve's input is bounded by distinct day
-    values (≤ calendar span), not customers.
+    Scale shape: ONE custkey partial agg (sorted distinct order
+    dates; first/reorder dates are elements 0/1, the censor reduces
+    from the per-customer maxima — operators/survival.py); everything
+    after operates on PER-DURATION aggregates — the curve's input is
+    bounded by distinct day values (≤ calendar span), not customers.
     """
-    o = load_table(spark, sf_dir, "orders")
-    od = F.to_date("o_orderdate")
-    firsts = o.groupBy("o_custkey").agg(F.min(od).alias("f"))
-    seconds = (
-        o.join(F.broadcast(firsts), "o_custkey")
-        .filter(od > F.col("f"))
-        .groupBy("o_custkey")
-        .agg(F.min(od).alias("s"))
-    )
-    censor = o.agg(F.max(od).alias("c"))
-    durs = (
-        firsts.join(seconds, "o_custkey", "left")
-        .crossJoin(F.broadcast(censor))
-        .select(
-            F.when(
-                F.col("s").isNotNull(), F.datediff(F.col("s"), F.col("f"))
-            )
-            .otherwise(F.datediff(F.col("c"), F.col("f")))
-            .alias("dur"),
-            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
-    )
+    durs = reorder_durations(spark, sf_dir)
     per = durs.groupBy("dur").agg(
         F.count("*").cast("long").alias("n_all"),
         F.sum("ev").cast("long").alias("d"),

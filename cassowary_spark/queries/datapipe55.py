@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.survival import reorder_durations
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -563,33 +564,12 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught by the r11 sf0.1 parity sweep); the output quantizes
     srnd6 of the exact integer totals.
 
-    Scale shape: identical to C145 — two custkey partial aggs, a
-    1-row censor reduce, then everything runs over the per-duration
-    frame (bounded by the calendar span, the accepted class). No
-    corpus-sized sort or window.
+    Scale shape: identical to C145 — ONE custkey partial agg
+    (operators/survival.py shared duration frame), then everything
+    runs over the per-duration frame (bounded by the calendar span,
+    the accepted class). No corpus-sized sort or window.
     """
-    o = load_table(spark, sf_dir, "orders")
-    od = F.to_date("o_orderdate")
-    firsts = o.groupBy("o_custkey").agg(F.min(od).alias("f"))
-    seconds = (
-        o.join(F.broadcast(firsts), "o_custkey")
-        .filter(od > F.col("f"))
-        .groupBy("o_custkey")
-        .agg(F.min(od).alias("s"))
-    )
-    censor = o.agg(F.max(od).alias("c"))
-    durs = (
-        firsts.join(seconds, "o_custkey", "left")
-        .crossJoin(F.broadcast(censor))
-        .select(
-            F.when(
-                F.col("s").isNotNull(), F.datediff(F.col("s"), F.col("f"))
-            )
-            .otherwise(F.datediff(F.col("c"), F.col("f")))
-            .alias("dur"),
-            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
-    )
+    durs = reorder_durations(spark, sf_dir)
     per = durs.groupBy("dur").agg(
         F.count("*").cast("long").alias("n_all"),
         F.sum("ev").cast("long").alias("d"),

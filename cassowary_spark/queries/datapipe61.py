@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassowary_spark.exprs import sql_srnd, srnd
+from cassowary_spark.operators.survival import reorder_durations
 from cassowary_spark.registry import query
 from cassowary_spark.tables import load_table
 
@@ -342,40 +343,22 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (C69 fold / ordered list_sum); O₁ is an exact BIGINT; z is
     one guarded srnd6 expression.
 
-    Scale shape: C145's frame with the group flag riding along — two
-    custkey partial aggs, a broadcast censor, one groupBy to the
+    Scale shape: C145's frame with the group flag riding along — ONE
+    custkey partial agg (operators/survival.py), one groupBy to the
     calendar-bounded duration frame, windows and folds over THAT
-    frame only. No corpus sort.
+    frame only (group sizes fold over the same cells). No corpus
+    sort.
     """
-    o = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(F.col("c_mktsegment") == "BUILDING", 1)
         .otherwise(0)
         .alias("g"),
     )
-    od = F.to_date("o_orderdate")
-    firsts = o.groupBy("o_custkey").agg(F.min(od).alias("f"))
-    seconds = (
-        o.join(F.broadcast(firsts), "o_custkey")
-        .filter(od > F.col("f"))
-        .groupBy("o_custkey")
-        .agg(F.min(od).alias("s"))
-    )
-    censor = o.agg(F.max(od).alias("c"))
     durs = (
-        firsts.join(seconds, "o_custkey", "left")
-        .crossJoin(F.broadcast(censor))
-        .join(cust, firsts["o_custkey"] == cust["c_custkey"])
-        .select(
-            "g",
-            F.when(
-                F.col("s").isNotNull(), F.datediff(F.col("s"), F.col("f"))
-            )
-            .otherwise(F.datediff(F.col("c"), F.col("f")))
-            .alias("dur"),
-            F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
+        reorder_durations(spark, sf_dir)
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .select("g", "dur", "ev")
     )
     per = durs.groupBy("dur").agg(
         F.count("*").cast("long").alias("n_all"),
@@ -425,9 +408,11 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         srnd(fold("eterm"), 6).alias("e1"),
         srnd(fold("vterm"), 6).alias("v"),
     )
-    sizes = durs.agg(
-        F.sum("g").cast("long").alias("n1"),
-        (F.count("*") - F.sum("g")).cast("long").alias("n2"),
+    # group sizes from the per-duration cells (exchange shared with the
+    # risk window) instead of a second pass over the duration frame
+    sizes = per.agg(
+        F.sum("n1_all").cast("long").alias("n1"),
+        (F.sum("n_all") - F.sum("n1_all")).cast("long").alias("n2"),
     )
     return tot.crossJoin(F.broadcast(sizes)).select(
         "n1",
