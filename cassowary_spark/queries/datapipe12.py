@@ -161,43 +161,66 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated form (Spark `percentile` ≡ DuckDB `quantile_cont`,
     the q_agg_percentile idiom).
 
-    Scale shape: stage anchors are user-keyed partial aggs; the
-    stage-confirm joins are user-keyed (co-partitioned with the
-    anchor frames — one hash family end-to-end); the lag rollup has
-    2 keys. At whale-user scale the confirm joins bound fanout by
-    each user's per-type event count, and approx_percentile swaps in
+    Scale shape: ONE user-keyed aggregation (min view anchor + click/
+    purchase timestamp lists, bounded by per-user activity); the
+    strictly-ordered conditional mins become row-local
+    `array_min(filter(...))` probes, so the event log is shuffled
+    once instead of feeding two user-keyed confirm joins; the lag
+    rollup has 2 keys. At whale-user scale the per-user arrays are
+    bounded by each user's per-type event count (the same bound the
+    old confirm joins paid as fanout), and approx_percentile swaps in
     for the exact percentile as documented in B18.
     """
     ev = load_table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("cl"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("pu"),
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id", "t_view")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    buys = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id", "t_view", "t_click")
-        .agg(F.min("ts").alias("t_buy"))
+    anchors = per.select(
+        F.col("t_view"),
+        F.expr("array_min(filter(cl, c -> c > t_view))").alias("t_click"),
+        "pu",
+    ).select(
+        "t_view",
+        "t_click",
+        F.expr("array_min(filter(pu, p -> p > t_click))").alias("t_buy"),
     )
     lag = lambda a, b: (  # noqa: E731
         F.unix_timestamp(b) - F.unix_timestamp(a)
     ).cast("long")
-    lags = clicks.select(
-        F.lit("view_to_click").alias("stage"),
-        lag(F.col("t_view"), F.col("t_click")).alias("lag_s"),
-    ).unionByName(
-        buys.select(
-            F.lit("click_to_purchase").alias("stage"),
-            lag(F.col("t_click"), F.col("t_buy")).alias("lag_s"),
-        )
-    )
+    lags = anchors.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("t_click").isNotNull(),
+                        F.struct(
+                            F.lit("view_to_click").alias("stage"),
+                            lag(F.col("t_view"), F.col("t_click")).alias(
+                                "lag_s"
+                            ),
+                        ),
+                    ),
+                    F.when(
+                        F.col("t_buy").isNotNull(),
+                        F.struct(
+                            F.lit("click_to_purchase").alias("stage"),
+                            lag(F.col("t_click"), F.col("t_buy")).alias(
+                                "lag_s"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.stage", "e.lag_s")
     return lags.groupBy("stage").agg(
         F.count("*").alias("n_users"),
         srnd(F.expr("percentile(lag_s, 0.5)"), 4).alias("median_lag_s"),

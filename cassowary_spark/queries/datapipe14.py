@@ -61,11 +61,20 @@ def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt, o["o_orderkey"] == cnt["l_orderkey"], "left"
     ).select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("fanout"))
     per = fan.groupBy("fanout").agg(F.count("*").cast("long").alias("n_keys"))
-    tot = per.agg(F.sum("n_keys").cast("long").alias("t"))
-    return per.crossJoin(F.broadcast(tot)).select(
-        "fanout",
-        "n_keys",
-        srnd(F.col("n_keys") * 1.0 / F.col("t"), 6).alias("pct_keys"),
+    # census is fanout-domain-bounded: pack it into one row so the
+    # total and the share compute row-locally (no second agg +
+    # broadcast ladder over the tiny frame)
+    packed = per.agg(
+        F.expr("array_sort(collect_list(struct(fanout, n_keys)))").alias(
+            "cs"
+        )
+    ).select("cs", F.expr("aggregate(cs, 0L, (a, c) -> a + c.n_keys)").alias("t"))
+    return packed.select(
+        F.explode("cs").alias("c"), F.col("t")
+    ).select(
+        F.col("c.fanout").alias("fanout"),
+        F.col("c.n_keys").alias("n_keys"),
+        srnd(F.col("c.n_keys") * 1.0 / F.col("t"), 6).alias("pct_keys"),
     )
 
 

@@ -72,78 +72,57 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation); strict/inclusive boundaries are identical on both
     engines; output is integer counts.
 
-    Scale shape: the stage chain is two user-keyed equi-joins with
-    time-band predicates over PRE-FILTERED stage slices (each side
-    carries only its stage's rows, not the event log), with the
-    signup×click pairs collapsed to (signup, EARLIEST in-window
-    click) BEFORE the purchase join — an exact reduction (a
-    qualifying (c, p) exists iff one exists for the earliest c) that
-    keeps per-user fanout quadratic-in-stage-counts instead of
-    cubic (r11; the naive triple join exhausted the oracle at sf1).
-    The depth sets are semi-join-shaped and user-bounded; all joins
-    and distincts share the user hash family; hot users →
-    AQE/salting.
+    Scale shape: ONE user-keyed aggregation collects each user's
+    per-stage timestamp lists (bounded by per-user activity), and the
+    depth test runs row-locally with higher-order functions — the
+    earliest-click reduction becomes `transform(signups, s ->
+    (s, min in-window click))` and both join-shaped stage confirms
+    become array `exists` probes, so the event log is shuffled once
+    (user hash) instead of feeding two time-band joins plus three
+    distinct/left-join ladders. Exact: pure existence tests over the
+    same exact µs timestamps; a qualifying (c, p) pair exists iff one
+    exists for the earliest in-window c (r11 reduction, unchanged).
+    Hot users → AQE-coalesced single exchange; per-user arrays are
+    event-count-bounded, never corpus-bounded.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").alias("t")
     )
-    win = F.expr(f"INTERVAL {_WF_HOURS} HOURS")
-    s = ev.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("su"), F.col("t").alias("st")
+    per = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.when(F.col("event_type") == "signup", F.col("t"))
+        ).alias("ss"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("t"))
+        ).alias("cs"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("t"))
+        ).alias("ps"),
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"), F.col("t").alias("ct")
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("pu"), F.col("t").alias("pt")
-    )
-    users = ev.select("user_id").distinct()
-    d1 = s.select(F.col("su").alias("user_id")).distinct().select(
-        "user_id", F.lit(1).alias("f1")
-    )
-    # earliest-click reduction: a (click, purchase) pair inside the
-    # window exists iff a purchase follows the EARLIEST in-window
-    # click — collapsing signup×click pairs to (signup, min click)
-    # BEFORE the purchase join removes the cubic per-user fanout of
-    # the naive triple join (the former form exhausted DuckDB temp
-    # at sf1)
-    scm = (
-        s.join(
-            c,
-            (F.col("cu") == F.col("su"))
-            & (F.col("ct") > F.col("st"))
-            & (F.col("ct") <= F.col("st") + win),
+    # earliest-click reduction, row-local: per signup, the EARLIEST
+    # in-window click (null when none) — a qualifying (click,
+    # purchase) chain exists iff one exists for that earliest click
+    iv = f"INTERVAL {_WF_HOURS} HOURS"
+    depth = per.select(
+        F.when(
+            F.expr(
+                "exists(transform(ss, s -> named_struct('st', s, 'cm',"
+                f" array_min(filter(cs, c -> c > s AND c <= s + {iv})))),"
+                " x -> x.cm IS NOT NULL AND"
+                f" exists(ps, p -> p > x.cm AND p <= x.st + {iv}))"
+            ),
+            3,
         )
-        .groupBy("su", "st")
-        .agg(F.min("ct").alias("cmin"))
-    )
-    d2 = (
-        scm.select(F.col("su").alias("user_id"))
-        .distinct()
-        .select("user_id", F.lit(1).alias("f2"))
-    )
-    d3 = (
-        scm.join(
-            p,
-            (F.col("pu") == F.col("su"))
-            & (F.col("pt") > F.col("cmin"))
-            & (F.col("pt") <= F.col("st") + win),
+        .when(
+            F.expr(
+                "exists(ss, s ->"
+                f" exists(cs, c -> c > s AND c <= s + {iv}))"
+            ),
+            2,
         )
-        .select(F.col("su").alias("user_id"))
-        .distinct()
-        .select("user_id", F.lit(1).alias("f3"))
-    )
-    depth = (
-        users.join(d1, "user_id", "left")
-        .join(d2, "user_id", "left")
-        .join(d3, "user_id", "left")
-        .select(
-            F.when(F.col("f3").isNotNull(), 3)
-            .when(F.col("f2").isNotNull(), 2)
-            .when(F.col("f1").isNotNull(), 1)
-            .otherwise(0)
-            .alias("depth")
-        )
+        .when(F.size("ss") > 0, 1)
+        .otherwise(0)
+        .alias("depth")
     )
     return depth.groupBy("depth").agg(
         F.count("*").cast("long").alias("n_users")

@@ -126,24 +126,26 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     )
-    kq = cal.groupBy("lang").agg(
-        F.count("*").alias("n_cal"),
-        F.least(
-            F.ceil(
-                (F.count("*") + 1) * F.lit(100 - _CF_ALPHA_PCT) / F.lit(100.0)
-            ),
-            F.count("*"),
-        )
-        .cast("long")
-        .alias("kth"),
+    # n_cal and the conformal k fold into the SAME lang-partitioned
+    # window pass that ranks the residuals (the unbounded count
+    # reuses the rank's exchange+sort) — the old separate groupBy +
+    # broadcast join-back is gone
+    rn = cal.select(
+        "lang",
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("r"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_cal"),
     )
-    rn = cal.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("r"))
-    )
-    qhat = (
-        rn.join(F.broadcast(kq), "lang")
-        .filter(F.col("rn") == F.col("kth"))
-        .select("lang", "n_cal", F.col("r").alias("q_hat"))
+    kth = F.least(
+        F.ceil(
+            (F.col("n_cal") + 1) * F.lit(100 - _CF_ALPHA_PCT) / F.lit(100.0)
+        ),
+        F.col("n_cal"),
+    ).cast("long")
+    qhat = rn.filter(F.col("rn") == kth).select(
+        "lang", "n_cal", F.col("r").alias("q_hat")
     )
     test = (
         d.filter(F.col("b") == 9)

@@ -459,54 +459,73 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·cum ≥ total), the same integer cross-multiplication cut as
     C120. Exact; no floats anywhere.
 
-    Scale shape: two bounded cells frames (unit-quantized value
-    domain) meet in a broadcast nested-loop product of |cells_a| ×
-    |cells_b| — domain², independent of row count — then one
-    cells-frame ordered window and a 1-row reduce. The classic
-    trick for making an O(n²) rank estimator corpus-scale.
+    Scale shape: ONE events pass to the (event_type, u) value cells
+    (unit-quantized domain — corpus-size-independent), then the
+    domain² pair arithmetic, the cumulative-weight median cut and
+    both sample sizes run as row-local folds over the packed sorted
+    cell arrays (wave-8 ladder-collapse discipline; ~330² cells
+    here, under the ~1k² fold crossover). Exact DECIMAL(38,0)
+    weights — fold order irrelevant; the ungrouped cumulative scan
+    over d-sorted pairs crosses the 2·cum ≥ total threshold at the
+    same d as the old grouped-by-d window (within a run of equal d
+    the crossing d is that run's d). The classic trick for making an
+    O(n²) rank estimator corpus-scale, now with a two-exchange plan.
     """
     ev = load_table(spark, sf_dir, "events")
+    dec = "DECIMAL(38,0)"
     u = F.floor(F.col("value") + 0.5).cast("long").alias("u")
-    xa = (
-        ev.filter(F.col("event_type") == _D_A)
-        .select(u)
-        .groupBy("u")
+    cells = (
+        ev.filter(F.col("event_type").isin(_D_A, _D_B))
+        .select(F.col("event_type").alias("et"), u)
+        .groupBy("et", "u")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    xb = (
-        ev.filter(F.col("event_type") == _D_B)
-        .select(u)
-        .groupBy("u")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    packed = cells.agg(
+        F.expr(
+            "array_sort(collect_list("
+            f"CASE WHEN et = '{_D_A}' THEN struct(u, cnt) END))"
+        ).alias("ca"),
+        F.expr(
+            "array_sort(collect_list("
+            f"CASE WHEN et = '{_D_B}' THEN struct(u, cnt) END))"
+        ).alias("cb"),
     )
-    dec = "decimal(38,0)"
-    a, b = xa.alias("a"), xb.alias("b")
-    diffs = (
-        a.crossJoin(F.broadcast(b))
-        .groupBy((F.col("a.u") - F.col("b.u")).alias("d"))
-        .agg(F.sum(F.col("a.cnt").cast(dec) * F.col("b.cnt")).alias("w"))
+    sel = packed.select(
+        F.expr(
+            "IF(size(ca) = 0, CAST(NULL AS BIGINT),"
+            " aggregate(ca, 0L, (a, c) -> a + c.cnt))"
+        ).alias("n_a"),
+        F.expr(
+            "IF(size(cb) = 0, CAST(NULL AS BIGINT),"
+            " aggregate(cb, 0L, (a, c) -> a + c.cnt))"
+        ).alias("n_b"),
+        F.expr(
+            "array_sort(flatten(transform(ca, a -> transform(cb, b ->"
+            f" struct(a.u - b.u AS d, CAST(a.cnt AS {dec}) * b.cnt AS w)))))"
+        ).alias("dw"),
+    ).select(
+        "n_a",
+        "n_b",
+        "dw",
+        F.expr(
+            f"aggregate(dw, CAST(0 AS {dec}),"
+            f" (a, x) -> CAST(a + x.w AS {dec}))"
+        ).alias("tw"),
     )
-    wc = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = diffs.select(
-        "d",
-        "w",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(Window.partitionBy()).alias("tw"),
-    )
-    na = xa.agg(F.sum("cnt").cast("long").alias("v"))
-    nb = xb.agg(F.sum("cnt").cast("long").alias("v"))
-    out = cum.agg(
-        F.max("tw").cast("long").alias("n_pairs"),
-        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("d")))
+    return sel.select(
+        "n_a",
+        "n_b",
+        F.col("tw").cast("long").alias("n_pairs"),
+        F.expr(
+            f"aggregate(dw, struct(CAST(0 AS {dec}) AS c,"
+            " CAST(NULL AS BIGINT) AS hd),"
+            f" (acc, x) -> struct(CAST(acc.c + x.w AS {dec}) AS c,"
+            " CASE WHEN acc.hd IS NOT NULL THEN acc.hd"
+            " WHEN 2 * (acc.c + x.w) >= tw THEN x.d END AS hd),"
+            " acc -> acc.hd)"
+        )
         .cast("long")
         .alias("hl_shift"),
-    )
-    return (
-        out.crossJoin(F.broadcast(na.select(F.col("v").alias("n_a"))))
-        .crossJoin(F.broadcast(nb.select(F.col("v").alias("n_b"))))
-        .select("n_a", "n_b", "n_pairs", "hl_shift")
     )
 
 
