@@ -127,16 +127,24 @@ def hashed_shingles(
     measures would silently destroy candidate recall on hot-shingle
     corpora.
     """
-    # No repartition before the explode (r14): the old repartition(id)
-    # exchanged the FULL TEXT column — the heaviest bytes in the frame
-    # — to buy downstream per-id partitioning, but the per-id groupBys
-    # it fed (signatures, sizes) aggregate map-side and shuffle narrow
-    # (id, hash) state, so the text exchange cost more than it saved
-    # (measured 0.87 s → 0.44 s per pass at sf0.1, and at corpus scale
-    # "never shuffle the payload" is the §8 rule). Scan parallelism
-    # comes from parquet splits (maxPartitionBytes), not a repartition.
+    # No unconditional repartition before the explode (r14): the old
+    # repartition(id) exchanged the FULL TEXT column — the heaviest
+    # bytes in the frame — to buy downstream per-id partitioning, but
+    # the per-id groupBys it fed (signatures, sizes) aggregate map-side
+    # and shuffle narrow (id, hash) state, so at corpus scale the text
+    # exchange cost more than it saved (§8 "never shuffle the
+    # payload"). Scan parallelism normally comes from parquet splits —
+    # EXCEPT when the input is a handful of single-row-group files
+    # (parquet cannot split below a row group), which serializes the
+    # explode+hash on a few tasks while the cluster idles (the r14
+    # q_dedup_near regression). spread_narrow_input repartitions ONLY
+    # in that under-parallel regime (guide §2.5 input-skew rule) and
+    # is a no-op on any corpus-sized scan.
+    from cassowary_spark.operators.skew import spread_narrow_input
+
     sh = (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        spread_narrow_input(df, id_col)
+        .withColumn("__toks", F.split(F.col(text_col), " "))
         .select(
             F.col(id_col),
             F.explode(shingles_of_tokens("__toks", shingle_k)).alias("__shingle"),
@@ -514,13 +522,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     each bit-sum becomes the fingerprint bit. One explode + groupBy
     (64 map-side-combinable sums), then bit packing — all JVM exprs.
     """
-    # No repartition(id) before the explode (r14, same reasoning as
-    # hashed_shingles): it exchanged the full text column to buy a
-    # per-id partitioning the vote groupBy doesn't need — the 64 sums
-    # partially aggregate map-side, so the groupBy shuffles narrow
-    # per-partition vote state, not token rows (0.37 s faster at
-    # sf0.1, and no corpus-payload shuffle at scale).
-    toks = df.select(
+    # No unconditional repartition(id) before the explode (r14, same
+    # reasoning as hashed_shingles): it exchanged the full text column
+    # to buy a per-id partitioning the vote groupBy doesn't need — the
+    # 64 sums partially aggregate map-side, so the groupBy shuffles
+    # narrow per-partition vote state, not token rows. The conditional
+    # spread below fires only when the scan occupies fewer splits than
+    # the cluster has slots (single-row-group fixtures; guide §2.5).
+    from cassowary_spark.operators.skew import spread_narrow_input
+
+    toks = spread_narrow_input(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))

@@ -56,3 +56,31 @@ def salted_join(
     sk = s[small_key] if isinstance(small_key, str) else small_key
     joined = b.join(s, (bk == sk) & (b["__salt"] == s["__rep"]), how)
     return joined.drop("__salt", "__rep")
+
+
+def spread_narrow_input(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition ``df`` by ``key_col`` iff its physical input occupies
+    meaningfully fewer splits than the cluster has task slots — the
+    guide-§2.5 "input skew" mitigation (one unsplittable file, a
+    single-row-group parquet, one partition holding most of the data:
+    repartition immediately after the read).
+
+    The condition is what keeps this scale-safe: a corpus-sized input
+    naturally plans thousands of scan splits, so the repartition (and
+    its payload exchange) never fires at scale — it fires exactly when
+    the downstream per-row work (shingle explodes, token hashing)
+    would otherwise run on a handful of tasks while the rest of the
+    cluster idles, and in that regime the exchanged bytes are bounded
+    by what those few splits hold. Keyed (deterministic hash)
+    partitioning, never round-robin, so task retries reproduce the
+    same row placement.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: planning failure
+        return df
+    if nparts * 2 > target:  # already within 2x of the slot count
+        return df
+    return df.repartition(target, key_col)
