@@ -179,6 +179,7 @@ def ivf_assign(
     vec_col: str,
     k_centroids: int = 16,
     lloyd_iters: int = 1,
+    owned_caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (corpus + cluster id, centroids).
 
@@ -189,6 +190,15 @@ def ivf_assign(
     corpus size. The returned assignment is what you'd persist
     partitioned-by-cluster at 100 TB so probes prune to nprobe/K of
     the data on read.
+
+    ``owned_caches``: pass a list to receive any frame this function
+    persists (the normalized corpus, when lloyd_iters > 0). The
+    returned frames are lazy, so the function cannot know when its
+    cache dies; a caller that materializes the assignment (e.g. the
+    offline index write) should unpersist everything in the list right
+    after — at corpus scale the cached frame pins the embedding
+    payload in storage memory until session clearCache otherwise
+    (the r14 leak).
     """
     seeds = corpus.orderBy(id_col).limit(k_centroids)
     # constant partition key: the window runs over K<=16 seed rows, and
@@ -199,13 +209,20 @@ def ivf_assign(
     )
     # Pre-normalize once per row so the K-way broadcast compare does one
     # dot product per centroid, not a full cosine (norms recomputed K×).
+    # Cached as (id, vec, _vn) — the original vector plus ONE double —
+    # never the double-cast copy of the payload (r14 cached both, 3×
+    # the vector bytes; the cast is re-projected per assignment pass
+    # below, one vectorized cast per row, while the sqrt-fold norm
+    # stays cached). Persist only when lloyd_iters > 0: with zero
+    # Lloyd steps the single assignment pass is the frame's only
+    # consumer and a persist is pure materialization overhead.
     prepped = corpus.select(
-        F.col(id_col), F.col(vec_col), as_double(vec_col).alias("_vd")
-    ).withColumn("_vn", l2_norm(F.col("_vd"))).persist()
-    # r14: persisted — the lineage is NARROW (no exchange for AQE to
-    # reuse), so each of the 1 + lloyd_iters assignment passes plus
-    # the Lloyd centroid update otherwise re-scans the corpus and
-    # re-normalizes every vector from scratch
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("_vn", l2_norm(as_double(vec_col)))
+    if lloyd_iters > 0:
+        prepped = prepped.persist()
+        if owned_caches is not None:
+            owned_caches.append(prepped)
 
     def assign(cents: DataFrame) -> DataFrame:
         # r14: row-local argmax over a 1-row nested centroid array —
@@ -241,12 +258,19 @@ def ivf_assign(
             ),
             step,
         )
-        return prepped.crossJoin(F.broadcast(cents1)).select(
-            F.col(id_col),
-            F.col(vec_col),
-            # all-NaN similarities (zero-norm row) fall through the
-            # strict ">" — pin them to cid 0, the old window's pick
-            F.when(best["cid"] < 0, F.lit(0)).otherwise(best["cid"]).alias("cid"),
+        # _vd projected per pass from the cached float vector: one
+        # cast per row, evaluated once in the Project (the fold's K
+        # references resolve to the same attribute).
+        return (
+            prepped.withColumn("_vd", as_double(vec_col))
+            .crossJoin(F.broadcast(cents1))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                # all-NaN similarities (zero-norm row) fall through the
+                # strict ">" — pin them to cid 0, the old window's pick
+                F.when(best["cid"] < 0, F.lit(0)).otherwise(best["cid"]).alias("cid"),
+            )
         )
 
     assigned = assign(centroids)
@@ -286,13 +310,20 @@ def write_ivf_index(
     """
     import os
 
-    assigned, centroids = ivf_assign(corpus, id_col, vec_col, k_centroids, lloyd_iters)
+    owned: list = []
+    assigned, centroids = ivf_assign(
+        corpus, id_col, vec_col, k_centroids, lloyd_iters, owned_caches=owned
+    )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, "lists")
     )
     centroids.select(
         "cid", F.col("cvec").cast("array<double>").alias("cvec")
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # the writes above are the terminal consumers — release the
+    # normalized-corpus cache now instead of leaking it to clearCache
+    for f in owned:
+        f.unpersist()
 
 
 def ann_ivf_probe(
@@ -342,15 +373,20 @@ def ann_ivf_topk(
     k: int,
     k_centroids: int = 16,
     nprobe: int = 4,
+    owned_caches: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest inverted lists.
 
     The query ranks centroids (K rows, driver-free broadcast compare),
     keeps nprobe cluster ids, and exact-scores only vectors assigned to
     them — scanning ~nprobe/K of the corpus. Recall/latency trade via
-    nprobe, as in classic IVF-Flat.
+    nprobe, as in classic IVF-Flat. ``owned_caches`` receives the
+    frames ivf_assign persists (caller-owned lifetime — the returned
+    top-k is lazy).
     """
-    assigned, centroids = ivf_assign(corpus, id_col, vec_col, k_centroids)
+    assigned, centroids = ivf_assign(
+        corpus, id_col, vec_col, k_centroids, owned_caches=owned_caches
+    )
     qc = query.crossJoin(F.broadcast(centroids)).select(
         F.col(query_vec_col), F.col("cid"),
         cosine(as_double(query_vec_col), F.col("cvec")).alias("csim"),
@@ -433,6 +469,7 @@ def ann_ivfpq_topk(
     nprobe: int = 2,
     n_sub: int = 4,
     cand_rank: int = 100,
+    owned_caches: list | None = None,
 ) -> DataFrame:
     """IVFPQ ANN (the FAISS-style full pipeline): IVF coarse probe →
     product-quantized asymmetric-distance shortlist → exact re-rank.
@@ -459,7 +496,9 @@ def ann_ivfpq_topk(
     # lloyd_iters=0: the coarse stage uses the seed assignment as-is —
     # the PQ codebook below IS a per-cluster mean (the Lloyd M-step),
     # so refining the coarse centroids first would run the same
-    # corpus passes twice for marginal routing quality.
+    # corpus passes twice for marginal routing quality. With zero
+    # Lloyd steps ivf_assign persists nothing (single-consumer
+    # normalized frame) — the only cache on this path is `assigned`.
     assigned, centroids = ivf_assign(
         corpus, id_col, vec_col, k_centroids, lloyd_iters=0
     )
@@ -467,8 +506,11 @@ def ann_ivfpq_topk(
     # probe — cache it so its lineage computes once, not once per
     # consumer. In the offline production layout this is the persisted
     # partitioned-by-cluster index (write_ivf_index); caching is its
-    # in-session stand-in.
+    # in-session stand-in. Lifetime is caller-owned via owned_caches
+    # (the returned top-k is lazy; the bench/driver clearCache per rep).
     assigned = assigned.cache()
+    if owned_caches is not None:
+        owned_caches.append(assigned)
 
     # --- probe: nprobe nearest lists by cosine (K-row broadcast)
     cents_n = centroids.withColumn("_cn", l2_norm(F.col("cvec")))

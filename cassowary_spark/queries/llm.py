@@ -913,25 +913,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (C1 at steady state): screen an arriving
     batch against the existing corpus by content hash — keep only new
     docs whose content is unseen, deduping within the batch too (min
-    doc_id wins). The shape every production corpus uses: the corpus
-    side is just its hash column (at 100 TB, a pre-computed slim hash
-    table), the batch anti-joins against it on the hash — one shuffle
-    of hashes, never of text — then a keyed min dedups the batch.
+    doc_id wins).
+
+    r15: ONE grouped pass over the hashed corpus — per content_hash,
+    the min batch doc_id and an any-old flag are two conditional
+    aggregates, so "unseen in old" is a filter on the same 1-exchange
+    aggregate instead of the r14 shape (persisted hash frame + anti
+    join + per-hash window = 3 exchanges and a cache whose lifetime
+    nothing owned). Map-side partial aggregation ships one row per
+    distinct hash per partition — strictly fewer bytes than the anti
+    join shuffled, and the leaked persist is gone. At 100 TB with a
+    pre-computed corpus hash table the anti-join form returns, but
+    when both sides derive from one frame the single pass wins at any
+    scale.
     """
     corpus = _docs_with_twins(spark, sf_dir)
-    hashed = corpus.select(
-        "doc_id", F.md5("text").alias("content_hash")
-    ).persist()  # r14: 40 B/doc; old + new branches both consume it —
-    # unpersisted each re-ran the twin union + full-corpus md5
-    # (narrow lineage, no exchange for AQE reuse)
-    old = hashed.filter(F.col("doc_id") % 4 != 0).select("content_hash")
-    new = hashed.filter(F.col("doc_id") % 4 == 0)
-    unseen = new.join(old, "content_hash", "left_anti")
-    w = Window.partitionBy("content_hash")
+    hashed = corpus.select("doc_id", F.md5("text").alias("content_hash"))
+    per_hash = hashed.groupBy("content_hash").agg(
+        F.min(F.when(F.col("doc_id") % 4 == 0, F.col("doc_id"))).alias("__new_min"),
+        F.max(F.when(F.col("doc_id") % 4 != 0, F.lit(1))).alias("__has_old"),
+    )
     return (
-        unseen.withColumn("__min_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("__min_id"))
-        .select("doc_id", "content_hash")
+        per_hash.filter(F.col("__new_min").isNotNull() & F.col("__has_old").isNull())
+        .select(F.col("__new_min").alias("doc_id"), "content_hash")
     )
 
 
