@@ -392,16 +392,29 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    # r15: the md5 ladder below is ~16 digests per order row, and a
+    # single-row-group orders fixture plans a 1-task scan — the whole
+    # hash pass ran on one core while the cluster idled. Spread the
+    # NARROW (orderkey, cents) projection (16 B/row, never the full
+    # row) when the scan is under-parallel; no-op at corpus scale
+    # (guide §2.5 input-skew rule). 4.11 -> 1.05 s at sf0.1, output
+    # bit-identical. The base aggregate roots on the same spread frame
+    # so both consumers share one exchange-rooted subtree.
+    from cassowary_spark.operators.skew import spread_narrow_input
+
+    base_rows = spread_narrow_input(
+        o.select("o_orderkey", cents.alias("cents")), "o_orderkey"
+    )
     # one md5 yields FOUR 32-bit uniforms (the 128-bit digest in 8-hex
     # slices): B/4 hash evaluations per row instead of B — md5 is the
     # dominant per-row cost of the whole query (measured 12.6s → the
     # 4-per-digest form at sf0.1)
-    hx = o.select(
+    hx = base_rows.select(
         F.explode(
             F.array([F.lit(i) for i in range(_BOOT_B // 4)])
         ).alias("i"),
         F.col("o_orderkey"),
-        cents.alias("cents"),
+        F.col("cents"),
     ).select(
         "i",
         "cents",
@@ -431,8 +444,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("swx"),
         F.sum("w").cast("long").alias("sw"),
     )
-    base = o.agg(
-        F.sum(cents).cast("long").alias("scents"),
+    base = base_rows.agg(
+        F.sum("cents").cast("long").alias("scents"),
         F.count("*").cast("long").alias("n"),
     )
     mean_b = F.col("swx").cast("double") / F.col("sw").cast("double")
