@@ -33,9 +33,11 @@ def reorder_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set(od)).alias("__ds"),
         F.max(od).alias("__mx"),
     )
-    # global censor from the per-customer maxima — the per-cust agg's
-    # exchange is shared with the durations consumer (AQE reuse), so
-    # orders is scanned ONCE for the whole family
+    # global censor from the per-customer maxima — one LOGICAL orders
+    # pass: the static plan renders the per-cust aggregate once per
+    # consumer (the recorded budget says scans: 2), but the censor
+    # consumer roots on the same exchange, which AQE exchange reuse
+    # dedups at runtime where it fires
     censor = per.agg(F.max("__mx").alias("__c"))
     f = F.get("__ds", 0)
     s = F.get("__ds", 1)  # null when the customer never reordered

@@ -204,12 +204,22 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
 
+    from cassowary_spark.operators.skew import spread_narrow_input
+
     def fp(df: DataFrame, cols: list, name: str) -> DataFrame:
-        canon = F.concat_ws(
-            "|", *[c.cast("string") for c in cols]
-        )
+        # r15: the per-row md5 ran inside a 1-task scan stage on
+        # single-row-group fixtures — spread the NARROW canonical
+        # projection (3 longs/row) when under-parallel; XOR is
+        # commutative/associative so any partitioning folds the same
+        # (no-op at corpus scale). The key column is the first canon
+        # column (orderkey — high-cardinality).
+        canon_cols = [
+            c.cast("string").alias(f"__c{i}") for i, c in enumerate(cols)
+        ]
+        narrow = spread_narrow_input(df.select(*canon_cols), "__c0")
+        canon = F.concat_ws("|", *[F.col(f"__c{i}") for i in range(len(cols))])
         h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
-        return df.agg(
+        return narrow.agg(
             F.lit(name).alias("tbl"),
             F.count("*").alias("n_rows"),
             F.bit_xor(h).alias("fingerprint"),

@@ -176,10 +176,15 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
             "t_view"
         ),
-        F.collect_list(
+        # collect_SET (r15 skew guard): both consumers are
+        # array_min(filter(...)) probes, so duplicate timestamps are
+        # redundant — dedup bounds a hot user's array at their
+        # DISTINCT per-type timestamps and shrinks the user exchange
+        # under event-duplication skew.
+        F.collect_set(
             F.when(F.col("event_type") == "click", F.col("ts"))
         ).alias("cl"),
-        F.collect_list(
+        F.collect_set(
             F.when(F.col("event_type") == "purchase", F.col("ts"))
         ).alias("pu"),
     )

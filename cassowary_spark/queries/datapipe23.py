@@ -88,14 +88,20 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").alias("t")
     )
+    # collect_SET, not list (r15 skew guard): every probe below is an
+    # exists/array_min over the array, so duplicate timestamps are
+    # provably redundant — dedup bounds a hot user's array at their
+    # DISTINCT per-stage timestamps and shrinks both the map-side
+    # state and the shuffled bytes under event-duplication skew
+    # (bot replays, at-least-once ingestion).
     per = ev.groupBy("user_id").agg(
-        F.collect_list(
+        F.collect_set(
             F.when(F.col("event_type") == "signup", F.col("t"))
         ).alias("ss"),
-        F.collect_list(
+        F.collect_set(
             F.when(F.col("event_type") == "click", F.col("t"))
         ).alias("cs"),
-        F.collect_list(
+        F.collect_set(
             F.when(F.col("event_type") == "purchase", F.col("t"))
         ).alias("ps"),
     )

@@ -556,8 +556,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = batch.select(
         "doc_id", F.explode(shingles("text", _NOV_K)).alias("g0")
     ).select("doc_id", F.xxhash64("g0").alias("g"))
+    from cassowary_spark.operators.skew import spread_narrow_input
+
+    # r15: the corpus-side gram explode (9/10 of the docs) ran inside
+    # a 1-2-task scan stage; spread only when under-parallel (no-op
+    # at corpus scale)
     cg = (
-        corpus.select(F.explode(shingles("text", _NOV_K)).alias("g0"))
+        spread_narrow_input(corpus, "doc_id")
+        .select(F.explode(shingles("text", _NOV_K)).alias("g0"))
         .select(F.xxhash64("g0").alias("g"))
         .distinct()
     )

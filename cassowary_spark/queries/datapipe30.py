@@ -228,7 +228,11 @@ def q_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(_BLEU_SUFFIX)).alias("text"),
         )
     )
-    toks = pair.select(
+    from cassowary_spark.operators.skew import spread_narrow_input
+
+    # r15: the tagged gram explode ran inside a 1-2-task scan stage;
+    # spread only when under-parallel (no-op at corpus scale)
+    toks = spread_narrow_input(pair, "doc_id").select(
         "doc_id", "side", F.split("text", " ").alias("tk")
     )
     # r14: ONE documents pass — both gram sizes ride a single tagged

@@ -164,7 +164,16 @@ def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs²-bounded key; row totals ROLL UP from the cells (no second
     corpus pass); the final join is broadcast-size.
     """
-    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    from cassowary_spark.operators.skew import spread_narrow_input
+
+    # r15: the per-doc lang_id expression chain ran inside a 1-2-task
+    # scan stage; spread only when under-parallel (no-op at scale)
+    d = spread_narrow_input(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        "doc_id",
+    ).select("lang", "text")
     p = d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
     cells = p.groupBy("lang", "lang_pred").agg(F.count("*").alias("n")).persist()
     tot = cells.groupBy("lang").agg(F.sum("n").alias("nt"))

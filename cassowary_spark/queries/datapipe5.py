@@ -209,7 +209,14 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shingle ROW through one exchange uncombined. The per-lang
     rollup is a broadcast-size frame.
     """
-    corpus = _docs_with_twins(spark, sf_dir, ("lang",))
+    from cassowary_spark.operators.skew import spread_narrow_input
+
+    # r15: the shingle explode below ran inside a 1-2-task scan stage
+    # (single-row-group fixtures); spread only when under-parallel —
+    # no-op at corpus scale (guide §2.5 input-skew rule)
+    corpus = spread_narrow_input(
+        _docs_with_twins(spark, sf_dir, ("lang",)), "doc_id"
+    )
     tagged = corpus.withColumn("split", _split_col())
     # persisted: the hot-set job and the main pass both consume the
     # shingle explode — without the persist it would run twice (the

@@ -393,13 +393,29 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0.0)),
         8,
     )
-    ev_t = risk.filter(F.col("d") > 0).select(
-        "dur", "d1", eterm.alias("eterm"), vterm.alias("vterm")
+    # r15: one aggregate over the UNFILTERED risk frame — the event
+    # terms enter the sorted folds only where d > 0 (collect_list
+    # skips the null structs, so the fold order and cells are exactly
+    # the old filtered ev_t), d1 sums identically (d1 > 0 implies
+    # d > 0), and the GROUP SIZES fall out of the same pass: the
+    # reverse running sums peak at the smallest duration, so
+    # max(n_risk) is the pooled N and max(n1_risk) is n1 — the
+    # separate per-cells sizes aggregate and its broadcast join-back
+    # are gone (the r14 budget loosening this wins back).
+    ev_t = risk.select(
+        "dur",
+        "d",
+        "d1",
+        "n_risk",
+        "n1_risk",
+        eterm.alias("eterm"),
+        vterm.alias("vterm"),
     )
 
     def fold(col: str):
         return F.expr(
-            f"aggregate(array_sort(collect_list(struct(dur, {col}))),"
+            f"aggregate(array_sort(collect_list("
+            f" CASE WHEN d > 0 THEN struct(dur, {col}) END)),"
             f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.{col})"
         )
 
@@ -407,14 +423,10 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d1").cast("long").alias("o1"),
         srnd(fold("eterm"), 6).alias("e1"),
         srnd(fold("vterm"), 6).alias("v"),
+        F.max("n1_risk").cast("long").alias("n1"),
+        (F.max("n_risk") - F.max("n1_risk")).cast("long").alias("n2"),
     )
-    # group sizes from the per-duration cells (exchange shared with the
-    # risk window) instead of a second pass over the duration frame
-    sizes = per.agg(
-        F.sum("n1_all").cast("long").alias("n1"),
-        (F.sum("n_all") - F.sum("n1_all")).cast("long").alias("n2"),
-    )
-    return tot.crossJoin(F.broadcast(sizes)).select(
+    return tot.select(
         "n1",
         "n2",
         "o1",

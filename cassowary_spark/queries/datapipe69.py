@@ -515,7 +515,13 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "n_a",
         "n_b",
-        F.col("tw").cast("long").alias("n_pairs"),
+        # empty-side guard (r14 ADVICE): the old grouped plan returned
+        # n_pairs = NULL when either sample is empty (max over an empty
+        # frame), while a fold over the empty pair array starts at 0 —
+        # keep the NULL convention so the row stays consistent with
+        # n_a/n_b in that degenerate case
+        F.expr("IF(size(dw) = 0, CAST(NULL AS BIGINT), CAST(tw AS BIGINT))")
+        .alias("n_pairs"),
         F.expr(
             f"aggregate(dw, struct(CAST(0 AS {dec}) AS c,"
             " CAST(NULL AS BIGINT) AS hd),"

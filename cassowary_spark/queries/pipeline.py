@@ -301,7 +301,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build side shrinks ~6× and the probe compares 8-byte keys; the
     # per-doc countDistinct over hashed grams equals the string count
     # modulo the dedup family's documented ~1e-12 collision odds.
-    corpus_ng = corpus.select(
+    from cassowary_spark.operators.skew import spread_narrow_input
+
+    # r15: the corpus-side gram explode ran inside a 1-2-task scan
+    # stage; spread only when under-parallel (no-op at corpus scale)
+    corpus_ng = spread_narrow_input(corpus, "doc_id").select(
         F.col("doc_id").alias("cid"),
         F.explode(shingles_of_tokens("split(text, ' ')", _NGRAM_K)).alias("ng0"),
     ).select("cid", F.xxhash64("ng0").alias("ng"))

@@ -1127,24 +1127,33 @@ def _raw_column_array(col, v):
         dt = np.dtype(fmt)
         w = dt.itemsize
         z = b"\x00" * w
-        mask = np.fromiter(
-            (c is None for c in col), np.bool_, count=len(col)
+        n = len(col)
+        # ONE Python pass over the cells (r15): lengths with a -1
+        # null sentinel give the null mask AND the per-cell width
+        # check — the previous shape walked the batch three times
+        # (mask generator, check loop, join generator).
+        lens = np.fromiter(
+            ((-1 if c is None else len(c)) for c in col), np.int64, count=n
         )
+        mask = lens < 0
         # A present cell with the wrong width is corruption or a
         # mislabeled user schema — raise like the row-tuple decode
         # path does; masking it to NULL (the old behavior) turned
         # schema mistakes into silent data loss on exactly one of the
         # two decode paths.
-        for c in col:
-            if c is not None and len(c) != w:
-                raise ValueError(
-                    f"{v.name}: fixed-width cell of {len(c)} bytes where "
-                    f"{w} expected — wrong validator in the supplied "
-                    "schema, or a corrupt cell"
-                )
-        joined = b"".join(c if c is not None else z for c in col)
-        arr = np.frombuffer(joined, dtype=dt)
+        if bool(((lens >= 0) & (lens != w)).any()):
+            bad = int(lens[(lens >= 0) & (lens != w)][0])
+            raise ValueError(
+                f"{v.name}: fixed-width cell of {bad} bytes where "
+                f"{w} expected — wrong validator in the supplied "
+                "schema, or a corrupt cell"
+            )
         null_count = int(mask.sum())
+        if null_count:
+            joined = b"".join(c if c is not None else z for c in col)
+        else:
+            joined = b"".join(col)
+        arr = np.frombuffer(joined, dtype=dt)
         if v.name == "BooleanType":
             bits = arr.astype(np.bool_)
             return pa.Array.from_buffers(
@@ -1201,8 +1210,17 @@ def _array_nopandas(col, atype):
     name = str(atype)
     np_name = _NOPANDAS_NUMERIC.get(name)
     if np_name is not None:
+        # list.count(None) is a C-speed scan; the no-null batch (the
+        # overwhelmingly common one) then builds via np.array on the
+        # list — several times faster than a Python-generator
+        # fromiter (r15; the generator paths remain for null batches)
+        null_count = col.count(None)
+        if null_count == 0:
+            vals = np.asarray(col, dtype=np.dtype(np_name))
+            return pa.Array.from_buffers(
+                atype, n, [None, pa.py_buffer(vals.tobytes())], null_count=0
+            )
         mask = np.fromiter((v is None for v in col), np.bool_, count=n)
-        null_count = int(mask.sum())
         vals = np.fromiter(
             (0 if v is None else v for v in col), np.dtype(np_name), count=n
         )
@@ -1210,7 +1228,7 @@ def _array_nopandas(col, atype):
             atype,
             n,
             [
-                _validity_buffer(mask) if null_count else None,
+                _validity_buffer(mask),
                 pa.py_buffer(vals.tobytes()),
             ],
             null_count=null_count,
@@ -1233,8 +1251,12 @@ def _array_nopandas(col, atype):
             b"" if v is None else (v.encode("utf-8") if isinstance(v, str) else v)
             for v in col
         ]
-        mask = np.fromiter((v is None for v in col), np.bool_, count=n)
-        null_count = int(mask.sum())
+        null_count = col.count(None)
+        mask = (
+            np.fromiter((v is None for v in col), np.bool_, count=n)
+            if null_count
+            else None
+        )
         offsets64 = np.zeros(n + 1, dtype=np.int64)
         if n:
             np.cumsum(

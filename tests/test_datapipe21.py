@@ -132,3 +132,80 @@ class TestRollingSlope:
         assert out[("click", 19)]["slope_per_day"] == 7.0
         assert out[("view", 19)]["slope_per_day"] == 0.0
         assert out[("click", 0)]["slope_per_day"] is None  # n == 1
+
+
+class TestFunnelHotUserGuard:
+    def test_duplicated_events_dedup_and_bound_arrays(
+        self, spark, tmp_path
+    ):
+        """Skew guard (r15): a bot-grade user replays each event 200×.
+        The per-user collect must bound at the DISTINCT timestamps
+        (collect_set), and the funnel depth must be identical to the
+        single-copy run — the probes are exists/array_min, for which
+        duplicates are provably redundant."""
+        t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+
+        def ts(**kw):
+            return t0 + dt.timedelta(**kw)
+
+        base = [
+            (1, t0, "signup"),
+            (2, ts(hours=1), "click"),
+            (3, ts(hours=2), "click"),
+            (4, ts(hours=20), "purchase"),
+        ]
+        rows = []
+        eid = 0
+        for _rep in range(200):
+            for _e, t, et in base:
+                eid += 1
+                rows.append((eid, t, 1, et, 0.0))
+        # a normal user for contrast (depth 1: signup only)
+        eid += 1
+        rows.append((eid, t0, 2, "signup", 0.0))
+        sf = _write_events(tmp_path, rows)
+
+        out = {
+            r["depth"]: r["n_users"]
+            for r in QUERIES["q_window_funnel"](spark, sf).collect()
+        }
+        assert out == {3: 1, 1: 1}
+
+        # the collected arrays are distinct-bounded, not row-bounded
+        from pyspark.sql import functions as F
+
+        from cassowary_spark.tables import load_table
+
+        ev = load_table(spark, sf, "events").select(
+            "user_id", "event_type", F.col("ts").alias("t")
+        )
+        per = (
+            ev.groupBy("user_id")
+            .agg(
+                F.collect_set(
+                    F.when(F.col("event_type") == "click", F.col("t"))
+                ).alias("cs")
+            )
+            .filter(F.col("user_id") == 1)
+            .collect()[0]
+        )
+        assert len(per["cs"]) == 2  # 400 click rows -> 2 distinct
+
+        # q_funnel_timing on the same skewed fixture: lags match the
+        # single-copy semantics (view absent -> no stages qualify via
+        # t_view; add a view chain to exercise it)
+        rows2 = rows + [
+            (eid + 1, t0, 3, "view", 0.0),
+            (eid + 2, ts(hours=1), 3, "click", 0.0),
+            (eid + 3, ts(hours=1), 3, "click", 0.0),
+            (eid + 4, ts(hours=5), 3, "purchase", 0.0),
+        ]
+        sf2 = _write_events(tmp_path, rows2)
+        timing = {
+            r["stage"]: (r["n_users"], r["median_lag_s"])
+            for r in QUERIES["q_funnel_timing"](spark, sf2).collect()
+        }
+        assert timing == {
+            "view_to_click": (1, 3600.0),
+            "click_to_purchase": (1, 14400.0),
+        }
